@@ -1,0 +1,39 @@
+"""Cross-engine-deterministic hashing column builders.
+
+Everything the dedup / fingerprint operators hash with must produce the SAME
+value in Spark and in the DuckDB oracle (the driver hash-compares values).
+``xxhash64``/``hash`` differ between engines, so the engine standardizes on
+**md5** (identical everywhere) reinterpreted as an integer:
+
+    hash64(s) = int(hex(md5(s))[0:15], 16)        # 60 bits, fits BIGINT
+
+Spark:  ``conv(substring(md5(s), 1, 15), 16, 10)::bigint`` — all JVM-side
+built-ins, whole-stage-codegen friendly, no Python in the hot path.
+DuckDB: ``CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)``.
+
+md5 is ~2x slower than xxhash64 but still >100 MB/s/core JVM-side; at 100 TB
+scale the hash cost is dwarfed by the shuffle it feeds. Swap to xxhash64 in
+production where cross-engine determinism is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def hash64(col: Column | str) -> Column:
+    """60-bit deterministic hash of a string column (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def hash64_sql(expr: str) -> str:
+    """DuckDB SQL text computing the same value as :func:`hash64`."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def md5_fingerprint(col: Column | str) -> Column:
+    """Full 128-bit md5 hex fingerprint (exact-dedup key)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)

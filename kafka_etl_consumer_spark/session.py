@@ -1,0 +1,69 @@
+"""SparkSession construction with the engine's scale posture.
+
+The reference tunes exactly three physical knobs — Parquet Snappy
+compression, 256 MiB row groups, 64 KiB pages (ETLTask.java:146-148 in the
+reference) — and gets parallelism from Kafka partition count. On Spark we
+keep those Parquet knobs and add the cluster-scale posture that Catalyst/AQE
+need: adaptive execution (runtime shuffle-partition coalescing + skew-join
+splitting), partial-aggregation pushdown (default), and Arrow for any
+Python-side exchange.
+
+Everything here is safe on ``local[N]`` and intended for a 1000-executor
+cluster: nothing pins partition counts to the local core count except the
+default shuffle parallelism, which AQE re-plans at runtime anyway.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka-etl-consumer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster leave it unset and submit with ``--master``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # On a real cluster this should be ~2-3x total cores; AQE coalesces
+        # down from it, so err high. Locally default to 2x local cores.
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = 2 * int(cpus_env) if cpus_env else 64
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / cross-engine comparability ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: runtime re-plan, skew-join, coalesce ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # --- scan sizing: 128 MiB splits keep 100 TB ≈ 800k tasks, fine ---
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- Python exchange is Arrow-batched everywhere ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- Parquet posture mirroring the reference (ETLTask.java:146-148) ---
+        .config("spark.hadoop.parquet.block.size", str(256 * 1024 * 1024))
+        .config("spark.hadoop.parquet.page.size", str(64 * 1024))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # --- broadcast joins for dimension tables (region/nation/...) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
