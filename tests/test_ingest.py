@@ -1,0 +1,142 @@
+"""Ingest round-trip: the faithful no-Kafka stand-in for the reference's
+manual Kafka→HDFS verification (SURVEY.md §5 item 3).
+
+Pipeline under test: fixture rows → pure-Python Avro encode → (topic, value)
+binary stream → ingest() decode → date-partitioned Snappy Parquet →
+read back → row equality. Source is a file stream so the full streaming
+decode→partition→write path runs exactly as it would off Kafka.
+"""
+
+from __future__ import annotations
+
+import glob
+import time
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_etl_consumer_spark.avro_codec import encode_record, parse_schema
+from kafka_etl_consumer_spark.fixtures import (
+    ITEM_VIEW_EVENT_AVSC,
+    ITEM_VIEW_EVENT_TOPIC,
+    item_view_events,
+)
+from kafka_etl_consumer_spark.schema.registry import DictSchemaRegistry
+from kafka_etl_consumer_spark.streaming.ingest import (
+    IntervalUnit,
+    decode_avro,
+    encode_avro,
+    ingest,
+    rolling_trigger,
+)
+
+ENVELOPE = T.StructType(
+    [T.StructField("topic", T.StringType()), T.StructField("value", T.BinaryType())]
+)
+
+
+def _encoded_events_df(spark, n=10):
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    rows = [
+        Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(encode_record(schema, r)))
+        for r in item_view_events(n)
+    ]
+    return spark.createDataFrame(rows, ENVELOPE)
+
+
+def test_decode_avro_batch(spark):
+    df = _encoded_events_df(spark)
+    out = decode_avro(df, ITEM_VIEW_EVENT_AVSC, keep_cols=["topic"])
+    rows = out.orderBy("itemId").collect()
+    assert len(rows) == 10
+    assert rows[0].topic == ITEM_VIEW_EVENT_TOPIC
+    assert rows[0].itemId == "any-item-id0"
+    assert rows[0].baseProperties.eventType == "item-view-event"
+    assert rows[0].baseProperties.deviceType == "MOBILE"
+    assert rows[0].price == 168000
+    # nested struct preserved, not flattened (reference pass-through, §2.1)
+    assert out.schema["baseProperties"].dataType.typeName() == "struct"
+
+
+def test_decode_avro_permissive_vs_failfast(spark):
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    good = encode_record(schema, item_view_events(1)[0])
+    rows = [
+        Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(good)),
+        Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(b"\x01\x02corrupt")),
+    ]
+    df = spark.createDataFrame(rows, ENVELOPE)
+    out = decode_avro(df, ITEM_VIEW_EVENT_AVSC, mode="PERMISSIVE").collect()
+    assert len(out) == 2
+    assert sorted((r.itemId is None) for r in out) == [False, True]
+    with pytest.raises(Exception):
+        decode_avro(df, ITEM_VIEW_EVENT_AVSC, mode="FAILFAST").collect()
+
+
+def test_encode_decode_roundtrip_df(spark):
+    src = _encoded_events_df(spark)
+    decoded = decode_avro(src, ITEM_VIEW_EVENT_AVSC)
+    reencoded = encode_avro(decoded, ITEM_VIEW_EVENT_AVSC)
+    redecoded = decode_avro(reencoded, ITEM_VIEW_EVENT_AVSC)
+    a = sorted(decoded.collect(), key=lambda r: r.itemId)
+    b = sorted(redecoded.collect(), key=lambda r: r.itemId)
+    assert a == b
+
+
+@pytest.mark.parametrize("layout", ["reference", "hive"])
+def test_ingest_streaming_roundtrip(spark, tmp_path, layout):
+    # Stage encoded payloads as parquet for a file stream — same (topic,
+    # value) shape the Kafka source yields.
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+    _encoded_events_df(spark).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(ENVELOPE).parquet(src_dir)
+    reg = DictSchemaRegistry({ITEM_VIEW_EVENT_TOPIC: ITEM_VIEW_EVENT_AVSC})
+    queries = ingest(
+        stream,
+        reg,
+        out_dir,
+        topics=[ITEM_VIEW_EVENT_TOPIC],
+        checkpoint_path=ckpt_dir,
+        trigger=rolling_trigger(IntervalUnit.MINUTE, 1),
+        layout=layout,
+    )
+    try:
+        deadline = time.time() + 60
+        target = f"{out_dir}/{ITEM_VIEW_EVENT_TOPIC}"
+        while time.time() < deadline:
+            for q in queries:
+                q.processAllAvailable()
+            if glob.glob(f"{target}/**/*.parquet", recursive=True):
+                break
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+
+    files = glob.glob(f"{target}/**/*.parquet", recursive=True)
+    assert files, f"no parquet landed under {target}"
+    # Directory contract: <out>/<topic>/<yyyy-MM-dd/HH/mm>/ for reference
+    # layout; dt0=yyyy-MM-dd/dt1=HH/dt2=mm for hive layout (README.md:14-26
+    # of the reference).
+    rel = files[0][len(target) + 1 :]
+    depth = rel.count("/")
+    if layout == "reference":
+        assert depth == 3, rel
+    else:
+        assert all(seg.startswith("dt") for seg in rel.split("/")[:-1]), rel
+
+    # reference layout nests plain date dirs (not key=value), so read-back
+    # needs recursiveFileLookup — the documented tradeoff vs hive layout
+    back = spark.read.option("recursiveFileLookup", "true").parquet(target)
+    got = sorted(
+        (r.itemId, r.price, r.baseProperties.uid) for r in back.select("itemId", "price", "baseProperties").collect()
+    )
+    want = sorted(
+        (r["itemId"], r["price"], r["baseProperties"]["uid"]) for r in item_view_events(10)
+    )
+    assert got == want
