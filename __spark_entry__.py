@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from kafka_etl_consumer_spark.plans.queries import ORACLES, QUERIES  # noqa: E402
+from kafka_etl_consumer_spark.plans import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

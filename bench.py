@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...}
+
+Execution is measured with the noop sink (full query execution, no
+driver-side collect transfer). One JVM-warmup pass of the flagship query
+runs untimed first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_etl_consumer_spark.plans import QUERIES  # noqa: E402
+from kafka_etl_consumer_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scan/agg/join/window/dedup/similarity workloads that
+# dominate at scale (every family from SURVEY.md §2.2 is represented).
+HEADLINE = [
+    "flagship_event_rollup",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "filter_project",
+    "agg_distinct",
+    "join_asof",
+    "join_range",
+    "win_rank_topk",
+    "win_analytic",
+    "win_session",
+    "explode_tokens",
+    "json_funcs",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "text_quality",
+    "multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="kafka-etl-consumer-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("flagship_event_rollup")  # JVM/codegen warmup, untimed
+
+    times = {name: round(run(name), 3) for name in HEADLINE}
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

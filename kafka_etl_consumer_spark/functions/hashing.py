@@ -37,3 +37,28 @@ def md5_fingerprint(col: Column | str) -> Column:
     """Full 128-bit md5 hex fingerprint (exact-dedup key)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(c)
+
+
+# --- MinHash rehashing ------------------------------------------------------
+# One md5 base hash per shingle, then H cheap affine derivations
+# sig_h = ((base % P) * a_h + b_h) % P  — 24 md5s/shingle would be ~10x the
+# CPU for identical statistical behavior. P = 2^31-1 (Mersenne) keeps
+# (P-1)*a_h + b_h < 2^62: no BIGINT overflow in either engine (DuckDB errors
+# on int64 overflow rather than wrapping, so staying in range is mandatory).
+
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_h, b_h) pairs derived from md5 — stable across
+    engines/versions because they're literals baked into both plans."""
+    import hashlib
+
+    out = []
+    for h in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a-{h}".encode()).hexdigest()[:8], 16) % (
+            MINHASH_PRIME - 2
+        ) + 1
+        b = int(hashlib.md5(f"minhash-b-{h}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
+        out.append((a, b))
+    return out

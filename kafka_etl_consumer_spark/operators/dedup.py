@@ -1,0 +1,291 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hashing is the cross-engine-deterministic md5-based ``hash64``
+(functions/hashing.py) so every operator here has an exact DuckDB oracle.
+
+Design rule: **shingle sets live as per-document arrays** and all
+per-document computation (signatures, simhash bits, set sizes) happens with
+higher-order functions inside whole-stage codegen — zero shuffle until data
+must actually meet across documents. Exploded (doc, shingle) rows exist only
+where a cross-document join genuinely needs them (the exact inverted-index
+path). This cut the minhash pipeline from ~8 shuffles to 3.
+
+Scale notes (the 100 TB story, per operator):
+- ``exact_dedup``: one hash-agg keyed by the fingerprint — single shuffle,
+  duplicates collapse map-side.
+- ``minhash_signatures``: narrow map (array ops only) — embarrassingly
+  parallel, NO shuffle at all.
+- ``minhash_lsh_pairs``: shuffles are (1) the band-key self-join (B rows
+  per doc), (2) candidate distinct, (3) attaching the two shingle arrays to
+  verify Jaccard. Hot band-buckets (boilerplate docs) are the skew risk —
+  AQE skew-join splits them; production would also cap bucket size.
+- ``ngram_jaccard_pairs``: exact all-pairs via inverted index — quadratic
+  per shared shingle; verification path, not the scale path.
+- ``simhash``: narrow map like minhash_signatures (fold per bit over the
+  hashed-shingle array), then one shuffle only to size signature groups.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.hashing import (
+    MINHASH_PRIME,
+    hash64,
+    minhash_coeffs,
+)
+from kafka_etl_consumer_spark.functions.text import tokens, word_shingles
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group rows by content fingerprint; keep min(id) as the canonical doc.
+
+    Returns (fingerprint, keeper_id, n_copies) — the collapse the caller
+    joins back to drop duplicates while keeping lineage countable."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(f"keeper_{id_col}"), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingle arrays (shared base of minhash / jaccard / simhash)
+# ---------------------------------------------------------------------------
+
+
+def shingle_arrays(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, sh: array<string>) — the DISTINCT k-word shingles per doc as an
+    array. ``array_distinct`` replaces a global distinct-shuffle with a
+    per-row op; docs with no shingles (< k tokens) are dropped, matching
+    the SQL oracles where unnest of an empty list yields no rows."""
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    # Materialize the token array through a Generate barrier BEFORE the
+    # shingle transform references it: word_shingles refers to its input
+    # several times (and inside a lambda), and Catalyst would otherwise
+    # inline the regex-split per reference — O(tokens²) splits per doc
+    # (measured ~15x wall-clock on this exact pipeline).
+    toks = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(F.array(tokens(text_col))).alias("__toks")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col("__toks"), k)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Exploded distinct (id, shingle) rows — only for inverted-index paths."""
+    return shingle_arrays(df, text_col, id_col, k).select(
+        id_col, F.explode("sh").alias("shingle")
+    )
+
+
+def _with_hashed_shingles(arrays: DataFrame, mod_prime: bool) -> DataFrame:
+    """Append ``__hs``: array<bigint> of hash64(shingle) (optionally mod
+    MINHASH_PRIME) — wrapped in ``explode(array(...))`` so the Generate node
+    MATERIALIZES the hashed array once. A plain withColumn/select would be
+    CollapseProject-ed into every downstream signature expression and the
+    md5 transform recomputed once per hash function (measured 2-8x blowup)."""
+    hs = F.transform(
+        F.col("sh"),
+        (lambda s: hash64(s) % MINHASH_PRIME) if mod_prime else (lambda s: hash64(s)),
+    )
+    return arrays.select(
+        "*", F.explode(F.array(hs)).alias("__hs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 24,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig_h = min over shingles of
+    ((hash64(shingle) % P) * a_h + b_h) % P.
+
+    ONE md5 per shingle, then H affine rehashes via array transforms —
+    entirely codegen, no explode, no shuffle."""
+    base = _with_hashed_shingles(shingle_arrays(df, text_col, id_col, k), mod_prime=True)
+    sigs = [
+        F.array_min(
+            F.transform("__hs", lambda x: (x * F.lit(a) + F.lit(b)) % MINHASH_PRIME)
+        ).alias(f"sig_{h}")
+        for h, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return base.select(F.col(id_col), *sigs)
+
+
+def band_keys(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = 8, rows_per_band: int = 3
+) -> DataFrame:
+    """Signature → (id, band, band_key) where band_key = md5 of the
+    comma-joined band slice (cross-engine reproducible). One posexplode,
+    not a B-way union (which would recompute the signatures B times)."""
+    keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                    F.lit(str(b)),
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(keys).alias("band", "band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 24,
+    bands: int = 8,
+    rows_per_band: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, verified with exact Jaccard.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    With (24, 8, 3): P(candidate) ≈ 1-(1-j³)⁸ — ~0.997 at j=0.8, ~0.66 at
+    j=0.5, while random pairs (j≈0.01) collide with P≈8e-6.
+
+    Verification attaches the two shingle ARRAYS to each candidate pair and
+    intersects them in codegen (array_intersect) — no exploded join."""
+    assert num_hashes == bands * rows_per_band
+    sh = shingle_arrays(df, text_col, id_col, k)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    bk = band_keys(sig, id_col, bands, rows_per_band)
+
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("__sa"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", (inter.cast("double") / union).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard via the inverted index (join on
+    shingle). Ground truth for LSH recall; not the 100 TB path."""
+    arrays = shingle_arrays(df, text_col, id_col, k)
+    sh = arrays.select(id_col, F.explode("sh").alias("shingle"))
+    sizes = arrays.select(F.col(id_col), F.size("sh").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Per-doc SimHash over k-word shingles: bit b is 1 iff
+    sum over shingles of (±1 by hash bit b) > 0.
+
+    Hash each shingle once into an array, then one fold per bit over that
+    array — all codegen, no explode, no shuffle."""
+    base = _with_hashed_shingles(shingle_arrays(df, text_col, id_col, k), mod_prime=False)
+    bit_sums = [
+        F.aggregate(
+            "__hs",
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ).alias(f"__s{b}")
+        for b in range(bits)
+    ]
+    per_bit = base.select(F.col(id_col), *bit_sums)
+    sig = reduce(
+        add,
+        [
+            F.when(F.col(f"__s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for b in range(bits)
+        ],
+    )
+    return per_bit.select(F.col(id_col), sig.alias("simhash"))

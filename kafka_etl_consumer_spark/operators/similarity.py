@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both JVM-side (higher-order functions, no Python in the hot
+loop — functions/vectors.py):
+
+- ``cosine_topk``: brute-force exact top-k. The query set is broadcast
+  (it's small by definition); each executor scans its slice of the corpus
+  once and the per-query heap is the rank-filter. Cost O(|corpus|·|queries|)
+  — the right baseline, and at 100 TB still viable for small query batches
+  because it's a single broadcast-join pass with no shuffle of the corpus.
+- ``lsh_ann_topk``: random-hyperplane LSH. Deterministic hyperplanes
+  (md5-derived weights — reproducible in the DuckDB oracle), P sign bits →
+  bucket key; candidates = corpus rows sharing the query's bucket. Turns
+  the scan into an equi-join on bucket: corpus shuffles once by bucket
+  key (or is pre-bucketed at write time), each query touches ~|corpus|/2^P
+  rows. Recall is tunable via P and multi-probe; this is the scale path.
+
+Ranking is done on round(score, 6) with id tiebreak so ordering is
+reproducible across engines (doubles differ only below 1e-12; rounding
+removes the ulp noise from the ORDER BY).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.vectors import dot, l2_norm
+
+
+def plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane weight in [-1, 1) — the same
+    md5-based formula functions/hashing.hash64 uses, computable in SQL."""
+    h = int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[:15], 16)
+    return (h % 1000) / 500.0 - 1.0
+
+
+def plane_weight_sql(p_expr: str, d_expr: str) -> str:
+    h = f"CAST(('0x' || substr(md5({p_expr} || '_' || {d_expr}), 1, 15)) AS BIGINT)"
+    return f"(({h}) % 1000) / 500.0 - 1.0"
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query row. ``queries`` needs columns
+    (q_<id_col>, q_<vec_col>); self-matches are excluded by id.
+
+    Norms are precomputed per side (one O(d) pass per row) so each of the
+    |corpus|·|queries| pairs costs ONE dot product, not three — identical
+    doubles (same operands, multiplication is commutative)."""
+    c = corpus.withColumn("__cn", l2_norm(vec_col))
+    q = queries.withColumn("__qn", l2_norm(f"q_{vec_col}"))
+    joined = c.join(F.broadcast(q), F.col(f"q_{id_col}") != F.col(id_col)).select(
+        f"q_{id_col}",
+        id_col,
+        F.round(dot(f"q_{vec_col}", vec_col) / (F.col("__qn") * F.col("__cn")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(f"q_{id_col}").orderBy(F.col("score").desc(), F.col(id_col))
+    return joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold within a
+    blocking group (label / cluster / LSH bucket). Blocking is what keeps
+    this off the O(N²) cliff at scale — the self-join shuffles on
+    ``group_col`` and each group is quadratic only locally. Threshold is
+    applied to the ROUNDED score so the SQL oracle filter is identical."""
+    normed = df.select(group_col, id_col, vec_col).withColumn("__n", l2_norm(vec_col))
+    a = normed.select(
+        F.col(group_col),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = normed.select(
+        F.col(group_col),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    return (
+        a.join(b, [group_col])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot("__va", "__vb") / (F.col("__na") * F.col("__nb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def hyperplane_bucket(
+    df: DataFrame, vec_col: str = "embedding", planes: int = 8, dims: int = 64
+) -> DataFrame:
+    """Append ``bucket``: the P-char sign string of the vector against P
+    deterministic hyperplanes. Literal weight arrays keep everything in
+    whole-stage codegen (no UDF, no join against a planes table)."""
+    emb = F.col(vec_col).cast("array<double>")
+    sign_bits = []
+    for p in range(planes):
+        w = F.array(*[F.lit(plane_weight(p, d)) for d in range(dims)])
+        dot = F.aggregate(
+            F.zip_with(emb, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        sign_bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn("bucket", F.concat(*sign_bits))
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 8,
+    dims: int = 64,
+) -> DataFrame:
+    """ANN top-k: candidates share the query's hyperplane bucket, then
+    exact cosine + rank within candidates. Approximate by construction —
+    its oracle replicates the same bucketing, so results are deterministic."""
+    c = hyperplane_bucket(corpus, vec_col, planes, dims).withColumn(
+        "__cn", l2_norm(vec_col)
+    )
+    q = hyperplane_bucket(
+        queries.select(
+            F.col(f"q_{id_col}"), F.col(f"q_{vec_col}").alias(vec_col)
+        ),
+        vec_col,
+        planes,
+        dims,
+    ).select(
+        f"q_{id_col}",
+        F.col(vec_col).alias(f"q_{vec_col}"),
+        "bucket",
+        l2_norm(vec_col).alias("__qn"),
+    )
+    joined = c.join(F.broadcast(q), "bucket").filter(
+        F.col(f"q_{id_col}") != F.col(id_col)
+    ).select(
+        f"q_{id_col}",
+        id_col,
+        F.round(dot(f"q_{vec_col}", vec_col) / (F.col("__qn") * F.col("__cn")), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(f"q_{id_col}").orderBy(F.col("score").desc(), F.col(id_col))
+    return joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

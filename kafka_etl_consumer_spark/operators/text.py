@@ -1,0 +1,98 @@
+"""Text-analysis operators over document tables (training-data pipeline).
+
+All JVM-side built-ins (split/filter/aggregate/regexp) — whole-stage
+codegen, no Python — and every formula is reproducible in ANSI SQL so each
+operator carries a DuckDB oracle. At 100 TB these are narrow per-row maps:
+no shuffle, scale is linear and embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.hashing import hash64
+from kafka_etl_consumer_spark.functions.text import tokens
+
+# Marker stopwords per language for the n-gram/marker-voting language ID.
+# Deliberately tiny + fixed: the heuristic must be identically expressible
+# in SQL. (A production lang-id would be a fastText-style model behind a
+# pandas_udf — out of scope for the oracle-checked surface.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "in", "to", "is"),
+    "es": ("el", "la", "de", "y", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+}
+# Priority order for argmax ties (deterministic in both engines):
+LANG_PRIORITY = ("en", "es", "de", "fr")
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def _marker_hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tokens, n_chars, avg_token_len) — the basic length profile."""
+    toks = tokens(text_col)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.round(total_len.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality heuristic: length saturation × (1 - digit
+    ratio) × stopword presence. Same shape as Gopher/C4-style filters."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    digits = n_chars - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+    stop_hits = _marker_hits(toks, STOPWORDS)
+    digit_ratio = digits.cast("double") / n_chars
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    score = (
+        F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        * (1 - digit_ratio)
+        * (0.5 + 0.5 * F.least(F.lit(1.0), stop_ratio * 5))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-voting language ID: count marker-stopword hits per language,
+    argmax with fixed priority; 'und' when nothing matches."""
+    toks = tokens(text_col)
+    hits = {lang: _marker_hits(toks, m) for lang, m in LANG_MARKERS.items()}
+    best: Column = F.lit("und")
+    best_hits: Column = F.lit(0)
+    for lang in reversed(LANG_PRIORITY):  # earlier priority wins ties via >=
+        best = F.when(hits[lang] >= F.greatest(best_hits, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_hits = F.greatest(best_hits, hits[lang])
+    cols = [F.col(id_col)]
+    cols += [hits[lang].alias(f"hits_{lang}") for lang in LANG_PRIORITY]
+    cols.append(best.alias("guessed_lang"))
+    return df.select(*cols)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: md5 hex + 60-bit int of the normalized text."""
+    norm = F.lower(F.trim(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        hash64(norm).alias("fp64"),
+    )

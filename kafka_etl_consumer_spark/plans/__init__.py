@@ -1,3 +1,8 @@
-from kafka_etl_consumer_spark.plans.queries import ORACLES, QUERIES
+from kafka_etl_consumer_spark.plans.registry import ORACLES, QUERIES
+
+# importing the query modules populates the registry
+from kafka_etl_consumer_spark.plans import queries as _q  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_fn as _qf  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline as _qp  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

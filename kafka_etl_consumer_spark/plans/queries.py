@@ -25,32 +25,13 @@ codegen (no Python UDFs in this module at all).
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from textwrap import dedent
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_etl_consumer_spark.operators.joins import asof_join, range_join
-from kafka_etl_consumer_spark.sources.tables import load_table
+from kafka_etl_consumer_spark.plans.registry import ORACLES, QUERIES, _t, register
 
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-ORACLES: dict[str, str] = {}
-
-
-def register(name: str, oracle: str | None = None):
-    def deco(fn):
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = dedent(oracle).strip()
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return load_table(spark, sf_dir, name)
+__all__ = ["QUERIES", "ORACLES"]
 
 
 # ---------------------------------------------------------------------------

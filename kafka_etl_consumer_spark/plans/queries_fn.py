@@ -1,0 +1,285 @@
+"""Query surface batch 2: scalar-function coverage + event-time windows
+(SURVEY.md §2.2 rows: string/date/math/array/JSON functions, explode,
+tumbling/sliding/session windows).
+
+Window queries run the SAME ``window()``/``session_window()`` expressions
+batch-mode here (oracle-checkable) and streaming-mode in
+streaming/windows.py — Spark's unified API means one implementation serves
+both; tests/test_streaming.py proves the streaming side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           substr(c_name, 1, 8) AS name_prefix,
+           CAST(length(c_name) AS INT) AS name_len,
+           concat_ws('|', c_name, c_mktsegment) AS name_seg,
+           regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+           replace(c_name, 'Customer', 'Cust') AS name_short,
+           CAST(c_name LIKE 'Customer#00000000%' AS BOOLEAN) AS is_low_key
+    FROM customer
+    """,
+)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family over a single scan — pure narrow projection."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.expr("replace(c_name, 'Customer', 'Cust')").alias("name_short"),
+        F.col("c_name").like("Customer#00000000%").alias("is_low_key"),
+    )
+
+
+@register(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           date_trunc('month', o_orderdate) AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d/%H/%M') AS dir_path,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '1998-01-01') AS INT) AS days_to_98
+    FROM orders
+    """,
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family. ``dir_path`` reproduces the reference's
+    CONF_DATE_FORMAT directory string 'yyyy-MM-dd/HH/mm'
+    (KafkaETLParquetConsumerTestSkip.java:57 of the reference) as a column."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd/HH/mm").alias("dir_path"),
+        F.datediff(F.lit("1998-01-01").cast("timestamp"), F.col("o_orderdate")).alias(
+            "days_to_98"
+        ),
+    )
+
+
+@register(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity), 6) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           l_discount * l_discount AS disc_sq,
+           abs(l_discount - l_tax) AS disc_tax_gap,
+           ceil(l_quantity / 7) AS qty_ceil7,
+           floor(l_extendedprice / 1000) AS price_k,
+           l_linenumber % 3 AS line_mod3,
+           greatest(l_discount, l_tax) AS max_rate
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. sqrt is IEEE-correctly-rounded in both engines; ln can
+    differ by 1 ulp (JVM vs libm) so it is round(6)ed; squares use
+    multiplication, not pow (pow is not correctly rounded anywhere)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        (F.col("l_discount") * F.col("l_discount")).alias("disc_sq"),
+        F.abs(F.col("l_discount") - F.col("l_tax")).alias("disc_tax_gap"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        (F.col("l_linenumber") % 3).alias("line_mod3"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+    )
+
+
+@register(
+    "json_funcs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (events.props) + aggregation. At scale:
+    get_json_object is codegen'd JSON path evaluation — no UDF; for hot
+    columns, materialize once with from_json into a struct column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           round(sqrt(list_reduce(list_transform(embedding::DOUBLE[], x -> x * x),
+                                  (a, b) -> a + b)), 6) AS l2_norm,
+           round(list_reduce(embedding::DOUBLE[], (a, b) -> a + b)
+                 / len(embedding), 6) AS avg_val
+    FROM embeddings
+    WHERE vec_id % 10 = 0
+    """,
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order family over the embedding column — all inside
+    whole-stage codegen (functions/vectors.py)."""
+    from kafka_etl_consumer_spark.functions.vectors import as_double, l2_norm
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    emb = as_double("embedding")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda a, x: a + x) / F.size("embedding"), 6
+        ).alias("avg_val"),
+    )
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+    SELECT t AS token, count(*) AS n
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                    t -> len(t) > 0)) AS t
+          FROM documents)
+    GROUP BY t
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode + agg + top-k: the canonical token-count pipeline. At scale
+    the explode multiplies rows ~tokens-per-doc ×; partial aggregation
+    collapses them map-side before the single shuffle."""
+    from kafka_etl_consumer_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (batch mode of the streaming operators)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "win_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS ws,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window — identical expression works on a stream
+    with withWatermark (streaming/windows.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "win_sliding",
+    oracle="""
+    -- every event belongs to exactly two 30min/15min-slide windows:
+    -- the one starting at its 15-min bucket and the one 15 min earlier
+    SELECT ws, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM (
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS ws, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - INTERVAL '15 minutes' AS ws, value FROM events)
+    GROUP BY ws
+    """,
+)
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "win_session",
+    oracle="""
+    -- gaps-and-islands replica of session_window(ts, 30 min): a new session
+    -- starts when the gap is >= 30 min (Spark sessions cover [ts, ts+gap))
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, sess_id
+    """,
+)
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (30-min gap) per user — batch mode of the streaming
+    session operator; the oracle is the classic gaps-and-islands SQL."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value"
+        )
+    )

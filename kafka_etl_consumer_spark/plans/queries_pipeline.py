@@ -1,0 +1,362 @@
+"""Query surface batch 3: the training-data-pipeline operators (north-star
+extensions) — dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search (brute-force + LSH ANN), text
+analysis, and multimodal plumbing. Every deterministic operator carries a
+full DuckDB oracle that replicates the SAME algorithm (same md5-derived
+hashes, same band keys, same rank rules), so the driver's hash comparison
+is exact — no rows-only fallbacks needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.hashing import hash64_sql, minhash_coeffs
+from kafka_etl_consumer_spark.functions.text import tokens_sql, word_shingles_sql
+from kafka_etl_consumer_spark.operators import dedup as D
+from kafka_etl_consumer_spark.operators import multimodal as M
+from kafka_etl_consumer_spark.operators import similarity as S
+from kafka_etl_consumer_spark.operators import text as X
+from kafka_etl_consumer_spark.operators.text import LANG_MARKERS
+from kafka_etl_consumer_spark.plans.registry import _t, register
+from kafka_etl_consumer_spark.operators.similarity import plane_weight_sql
+
+_TOK = tokens_sql("text")
+_SH3 = word_shingles_sql("toks", 3)
+
+# shared CTE prefix: distinct (doc_id, 3-word-shingle) pairs
+_SH_CTES = f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({_SH3}) AS shingle FROM tok)"""
+
+
+def _in_list(markers: tuple[str, ...]) -> str:
+    return ", ".join(f"'{m}'" for m in markers)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_COEFF_VALUES = ", ".join(
+    f"({h}, {a}, {b})" for h, (a, b) in enumerate(minhash_coeffs(24))
+)
+
+
+@register(
+    "dedup_minhash",
+    oracle=_SH_CTES
+    + f""",
+    hb AS (SELECT doc_id, ({hash64_sql('shingle')} % 2147483647) AS base FROM sh),
+    hx AS (SELECT doc_id, hp.h AS h, min((base * hp.a + hp.b) % 2147483647) AS m
+           FROM hb CROSS JOIN (VALUES {_MINHASH_COEFF_VALUES}) AS hp(h, a, b)
+           GROUP BY doc_id, hp.h),
+    bk AS (SELECT doc_id,
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY h)
+                      || ',' || CAST(h // 3 AS VARCHAR)) AS band_key
+           FROM hx GROUP BY doc_id, h // 3),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT id_a, id_b, count(*) AS n_inter
+              FROM cand
+              JOIN sh a ON a.doc_id = id_a
+              JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
+              GROUP BY id_a, id_b)
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(24) + LSH(8 bands × 3 rows) near-dup pairs, Jaccard >= 0.5.
+    The oracle replicates the exact algorithm — same md5 hashes, same band
+    keys — so this approximate operator still gets an exact check."""
+    pairs = D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        num_hashes=24,
+        bands=8,
+        rows_per_band=3,
+        threshold=0.5,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_SH_CTES
+    + """,
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs 3-gram Jaccard >= 0.5 via inverted index — ground
+    truth for the LSH recall; quadratic, not the 100 TB path."""
+    pairs = D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SH_CTES
+    + f""",
+    hx AS (SELECT doc_id, {hash64_sql('shingle')} AS h FROM sh),
+    bits AS (SELECT doc_id, b,
+                    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM hx CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+             GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id)
+    SELECT doc_id, simhash,
+           CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size
+    FROM sig
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per doc + size of its exact-signature group (planted
+    near-dups collapse to identical signatures)."""
+    sig = D.simhash(_t(spark, sf_dir, "documents"), k=3, bits=32)
+    w = Window.partitionBy("simhash")
+    return sig.select("doc_id", "simhash", F.count("*").over(w).alias("group_size"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6) AS score
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb))
+                   * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within label blocks (cosine >= 0.4).
+    Label is the blocking key — the join shuffles once on it and the
+    quadratic cost is per-block, not global."""
+    return S.cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "round(list_dot_product(q_emb, e.emb)"
+    " / (sqrt(list_dot_product(q_emb, q_emb))"
+    " * sqrt(list_dot_product(e.emb, e.emb))), 6)"
+)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT vec_id AS q_vec_id, emb AS q_emb FROM e WHERE vec_id < 5),
+    s AS (SELECT q_vec_id, e.vec_id, {_COS} AS score
+          FROM q JOIN e ON e.vec_id <> q.q_vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                       ORDER BY score DESC, vec_id) AS rn
+          FROM s)
+    SELECT q_vec_id, vec_id, score FROM r WHERE rn <= 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 5 query vectors: broadcast the
+    queries, one corpus scan, rank-filter per query — the ANN baseline."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    return S.cosine_topk(e.select("vec_id", "embedding"), q, k=10)
+
+
+@register(
+    "sim_ann_lsh",
+    oracle=f"""
+    WITH planes AS (
+        SELECT p, list(w ORDER BY d) AS pw
+        FROM (SELECT pp.p AS p, dd.d AS d,
+                     {plane_weight_sql('CAST(pp.p AS VARCHAR)', 'CAST(dd.d AS VARCHAR)')} AS w
+              FROM (SELECT unnest(range(8)) AS p) pp
+              CROSS JOIN (SELECT unnest(range(64)) AS d) dd)
+        GROUP BY p),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    buck AS (SELECT vec_id,
+                    string_agg(CASE WHEN list_dot_product(emb, pw) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+             FROM emb CROSS JOIN planes GROUP BY vec_id),
+    e AS (SELECT emb.vec_id, emb.emb, buck.bucket FROM emb JOIN buck USING (vec_id)),
+    q AS (SELECT vec_id AS q_vec_id, emb AS q_emb, bucket FROM e WHERE vec_id < 5),
+    s AS (SELECT q_vec_id, e.vec_id, {_COS} AS score
+          FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.q_vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                       ORDER BY score DESC, vec_id) AS rn
+          FROM s)
+    SELECT q_vec_id, vec_id, score FROM r WHERE rn <= 10
+    """,
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 via 8 deterministic random-hyperplane sign bits: corpus
+    joins queries on bucket equality (≈1/256 of the corpus per query) —
+    the scale path; the oracle replicates the identical hyperplanes."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    return S.lsh_ann_topk(e.select("vec_id", "embedding"), q, k=10, planes=8, dims=64)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars,
+           round(CAST(list_reduce(list_transform(toks, t -> len(t)),
+                                  (a, b) -> a + b) AS DOUBLE) / len(toks), 6)
+               AS avg_token_len
+    FROM tok
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS toks FROM documents),
+    raw AS (SELECT doc_id, len(toks) AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS DOUBLE) / length(text) AS draw,
+                   CAST(len(list_filter(toks,
+                            t -> t IN ({_in_list(X.STOPWORDS)}))) AS DOUBLE)
+                        / len(toks) AS sraw
+            FROM tok)
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           round(draw, 6) AS digit_ratio,
+           round(sraw, 6) AS stopword_ratio,
+           round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                 * (1 - draw) * (0.5 + 0.5 * least(1.0, sraw * 5)), 6) AS quality
+    FROM raw
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    hits AS (SELECT doc_id,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(LANG_MARKERS['en'])}))) AS INT) AS hits_en,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(LANG_MARKERS['es'])}))) AS INT) AS hits_es,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(LANG_MARKERS['de'])}))) AS INT) AS hits_de,
+        CAST(len(list_filter(toks, t -> t IN ({_in_list(LANG_MARKERS['fr'])}))) AS INT) AS hits_fr
+        FROM tok)
+    SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+           CASE WHEN hits_en >= greatest(hits_es, hits_de, hits_fr) AND hits_en > 0 THEN 'en'
+                WHEN hits_es >= greatest(hits_de, hits_fr) AND hits_es > 0 THEN 'es'
+                WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+                WHEN hits_fr > 0 THEN 'fr'
+                ELSE 'und' END AS guessed_lang
+    FROM hits
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS fp_md5,
+           {hash64_sql('lower(trim(text))')} AS fp64
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(n % 640 + 1 AS BIGINT) AS width,
+           CAST((n * 7) % 480 + 1 AS BIGINT) AS height,
+           CAST(n % 3 + 1 AS BIGINT) AS channels
+    FROM b
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → metadata struct through a REAL Arrow-batched
+    mapInPandas decode stage (deterministic fake header math — the decode
+    library is stubbed, the Spark plumbing is the thing under test)."""
+    docs = M.attach_binary(_t(spark, sf_dir, "documents"))
+    return M.decode_image_meta(docs)
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, frame_idx, frame_idx * 64 AS offset
+    FROM (SELECT doc_id, unnest(range(0, (n + 63) // 64)) AS frame_idx FROM b)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per 64-byte stride of each binary
+    (stand-in for keyframe offsets) via mapInPandas flat-map."""
+    docs = M.attach_binary(_t(spark, sf_dir, "documents"))
+    return M.sample_frames(docs, every_n_bytes=64)

@@ -1,0 +1,100 @@
+"""Event-time streaming operators — what the reference could NOT do.
+
+The reference buckets records by wall clock at writer-open time
+(ETLTask.java:164-167 in the reference): a late event lands in whatever
+directory is open when it ARRIVES, not where its event time belongs
+(SURVEY.md §2.2 'streaming' rows). These operators fix that with event-time
+windows + watermarks; the same window expressions also run batch-mode in
+plans/queries_fn.py where the DuckDB oracles verify them.
+
+All helpers return transformed DataFrames (streaming or batch — Spark's
+unified API); the caller owns the sink. Late-data policy: rows older than
+``watermark`` behind the max seen event time are dropped from stateful
+aggregations (append mode emits a window only once it's final).
+
+Scale: streaming state lives in the state store keyed by (group, window);
+watermarks bound its size. Shuffle is on the group+window key — identical
+partitioning story to the batch aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_event_time(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    return df.withWatermark(ts_col, watermark) if watermark else df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: list[Column],
+    group_cols: list[str] | None = None,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    d = with_event_time(df, ts_col, watermark)
+    return (
+        d.groupBy(*(group_cols or []), F.window(ts_col, duration).alias("w"))
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: list[Column],
+    group_cols: list[str] | None = None,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    d = with_event_time(df, ts_col, watermark)
+    return (
+        d.groupBy(*(group_cols or []), F.window(ts_col, duration, slide).alias("w"))
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .withColumn("window_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: list[Column],
+    group_cols: list[str] | None = None,
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Session windows (dynamic length, closed after ``gap`` of silence).
+    Streaming session windows REQUIRE a watermark — state must be evictable."""
+    d = with_event_time(df, ts_col, watermark)
+    return (
+        d.groupBy(*(group_cols or []), F.session_window(ts_col, gap).alias("w"))
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful exact dedup on a stream.
+
+    With ``ts_col``: dropDuplicatesWithinWatermark — state for a key is
+    dropped once the watermark passes it (bounded state, the 100 TB/day
+    posture). Without: unbounded-state dropDuplicates (exact-forever)."""
+    if ts_col is None:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

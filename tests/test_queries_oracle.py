@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from kafka_etl_consumer_spark.plans.queries import ORACLES, QUERIES
+from kafka_etl_consumer_spark.plans import ORACLES, QUERIES
 from tests.oracle_util import compare, duckdb_connection
 
 

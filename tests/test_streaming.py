@@ -1,0 +1,130 @@
+"""Streaming semantics tests: event-time windows + watermark late-data
+policy + stateful dedup, driven through real StreamingQuery objects on a
+file source (one staged file per micro-batch via maxFilesPerTrigger)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_etl_consumer_spark.streaming.windows import (
+    session_agg,
+    streaming_dedup,
+    tumbling_agg,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+
+def _rows(*specs):
+    return [
+        Row(event_id=i, ts=T0 + dt.timedelta(minutes=m), user_id=u, value=float(v))
+        for (i, m, u, v) in specs
+    ]
+
+
+def _stage(spark, path, rows, n=1):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_tumbling_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumbling agg: a row arriving behind the watermark is
+    dropped — the event-time-correct behavior the reference lacks
+    (it would land the late row in the currently-open directory)."""
+    src = str(tmp_path / "src")
+    # batch 1: two rows in the 10:00 window
+    _stage(spark, src, _rows((1, 1, 1, 1.0), (2, 2, 1, 1.0)))
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = tumbling_agg(
+        stream, "ts", "5 minutes", [F.count("*").alias("n")], watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbling_wm")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: jump event time +60min → watermark passes the 10:00 window
+        _stage(spark, src, _rows((3, 60, 1, 1.0)))
+        q.processAllAvailable()
+        # batch 3: LATE row for the (already finalized) 10:00 window + fresh row
+        _stage(spark, src, _rows((4, 3, 1, 99.0), (5, 61, 1, 1.0)))
+        q.processAllAvailable()
+        # batch 4: advance further so the 11:00 window finalizes too
+        _stage(spark, src, _rows((6, 180, 1, 1.0)))
+        q.processAllAvailable()
+        got = {
+            r.window_start: r.n for r in spark.sql("SELECT * FROM tumbling_wm").collect()
+        }
+    finally:
+        q.stop()
+    # the 10:00-10:05 window must have exactly 2 events: the late row (id=4)
+    # was dropped, NOT counted
+    assert got[T0 + dt.timedelta(minutes=0)] == 2
+    # events 3 (+60min) and 5 (+61min) share the [11:00,11:05) window
+    assert got[T0 + dt.timedelta(minutes=60)] == 2
+
+
+def test_streaming_session_window(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # user 1: events at +0,+10 (one session), +90 (new session)
+    _stage(spark, src, _rows((1, 0, 1, 1.0), (2, 10, 1, 1.0), (3, 90, 1, 1.0)))
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = session_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        [F.count("*").alias("n")],
+        group_cols=["user_id"],
+        watermark="10 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sessions ORDER BY session_start").collect()
+    finally:
+        q.stop()
+    assert [(r.session_start, r.n) for r in rows] == [
+        (T0, 2),
+        (T0 + dt.timedelta(minutes=90), 1),
+    ]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # duplicate event_ids within the watermark window
+    _stage(
+        spark,
+        src,
+        _rows((1, 0, 1, 1.0), (1, 1, 1, 1.0), (2, 2, 1, 1.0), (2, 2, 1, 1.0), (3, 3, 2, 5.0)),
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming_dedup(stream, ["event_id"], ts_col="ts", watermark="30 minutes")
+    q = out.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(DISTINCT event_id) AS n, count(*) AS total FROM dedup").first()
+    finally:
+        q.stop()
+    assert (n.n, n.total) == (3, 3)
