@@ -29,6 +29,11 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q18_large_volume",
+    "stats_agg",
+    "win_ntile_dist",
     "filter_project",
     "agg_distinct",
     "join_asof",
@@ -60,9 +65,19 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    run("flagship_event_rollup")  # JVM/codegen warmup, untimed
+    def run_steady(name: str) -> float:
+        # min of 2: the first run pays one-time whole-stage-codegen JIT
+        # compile (measured 0.3-4s/query, constant regardless of data
+        # volume); the min reflects the per-data throughput that scales.
+        return min(run(name), run(name))
 
-    times = {name: round(run(name), 3) for name in HEADLINE}
+    # Untimed warmup: one JVM/codegen query + one Arrow/mapInPandas query
+    # (spawns the reusable Python worker pool) so timings reflect steady
+    # state, not one-time process startup.
+    run("flagship_event_rollup")
+    run("multimodal_meta")
+
+    times = {name: round(run_steady(name), 3) for name in HEADLINE}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
