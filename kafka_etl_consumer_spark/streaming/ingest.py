@@ -192,17 +192,32 @@ def encode_avro(df: DataFrame, avsc: str, value_col: str = "value") -> DataFrame
 _JAVA_TO_SPARK_FMT = {}  # SimpleDateFormat and Spark patterns agree for y/M/d/H/m
 
 
-def partition_columns(date_format: str = "yyyy-MM-dd/HH/mm") -> list[tuple[str, Column]]:
+def partition_columns(
+    date_format: str = "yyyy-MM-dd/HH/mm", event_time_col: str | Column | None = None
+) -> list[tuple[str, Column]]:
     """Reference CONF_DATE_FORMAT → one partition column per path segment.
 
-    The reference freezes the date string at writer-open time, i.e.
-    processing time (ETLTask.java:160-167); ``current_timestamp()`` is
+    Default (processing time): the reference freezes the date string at
+    writer-open time (ETLTask.java:160-167); ``current_timestamp()`` is
     likewise evaluated once per micro-batch. Each '/'-separated segment
     becomes its own partition column (dt0, dt1, ...) so the Hive layout
-    reproduces the directory depth and stays partition-prunable."""
+    reproduces the directory depth and stays partition-prunable.
+
+    ``event_time_col``: partition by the EVENT's own timestamp instead —
+    the option the reference lacks (its late events land in whichever
+    directory is open at arrival, §2.2 of SURVEY.md). This is what
+    downstream time-range queries want: partition pruning then prunes by
+    event time, and late data lands in its correct partition (at the cost
+    of appending to already-"closed" directories — readers must tolerate
+    late files or gate on watermark commit)."""
     segs = date_format.split("/")
-    now = F.current_timestamp()
-    return [(f"dt{i}", F.date_format(now, seg)) for i, seg in enumerate(segs)]
+    if event_time_col is None:
+        ts = F.current_timestamp()
+    elif isinstance(event_time_col, str):
+        ts = F.col(event_time_col)
+    else:  # a Column, e.g. timestamp_millis(col("baseProperties.timestamp"))
+        ts = event_time_col
+    return [(f"dt{i}", F.date_format(ts, seg)) for i, seg in enumerate(segs)]
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +235,7 @@ def ingest(
     date_format: str = "yyyy-MM-dd/HH/mm",
     layout: str = "reference",
     mode: str = "FAILFAST",
+    event_time_col: str | Column | None = None,
 ) -> list[StreamingQuery]:
     """Start one streaming query per topic: filter → Avro-decode →
     date-partitioned Snappy Parquet under ``<output_path>/<topic>/...``.
@@ -236,7 +252,10 @@ def ingest(
       the reference's directory contract (README.md:14-26 of the reference).
     - ``"hive"`` — ``partitionBy(dt0, dt1, ...)`` key=value directories:
       partition-prunable by Spark/Hive/Trino readers; preferred for new
-      deployments.
+      deployments. With ``event_time_col`` (a decoded column name, e.g. an
+      epoch-millis field via ``timestamp_millis``), partitions derive from
+      EVENT time instead of processing time — late rows land in their
+      correct partition (partition_columns docstring has the trade-off).
 
     One query per topic (not one query demuxing to N sinks): each topic has
     its own schema, checkpoint, and backpressure, and Spark schedules the
@@ -245,6 +264,8 @@ def ingest(
     """
     if layout not in ("reference", "hive"):
         raise ValueError(f"layout must be reference|hive, got {layout!r}")
+    if event_time_col is not None and layout != "hive":
+        raise ValueError("event_time_col requires layout='hive'")
     queries: list[StreamingQuery] = []
     for topic in topics:
         avsc = registry.avsc(topic)
@@ -254,7 +275,7 @@ def ingest(
         ckpt = f"{checkpoint_path}/{topic}"
 
         if layout == "hive":
-            part_cols = partition_columns(date_format)
+            part_cols = partition_columns(date_format, event_time_col)
             out = decoded
             for name, col in part_cols:
                 out = out.withColumn(name, col)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def with_event_time(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
@@ -98,3 +99,53 @@ def streaming_dedup(
     if ts_col is None:
         return df.dropDuplicates(keys)
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_totals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUSTOM stateful operator via ``applyInPandasWithState``: per-key
+    lifetime (n_events, total_value) maintained in the state store and
+    re-emitted every micro-batch the key appears in — the arbitrary-state
+    surface for operators that windowed aggs can't express (counters,
+    online models, custom sessionization).
+
+    State is one (long, double) pair per key — O(#keys) regardless of
+    event volume; shuffle is on ``key_col`` only. NoTimeout keeps keys
+    forever (a lifetime counter); bound state for churning key spaces with
+    ``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``
+    and drop the key on ``state.hasTimedOut``."""
+    import pandas as pd  # local import: streaming module stays light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return (
+        df.select(F.col(key_col), F.col(value_col))
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -140,3 +140,64 @@ def test_ingest_streaming_roundtrip(spark, tmp_path, layout):
         (r["itemId"], r["price"], r["baseProperties"]["uid"]) for r in item_view_events(10)
     )
     assert got == want
+
+
+def test_ingest_event_time_partitioning(spark, tmp_path):
+    """hive layout + event_time_col: directories derive from the EVENT's
+    own timestamp (fixtures pin baseProperties.timestamp), not wall clock —
+    the late-data-correct option the reference lacks (SURVEY.md §2.2)."""
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+    _encoded_events_df(spark).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(ENVELOPE).parquet(src_dir)
+    reg = DictSchemaRegistry({ITEM_VIEW_EVENT_TOPIC: ITEM_VIEW_EVENT_AVSC})
+    queries = ingest(
+        stream,
+        reg,
+        out_dir,
+        topics=[ITEM_VIEW_EVENT_TOPIC],
+        checkpoint_path=ckpt_dir,
+        layout="hive",
+        date_format="yyyy-MM-dd/HH",
+        event_time_col=F.timestamp_millis(F.col("baseProperties.timestamp")),
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+
+    import datetime as dt
+
+    from kafka_etl_consumer_spark.fixtures import item_view_events
+
+    ts = item_view_events(1)[0]["baseProperties"]["timestamp"] / 1000
+    expect_day = dt.datetime.fromtimestamp(ts, dt.timezone.utc).strftime("%Y-%m-%d")
+    target = f"{out_dir}/{ITEM_VIEW_EVENT_TOPIC}"
+    files = glob.glob(f"{target}/**/*.parquet", recursive=True)
+    assert files
+    # every file sits under dt0=<event day>, regardless of today's date
+    assert all(f"dt0={expect_day}" in f for f in files), files[:2]
+    # partition pruning works on the event-time directories
+    back = spark.read.parquet(target).filter(F.col("dt0") == expect_day)
+    assert back.count() == 10
+
+
+def test_event_time_requires_hive_layout(spark):
+    stream_like = spark.range(1).select(
+        F.lit("t").alias("topic"), F.lit(b"x").alias("value")
+    )
+    reg = DictSchemaRegistry({ITEM_VIEW_EVENT_TOPIC: ITEM_VIEW_EVENT_AVSC})
+    with pytest.raises(ValueError):
+        ingest(
+            stream_like,
+            reg,
+            "/tmp/x",
+            topics=[ITEM_VIEW_EVENT_TOPIC],
+            checkpoint_path="/tmp/c",
+            layout="reference",
+            event_time_col="ts",
+        )
