@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the 100 TB posture is only real if the
+plans keep their shape. These assert the optimizer artifacts the engine's
+docstrings promise — predicate pushdown into the parquet scan, column
+pruning, broadcast joins for bounded dims, TakeOrderedAndProject for top-k,
+whole-stage codegen on hot paths — so a refactor that silently degrades a
+plan (e.g. a filter that stops pushing down) fails CI, not a cluster run."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_etl_consumer_spark.plans import QUERIES
+
+
+def _plan(spark, sf_dir, name, mode="formatted"):
+    df = QUERIES[name](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    # all three predicates reach the reader
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan
+    assert "LessThan(l_quantity,25.0)" in plan
+    # only the 4 referenced columns are read
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    # no sort-merge join at this scale: every join is broadcast or AQE-planned
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    for name in ("sort_topk", "q3_shipping_priority", "q10_returned_items"):
+        plan = _plan(spark, sf_dir, name, mode="simple")
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_rank_filter_pushes_window_group_limit(spark, sf_dir):
+    # Spark 3.5+: rn<=k is pushed into the window sort itself
+    plan = _plan(spark, sf_dir, "win_rank_topk", mode="simple")
+    assert "WindowGroupLimit" in plan
+
+
+def test_filter_project_stays_in_codegen(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "filter_project")
+    assert "codegen id" in plan  # filter+project fused into one codegen stage
+    # no Python evaluation node anywhere in the relational surface
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_minhash_no_cartesian(spark, sf_dir):
+    # the LSH band join must be an equi-join on band_key, never a
+    # cartesian/broadcast-nested-loop explosion
+    plan = _plan(spark, sf_dir, "dedup_minhash", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_anti_plan_as_semi_anti(spark, sf_dir):
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_semi", mode="simple")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti", mode="simple")
+
+
+def test_partition_filter_prunes(spark, tmp_path, sf_dir):
+    # partition pruning on a partitioned write: the scan's PartitionFilters
+    # carry the predicate, so non-matching directories are never listed
+    from pyspark.sql import functions as F
+
+    from kafka_etl_consumer_spark.sources.scan import scan_parquet, write_parquet
+
+    out = str(tmp_path / "nation_by_region")
+    write_parquet(scan_parquet(spark, f"{sf_dir}/nation.parquet"), out,
+                  partition_by=["n_regionkey"])
+    df = spark.read.parquet(out).filter(F.col("n_regionkey") == 2)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(jmode)
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "n_regionkey" in pf
