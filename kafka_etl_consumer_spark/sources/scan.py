@@ -63,15 +63,23 @@ def scan_json(
     return reader.json(path)
 
 
-def scan_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro object-container-file scan — requires the spark-avro package."""
+def scan_avro(spark: SparkSession, path: str, avsc: str | dict | None = None) -> DataFrame:
+    """Avro object-container-file scan.
+
+    Prefers spark-avro (JVM, splittable, codegen); without it on the
+    classpath, falls back to the pure-Python OCF reader (avro_ocf.py) —
+    which then REQUIRES an explicit reader schema ``avsc``."""
     try:
         return spark.read.format("avro").load(path)
-    except Exception as ex:  # pragma: no cover - depends on classpath
-        raise RuntimeError(
-            "spark-avro is not on the classpath; for raw Avro message decode "
-            "use streaming.ingest.decode_avro (pure-Python codec)"
-        ) from ex
+    except Exception as ex:
+        if avsc is None:
+            raise RuntimeError(
+                "spark-avro is not on the classpath; pass avsc= to use the "
+                "pure-Python OCF reader (kafka_etl_consumer_spark.avro_ocf)"
+            ) from ex
+        from kafka_etl_consumer_spark.avro_ocf import scan_avro_py
+
+        return scan_avro_py(spark, path, avsc)
 
 
 def write_parquet(
