@@ -526,3 +526,24 @@ def union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lhs.unionByName(rhs).groupBy("custkey").agg(
         F.count("*").alias("n_appearances")
     )
+
+
+@register(
+    "dedup_apply_exact",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+    """,
+)
+def dedup_apply_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the DEDUPLICATED corpus (dedup_exact lists the groups;
+    this applies them): keeper = min(doc_id) per content fingerprint, then a
+    left-semi join back. Two shuffles (agg on fingerprint, semi-join on
+    doc_id) but never a wide sort — at 100 TB both shuffles carry only
+    (hash, id) pairs, not the documents."""
+    d = _t(spark, sf_dir, "documents")
+    keep = d.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+    return d.join(keep.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
