@@ -31,6 +31,7 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
     "q18_large_volume",
     "stats_agg",
     "win_ntile_dist",

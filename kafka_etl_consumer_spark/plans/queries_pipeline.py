@@ -360,3 +360,38 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stand-in for keyframe offsets) via mapInPandas flat-map."""
     docs = M.attach_binary(_t(spark, sf_dir, "documents"))
     return M.sample_frames(docs, every_n_bytes=64)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+    WITH planes AS (
+        SELECT p, list(w ORDER BY d) AS pw
+        FROM (SELECT pp.p AS p, dd.d AS d,
+                     {plane_weight_sql('CAST(pp.p AS VARCHAR)', 'CAST(dd.d AS VARCHAR)')} AS w
+              FROM (SELECT unnest(range(8)) AS p) pp
+              CROSS JOIN (SELECT unnest(range(64)) AS d) dd)
+        GROUP BY p),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    buck AS (SELECT vec_id,
+                    string_agg(CASE WHEN list_dot_product(emb, pw) >= 0
+                               THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+             FROM emb CROSS JOIN planes GROUP BY vec_id),
+    e AS (SELECT emb.vec_id, emb.emb, buck.bucket FROM emb JOIN buck USING (vec_id)),
+    s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_dot_product(a.emb, b.emb)
+                       / (sqrt(list_dot_product(a.emb, a.emb))
+                          * sqrt(list_dot_product(b.emb, b.emb))), 6) AS score
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, score FROM s WHERE score >= 0.4
+    """,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by the 8-bit hyperplane LSH bucket
+    instead of a label column — the self-contained scale path (no metadata
+    needed): one shuffle on the bucket key, quadratic only within ~1/256
+    slices of the corpus, and near-identical vectors land in the same
+    bucket with high probability (they agree with most hyperplanes)."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = S.hyperplane_bucket(e, planes=8, dims=64)
+    return S.cosine_pairs(b, threshold=0.4, group_col="bucket").drop("bucket")
