@@ -396,3 +396,37 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     b = S.hyperplane_bucket(e, planes=8, dims=64)
     return S.cosine_pairs_blas(b, threshold=0.4, group_col="bucket")
+
+
+@register(
+    "sketch_distinct_theta",
+    oracle=f"""
+    WITH kept AS (
+        SELECT event_type, user_id
+        FROM events
+        WHERE {hash64_sql('CAST(user_id AS VARCHAR)')} < 4503599627370496),
+    est AS (SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS DOUBLE) * 256.0 AS est_distinct
+            FROM kept GROUP BY event_type)
+    SELECT e.event_type, est.est_distinct, e.exact_distinct
+    FROM (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+          FROM events GROUP BY event_type) e
+    LEFT JOIN est USING (event_type)
+    """,
+)
+def sketch_distinct_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """θ-sketch distinct users per event type, side-by-side with the exact
+    count. The sketch's distinct-shuffle carries only ~1/256 of the values
+    (hash-threshold filter BEFORE the shuffle) — the audit-friendly
+    deterministic alternative to approx_count_distinct; 4503599627370496 =
+    2^60/256 (operators/sketch.py)."""
+    from kafka_etl_consumer_spark.operators.sketch import theta_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = theta_distinct(ev, "user_id", group_cols=["event_type"], scale=256)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(est, "event_type", "left").select(
+        "event_type", "est_distinct", "exact_distinct"
+    )
