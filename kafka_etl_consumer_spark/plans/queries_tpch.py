@@ -645,3 +645,21 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("n_custs"))
+
+
+@register(
+    "join_theta",
+    oracle="""
+    SELECT n_name, r_name
+    FROM nation JOIN region ON n_regionkey < r_regionkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE non-equi (theta) join — no equi key at all. This can only plan
+    as a nested-loop; it is acceptable ONLY because one side is a bounded
+    dim (broadcast → BroadcastNestedLoopJoin, no shuffle). With two large
+    sides, first derive an equi key (banding/bucketing, see range_join) —
+    a large×large theta join is a 100 TB cartesian and always a bug."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey < r.r_regionkey).select("n_name", "r_name")
