@@ -1,3 +1,57 @@
 from kafka_etl_consumer_spark.operators.joins import asof_join, range_join
+from kafka_etl_consumer_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_arrays,
+    simhash,
+)
+from kafka_etl_consumer_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_pairs_blas,
+    cosine_topk,
+    hyperplane_bucket,
+    lsh_ann_topk,
+)
+from kafka_etl_consumer_spark.operators.skew import salted_agg, salted_join
+from kafka_etl_consumer_spark.operators.sketch import theta_distinct
+from kafka_etl_consumer_spark.operators.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)
+from kafka_etl_consumer_spark.operators.multimodal import (
+    attach_binary,
+    decode_image_meta,
+    decode_image_pixels,
+    sample_frames,
+)
 
-__all__ = ["asof_join", "range_join"]
+__all__ = [
+    "asof_join",
+    "range_join",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "shingle_arrays",
+    "simhash",
+    "cosine_pairs",
+    "cosine_pairs_blas",
+    "cosine_topk",
+    "hyperplane_bucket",
+    "lsh_ann_topk",
+    "salted_agg",
+    "salted_join",
+    "theta_distinct",
+    "fingerprint",
+    "lang_id",
+    "quality_score",
+    "token_stats",
+    "attach_binary",
+    "decode_image_meta",
+    "decode_image_pixels",
+    "sample_frames",
+]
