@@ -87,6 +87,57 @@ def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
     )
 
 
+def resize_images(df: DataFrame, width: int, height: int, media_col: str = "media") -> DataFrame:
+    """Real pixel resize — imaging library required (stub, like
+    decode_image_pixels). The production shape: mapInPandas batch of
+    binaries → decode → resize → re-encode, one worker pass, no shuffle."""
+    raise NotImplementedError(
+        "pixel resize requires PIL/pyvips (not in this container); "
+        "wire it into a mapInPandas stage shaped like extract_audio_features"
+    )
+
+
+_AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Feature-extract plumbing for audio-shaped binaries: interpret the
+    payload as signed 8-bit PCM and compute RMS / zero-crossing count /
+    peak — REAL numpy computation per Arrow batch (a production pipeline
+    swaps the PCM interpretation for a soundfile/ffmpeg decode; the batch
+    shape, schema, and partition parallelism are identical). Narrow map,
+    no shuffle; memory bounded by arrow batch size × max payload."""
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rms, zc, peak = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[media_col]):
+                x = np.frombuffer(bytes(payload), dtype=np.int8).astype(np.float64)
+                n = len(x)
+                ids.append(i)
+                ns.append(n)
+                rms.append(float(np.sqrt((x * x).mean())) if n else 0.0)
+                zc.append(int(((x[:-1] * x[1:]) < 0).sum()) if n > 1 else 0)
+                peak.append(int(np.abs(x).max()) if n else 0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_samples": ns, "rms": rms,
+                 "zero_crossings": zc, "peak": peak}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(feats, _AUDIO_FEAT_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, media_col: str = "media", id_col: str = "doc_id", every_n_bytes: int = 64
 ) -> DataFrame:
