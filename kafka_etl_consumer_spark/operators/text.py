@@ -96,3 +96,26 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("fp_md5"),
         hash64(norm).alias("fp64"),
     )
+
+
+# Simplified GPT-2-style pretokenizer: contractions, letter runs, digit
+# runs, punctuation runs — each optionally preceded by one space. Plain
+# alternation only (no lookarounds), so Java regex (Spark) and RE2
+# (DuckDB) agree token-for-token.
+BPE_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_ws_tokens, n_bpe_tokens, bpe_per_ws) — whitespace vs BPE-ish
+    token counts. The BPE-ish count is the budget proxy training pipelines
+    filter on (~tokens-per-document); the ratio flags punctuation/digit-
+    heavy documents that explode under subword tokenization. Narrow map,
+    regexp in codegen, no shuffle."""
+    toks = tokens(text_col)
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.round(F.size(bpe).cast("double") / F.size(toks), 6).alias("bpe_per_ws"),
+    )

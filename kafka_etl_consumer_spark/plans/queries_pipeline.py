@@ -430,3 +430,25 @@ def sketch_distinct_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "event_type", "left").select(
         "event_type", "est_distinct", "exact_distinct"
     )
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOK} AS toks FROM documents),
+    b AS (SELECT doc_id, toks,
+                 regexp_extract_all(text, '{X.BPE_PATTERN.replace("'", "''")}') AS bpe
+          FROM tok)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_ws_tokens,
+           CAST(len(bpe) AS INT) AS n_bpe_tokens,
+           round(CAST(len(bpe) AS DOUBLE) / len(toks), 6) AS bpe_per_ws
+    FROM b
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish (GPT-2-style pretokenizer regex) token counts
+    per document — the token-budget proxy for training-data pipelines
+    (operators/text.py bpe_token_count; plain-alternation regex keeps Java
+    and RE2 engines token-identical)."""
+    return X.bpe_token_count(_t(spark, sf_dir, "documents"))
