@@ -26,8 +26,12 @@ from kafka_etl_consumer_spark.operators.multimodal import (
     attach_binary,
     decode_image_meta,
     decode_image_pixels,
+    extract_audio_features,
+    resize_images,
     sample_frames,
 )
+from kafka_etl_consumer_spark.operators.rollup import refresh_rollup, time_bucket
+from kafka_etl_consumer_spark.operators.text import bpe_token_count
 
 __all__ = [
     "asof_join",
@@ -51,6 +55,11 @@ __all__ = [
     "quality_score",
     "token_stats",
     "attach_binary",
+    "extract_audio_features",
+    "resize_images",
+    "refresh_rollup",
+    "time_bucket",
+    "bpe_token_count",
     "decode_image_meta",
     "decode_image_pixels",
     "sample_frames",
