@@ -10,7 +10,7 @@ both; tests/test_streaming.py proves the streaming side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_etl_consumer_spark.plans.registry import _t, register
@@ -282,4 +282,72 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value"
         )
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 900 PRECEDING AND CURRENT ROW), 4) AS trailing_15m,
+           CAST(count(*) OVER (
+               PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 900 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_15m
+    FROM events
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed by TIME, not row count: each event's trailing
+    15-minute sum/count per user. Unlike a rows-frame, co-timestamped
+    events share one frame and gaps shrink it — the semantics monitoring
+    queries actually want. One shuffle on user_id serves both exprs; the
+    frame is evaluated with a sliding two-pointer over the sorted
+    partition (no per-row rescan)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-900, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("trailing_15m"),
+        F.count("*").over(w).alias("n_15m"),
+    )
+
+
+@register(
+    "null_semantics",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n,
+           count(nullif(l_returnflag, 'N')) AS n_flagged,
+           CAST(sum(CASE WHEN nullif(l_returnflag, 'N')
+                              IS NOT DISTINCT FROM nullif(l_linestatus, 'O')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+           coalesce(max(nullif(l_returnflag, 'N')), 'none') AS max_flag
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling corner: nullif manufactures NULLs, count() skips them,
+    eqNullSafe (IS NOT DISTINCT FROM) treats NULL=NULL as true where plain
+    `=` yields NULL, coalesce restores a default. Same single-shuffle hash
+    agg as any groupBy — null semantics are free, getting them identical
+    across engines is the point."""
+    li = _t(spark, sf_dir, "lineitem")
+    nf = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    nl = F.nullif(F.col("l_linestatus"), F.lit("O"))
+    return li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.count(nf).alias("n_flagged"),
+        F.sum(F.when(nf.eqNullSafe(nl), 1).otherwise(0)).cast("bigint").alias(
+            "n_nullsafe_eq"
+        ),
+        F.coalesce(F.max(nf), F.lit("none")).alias("max_flag"),
     )
