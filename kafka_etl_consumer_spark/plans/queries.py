@@ -491,3 +491,34 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
         tiebreakers=["o_orderkey"], direction="backward", how="left",
     )
+
+
+_BAG_L = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000"
+_BAG_R = "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+
+
+def _bag_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = _t(spark, sf_dir, "orders")
+    lhs = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    rhs = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return lhs, rhs
+
+
+@register("set_intersect_all", oracle=f"{_BAG_L} INTERSECT ALL {_BAG_R}")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection (min multiplicity per value) — both engines
+    plan it as a counted anti-semi variant, one shuffle per side; rows
+    keep their duplicity, unlike INTERSECT's implicit distinct."""
+    lhs, rhs = _bag_sides(spark, sf_dir)
+    return lhs.intersectAll(rhs)
+
+
+@register("set_except_all", oracle=f"{_BAG_L} EXCEPT ALL {_BAG_R}")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (multiplicities subtract)."""
+    lhs, rhs = _bag_sides(spark, sf_dir)
+    return lhs.exceptAll(rhs)
