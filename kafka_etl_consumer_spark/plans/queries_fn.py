@@ -351,3 +351,35 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.coalesce(F.max(nf), F.lit("none")).alias("max_flag"),
     )
+
+
+@register(
+    "width_bucket_hist",
+    oracle="""
+    -- width_bucket replica (DuckDB lacks it): floor((x-lo)/((hi-lo)/n))+1,
+    -- clamped to 0 / n+1 — the exact double arithmetic Spark's WidthBucket
+    -- evaluates, so boundary rounding agrees bit-for-bit
+    SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                     WHEN o_totalprice >= 600000 THEN 13
+                     ELSE floor((o_totalprice - 0) / ((600000.0 - 0.0) / 12)) + 1
+                END AS INT) AS bucket,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def width_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket — the single-pass binning
+    primitive (vs ntile's rank-based quartiles, which need a sort). One
+    hash-agg on the bucket id; at 100 TB this is the cheapest histogram
+    there is: no sort, no sampling, partial counts collapse map-side."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).cast("int").alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )

@@ -52,3 +52,11 @@ def test_scan_avro_fallback(spark, sf_dir, tmp_path):
     assert back.count() == nation.count()
     with pytest.raises(RuntimeError, match="spark-avro"):
         scan_avro(spark, out)  # no reader schema → loud failure
+
+
+def test_write_avro_py_multiple_partitions(spark, sf_dir, tmp_path):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").repartition(3)
+    out = str(tmp_path / "nation_avro3")
+    assert write_avro_py(nation, out, NATION_AVSC) == 3  # one file/partition
+    back = scan_avro_py(spark, out, NATION_AVSC)
+    assert back.count() == 25

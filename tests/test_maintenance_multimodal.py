@@ -51,3 +51,16 @@ def test_resize_is_honest_stub(spark, sf_dir):
     docs = attach_binary(spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1))
     with pytest.raises(NotImplementedError, match="resize"):
         resize_images(docs, 224, 224)
+
+
+def test_theta_distinct_ungrouped(spark, sf_dir):
+    from kafka_etl_consumer_spark.operators.sketch import theta_distinct
+    from kafka_etl_consumer_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.select("user_id").distinct().count()
+    # scale=1 keeps every hash → the sketch degenerates to the exact count
+    assert theta_distinct(ev, "user_id", scale=1).first().est_distinct == exact
+    # coarser scale stays a non-negative multiple-of-scale estimate
+    est = theta_distinct(ev, "user_id", scale=4).first().est_distinct
+    assert est is not None and est >= 0 and est % 4 == 0

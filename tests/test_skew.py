@@ -70,3 +70,22 @@ def test_salted_join_matches_direct(spark, sf_dir):
     assert sorted((r.p_brand, round(r.q, 4)) for r in g) == sorted(
         (r.p_brand, round(r.q, 4)) for r in w
     )
+
+
+def test_salted_join_left_keeps_unmatched(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    # dim missing most part keys → left join must keep unmatched fact rows
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_partkey") < 20)
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    )
+    got = salted_join(li, p, on="l_partkey", salt_src="l_orderkey", buckets=4, how="left")
+    want = li.join(p, "l_partkey", "left")
+    assert got.count() == want.count()
+    assert (
+        got.filter(F.col("p_brand").isNull()).count()
+        == want.filter(F.col("p_brand").isNull()).count()
+    )
