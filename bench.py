@@ -72,6 +72,42 @@ def main() -> None:
         # volume); the min reflects the per-data throughput that scales.
         return min(run(name), run(name))
 
+    def ingest_decode_bench(n: int = 40_000) -> float:
+        """The reference's core path: binary-Avro → decoded rows (S3).
+        n nested ItemViewEvents decode through the same Arrow mapInPandas
+        stage streaming ingest uses; seconds for the full decode pass."""
+        from pyspark.sql import Row
+        from pyspark.sql import types as T
+
+        from kafka_etl_consumer_spark.avro_codec import encode_record, parse_schema
+        from kafka_etl_consumer_spark.fixtures import (
+            ITEM_VIEW_EVENT_AVSC,
+            ITEM_VIEW_EVENT_TOPIC,
+            item_view_events,
+        )
+        from kafka_etl_consumer_spark.streaming.ingest import decode_avro
+
+        schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+        base = [encode_record(schema, r) for r in item_view_events(200)]
+        rows = [
+            Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(base[i % 200]))
+            for i in range(n)
+        ]
+        env = T.StructType(
+            [T.StructField("topic", T.StringType()), T.StructField("value", T.BinaryType())]
+        )
+        df = spark.createDataFrame(rows, env).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        decoded = decode_avro(df, ITEM_VIEW_EVENT_AVSC, keep_cols=["topic"])
+
+        def one() -> float:
+            t0 = time.time()
+            decoded.write.format("noop").mode("overwrite").save()
+            return time.time() - t0
+
+        return min(one(), one())
+
     # Untimed warmup: one JVM/codegen query + one Arrow/mapInPandas query
     # (spawns the reusable Python worker pool) so timings reflect steady
     # state, not one-time process startup.
@@ -79,6 +115,7 @@ def main() -> None:
     run("multimodal_meta")
 
     times = {name: round(run_steady(name), 3) for name in HEADLINE}
+    times["ingest_decode_40k"] = round(ingest_decode_bench(), 3)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
