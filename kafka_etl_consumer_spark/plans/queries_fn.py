@@ -383,3 +383,58 @@ def width_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
     )
+
+
+@register(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           m['t'] AS type_from_map,
+           CAST(cardinality(m) AS INT) AS map_size,
+           array_to_string(map_keys(m), ',') AS keys_csv
+    FROM (SELECT event_id,
+                 MAP {'t': event_type, 'u': CAST(user_id AS VARCHAR)} AS m
+          FROM events
+          WHERE event_id % 25 = 0)
+    """,
+)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function family: construct, extract by key, size, key listing —
+    all codegen. Output columns are scalars (not the map itself) so the
+    cross-engine hash compares values, not engine-specific map encodings.
+    Insertion order is preserved by both engines' map constructors, making
+    keys_csv deterministic."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    m = F.create_map(
+        F.lit("t"), F.col("event_type"), F.lit("u"), F.col("user_id").cast("string")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "t").alias("type_from_map"),
+        F.size(m).alias("map_size"),
+        F.concat_ws(",", F.map_keys(m)).alias("keys_csv"),
+    )
+
+
+@register(
+    "json_struct_parse",
+    oracle="""
+    SELECT user_id % 50 AS user_bucket,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY user_bucket
+    """,
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json into a typed struct (vs json_funcs' per-path
+    get_json_object): ONE parse per row serves every field — materialize
+    the struct once when several fields are read; per-path extraction
+    re-parses the document per path at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT").alias("p")
+    return (
+        ev.select((F.col("user_id") % 50).alias("user_bucket"), parsed)
+        .groupBy("user_bucket")
+        .agg(F.sum("p.k").alias("sum_k"), F.count("*").alias("n"))
+    )
