@@ -205,12 +205,21 @@ def minhash_lsh_pairs(
     bands: int = 8,
     rows_per_band: int = 3,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified with exact Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     With (24, 8, 3): P(candidate) ≈ 1-(1-j³)⁸ — ~0.997 at j=0.8, ~0.66 at
     j=0.5, while random pairs (j≈0.01) collide with P≈8e-6.
+
+    Candidates come from ONE groupBy on band_key with in-bucket pair
+    expansion in codegen (upper triangle of the sorted id array) — one
+    shuffle instead of the band self-join's two, and ``max_bucket`` hard-caps
+    pathological buckets (boilerplate text hashing thousands of docs into
+    one band would otherwise go quadratic; capping keeps the smallest
+    ``max_bucket`` ids — deterministic — and is the standard recall/cost
+    trade at 100 TB).
 
     Verification attaches the two shingle ARRAYS to each candidate pair and
     intersects them in codegen (array_intersect) — no exploded join."""
@@ -219,14 +228,22 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
     bk = band_keys(sig, id_col, bands, rows_per_band)
 
-    a, b = bk.alias("a"), bk.alias("b")
+    grp = (
+        bk.groupBy("band_key")
+        .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
