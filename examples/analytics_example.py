@@ -1,0 +1,66 @@
+"""Tour of the analytics operators over the synthetic tables.
+
+    python examples/analytics_example.py [sf_dir]     # default sf0.001
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.operators import (
+    asof_join,
+    cosine_pairs_blas,
+    exact_dedup,
+    minhash_lsh_pairs,
+    salted_agg,
+    theta_distinct,
+)
+from kafka_etl_consumer_spark.session import get_spark
+from kafka_etl_consumer_spark.sources.tables import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="analytics-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    print("== exact dedup groups (top copies) ==")
+    exact_dedup(docs).orderBy(F.desc("n_copies")).show(3)
+
+    print("== MinHash+LSH near-duplicate pairs (jaccard >= 0.5) ==")
+    minhash_lsh_pairs(docs).orderBy(F.desc("jaccard")).show(5)
+
+    print("== embedding near-dup pairs within label blocks ==")
+    cosine_pairs_blas(emb, threshold=0.4).orderBy(F.desc("score")).show(5)
+
+    print("== as-of join: each event's most recent order ==")
+    asof_join(
+        ev.select("event_id", "user_id", "ts").limit(1000),
+        orders.select(F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+    ).show(5)
+
+    print("== skew-safe aggregation + theta-sketch distinct users ==")
+    salted_agg(
+        ev, ["event_type"], [("count", "*", "n"), ("avg", "value", "avg_v")],
+        salt_src="event_id",
+    ).show()
+    theta_distinct(ev, "user_id", group_cols=["event_type"], scale=4).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
