@@ -663,3 +663,31 @@ def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return n.join(F.broadcast(r), n.n_regionkey < r.r_regionkey).select("n_name", "r_name")
+
+
+@register(
+    "sample_hash_10pct",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                                   || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15))
+               AS BIGINT) % 100 < 10
+    GROUP BY l_returnflag
+    """,
+)
+def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample via hash-mod on the row key — unlike
+    TABLESAMPLE/rand(), the SAME rows are sampled on every run, engine, and
+    retry, which is what makes sampled metrics comparable across pipeline
+    versions at 100 TB (and what makes this oracle-checkable at all). The
+    predicate is a narrow map; no shuffle until the aggregation."""
+    from kafka_etl_consumer_spark.functions.hashing import hash64
+
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.filter(hash64(key) % 100 < 10)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+    )

@@ -24,6 +24,7 @@ def kafka_source(
     topics: list[str],
     starting_offsets: str = "earliest",
     min_partitions: int | None = None,
+    max_offsets_per_trigger: int | None = None,
     consumer_options: dict[str, str] | None = None,
 ) -> DataFrame:
     """Streaming DataFrame with Kafka-source columns
@@ -33,6 +34,11 @@ def kafka_source(
     partition count — Spark then splits offset ranges so ingest parallelism
     is no longer capped at #Kafka-partitions (the reference's hard limit,
     README.md:10 of the reference).
+
+    ``max_offsets_per_trigger``: backpressure — caps records per
+    micro-batch so a restart after downtime catches up in bounded batches
+    instead of one giant batch (the reference has no equivalent: its poll
+    loop takes whatever poll() returns and write latency grows unbounded).
     """
     reader = (
         spark.readStream.format("kafka")
@@ -43,6 +49,8 @@ def kafka_source(
     )
     if min_partitions is not None:
         reader = reader.option("minPartitions", str(min_partitions))
+    if max_offsets_per_trigger is not None:
+        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
     for k, v in (consumer_options or {}).items():
         key = k if k.startswith("kafka.") else f"kafka.{k}"
         reader = reader.option(key, v)
