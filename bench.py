@@ -70,7 +70,13 @@ def main() -> None:
         # min of 2: the first run pays one-time whole-stage-codegen JIT
         # compile (measured 0.3-4s/query, constant regardless of data
         # volume); the min reflects the per-data throughput that scales.
-        return min(run(name), run(name))
+        # If the two runs disagree badly (transient machine load — observed
+        # 2-5x inflation when the host is busy), take one tie-breaker run.
+        a, b = run(name), run(name)
+        m = min(a, b)
+        if max(a, b) > 1.5 * m:
+            m = min(m, run(name))
+        return m
 
     def ingest_decode_bench(n: int = 40_000) -> float:
         """The reference's core path: binary-Avro → decoded rows (S3).

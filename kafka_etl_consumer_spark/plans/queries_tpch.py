@@ -691,3 +691,109 @@ def sample_hash_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-then-argmax via a reused subplan. The
+    revenue aggregation is computed once and referenced twice (Catalyst
+    dedups the scan via ReusedExchange under AQE); the max is a scalar
+    broadcast, never a sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    top = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        revenue.join(F.broadcast(top), revenue.total_revenue == top.mx)
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#5'
+      AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average),
+    decorrelated by hand into a pre-aggregation + broadcast join — the
+    rewrite Catalyst performs for correlated scalars, made explicit. The
+    per-part avg aggregates ONLY the brand's parts first (semi-filtered),
+    not all of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    brand_lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    per_part = brand_lines.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        brand_lines.join(F.broadcast(per_part), brand_lines.l_partkey == per_part.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q22_global_sales",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nationkey standing in for phone country codes):
+    scalar subquery threshold + anti join against recent orders + agg.
+    The threshold broadcasts; the anti join's right side is pre-filtered
+    to recent orders before it shuffles."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("t"))
+    return (
+        c.join(F.broadcast(thr), c.c_acctbal > thr.t)
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
