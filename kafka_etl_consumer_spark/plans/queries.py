@@ -490,6 +490,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         ev, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
         tiebreakers=["o_orderkey"], direction="backward", how="left",
+        left_unique=["event_id"],
     )
 
 
