@@ -523,3 +523,37 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset difference (multiplicities subtract)."""
     lhs, rhs = _bag_sides(spark, sf_dir)
     return lhs.exceptAll(rhs)
+
+
+@register(
+    "distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, o_orderpriority
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates over a join result — plans as one hash-aggregate on
+    all columns (partial dedup map-side before the shuffle, same as any
+    agg; never a sort)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_returnflag", "l_linestatus", "o_orderpriority")
+        .dropDuplicates()
+    )
+
+
+@register("agg_approx_distinct")  # rows-only: HLL estimates differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=2%) per order status —
+    the mergeable constant-memory distinct for 100 TB interactive use.
+    Deliberately NO DuckDB oracle: each engine's HLL yields different
+    estimates (the deterministic cross-engine alternative is
+    sketch_distinct_theta); driver records the weaker rows-only check."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )

@@ -21,7 +21,7 @@ def test_all_queries_have_oracles_or_are_flagged():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops are allowed to omit oracles, but keep the list
     # explicit so nothing drops out silently
-    allowed_missing = set()
+    allowed_missing = {"agg_approx_distinct"}  # HLL differs per engine
     assert missing <= allowed_missing, f"queries without oracle: {missing}"
 
 
