@@ -21,5 +21,15 @@ Layout:
 
 from kafka_etl_consumer_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def __getattr__(name: str):
+    # lazy: the facade pulls in streaming/ingest; keep bare import light
+    if name == "KafkaETLParquetConsumer":
+        from kafka_etl_consumer_spark.api import KafkaETLParquetConsumer
+
+        return KafkaETLParquetConsumer
+    raise AttributeError(name)
+
+
+__all__ = ["get_spark", "KafkaETLParquetConsumer"]
 __version__ = "0.1.0"
