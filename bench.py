@@ -52,6 +52,7 @@ HEADLINE = [
     "sim_ann_lsh",
     "text_quality",
     "multimodal_meta",
+    "pipeline_prepare_corpus",
 ]
 
 

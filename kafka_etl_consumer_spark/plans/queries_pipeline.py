@@ -452,3 +452,62 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py bpe_token_count; plain-alternation regex keeps Java
     and RE2 engines token-identical)."""
     return X.bpe_token_count(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pipeline_prepare_corpus",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, lang, {_TOK} AS toks FROM documents),
+    q AS (SELECT doc_id, text, lang,
+                 len(toks) AS n_tokens,
+                 CAST(len(list_filter(toks, t -> t IN ({_in_list(X.STOPWORDS)})))
+                      AS DOUBLE) / len(toks) AS stop_ratio
+          FROM tok WHERE len(toks) > 0),
+    kept AS (SELECT * FROM q WHERE n_tokens >= 5 AND stop_ratio >= 0.05),
+    dedup AS (SELECT * FROM kept
+              WHERE doc_id IN (SELECT min(doc_id) FROM kept GROUP BY md5(text))),
+    sampled AS (SELECT * FROM dedup
+                WHERE {hash64_sql('CAST(doc_id AS VARCHAR)')} % 2 = 0)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 6) AS avg_tokens
+    FROM sampled
+    GROUP BY lang
+    """,
+)
+def pipeline_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star ops COMPOSED into one corpus-prep pipeline:
+    quality gate (token count + stopword ratio, Gopher/C4-style) →
+    exact dedup (min-id keeper per fingerprint) → deterministic 50%
+    hash-sample → per-language token accounting.
+
+    Plan shape at 100 TB: the gate and sample are narrow maps fused into
+    the scan stage; dedup is one hash-agg + semi-join on (hash, id) pairs
+    only (documents never shuffle); the final agg is partial+final on
+    ~languages keys. Total: two small shuffles for any corpus size — and
+    every stage deterministic, so reruns reproduce the corpus exactly."""
+    from kafka_etl_consumer_spark.functions.hashing import hash64
+    from kafka_etl_consumer_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    q = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(*X.STOPWORDS))).cast("double")
+            / F.size(toks)
+        ).alias("stop_ratio"),
+    ).filter(F.size(toks) > 0)
+    kept = q.filter((F.col("n_tokens") >= 5) & (F.col("stop_ratio") >= 0.05))
+    keepers = kept.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+    dedup = kept.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    sampled = dedup.filter(hash64(F.col("doc_id").cast("string")) % 2 == 0)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )
