@@ -201,3 +201,102 @@ def test_event_time_requires_hive_layout(spark):
             layout="reference",
             event_time_col="ts",
         )
+
+
+PAGE_VIEW_AVSC = """{
+  "type": "record", "name": "PageView", "fields": [
+    {"name": "url", "type": "string"},
+    {"name": "viewTs", "type": ["null", "long"]}]}"""
+
+
+def test_multi_topic_per_schema_demux(spark, tmp_path):
+    """S2 parity: one mixed stream, two topics, two DIFFERENT Avro schemas —
+    each topic lands under its own directory with its own columns
+    (the reference's per-TopicPartition writer fan-out, ETLTask.java:261-274
+    of the reference)."""
+    iv_schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    pv_schema = parse_schema(PAGE_VIEW_AVSC)
+    rows = [
+        Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(encode_record(iv_schema, r)))
+        for r in item_view_events(6)
+    ] + [
+        Row(
+            topic="page-view",
+            value=bytearray(encode_record(pv_schema, {"url": f"/p/{i}", "viewTs": 1700000000000 + i})),
+        )
+        for i in range(4)
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, ENVELOPE).write.parquet(src)
+
+    reg = DictSchemaRegistry(
+        {ITEM_VIEW_EVENT_TOPIC: ITEM_VIEW_EVENT_AVSC, "page-view": PAGE_VIEW_AVSC}
+    )
+    queries = ingest(
+        spark.readStream.schema(ENVELOPE).parquet(src),
+        reg,
+        str(tmp_path / "out"),
+        topics=[ITEM_VIEW_EVENT_TOPIC, "page-view"],
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+
+    iv = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{tmp_path}/out/{ITEM_VIEW_EVENT_TOPIC}"
+    )
+    pv = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{tmp_path}/out/page-view"
+    )
+    assert iv.count() == 6 and "itemId" in iv.columns
+    assert pv.count() == 4 and set(pv.columns) == {"url", "viewTs"}
+    assert sorted(r.url for r in pv.collect()) == [f"/p/{i}" for i in range(4)]
+
+
+def test_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """C1/C2 parity, upgraded: restart from the checkpoint reprocesses
+    NOTHING (exactly-once), where the reference re-consumes the last
+    committed record per partition (off-by-one commit,
+    ETLTask.java:269,359 of the reference — divergence we do NOT copy)."""
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def stage(events):
+        rows = [
+            Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(encode_record(schema, r)))
+            for r in events
+        ]
+        spark.createDataFrame(rows, ENVELOPE).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        qs = ingest(
+            spark.readStream.schema(ENVELOPE).parquet(src),
+            DictSchemaRegistry({ITEM_VIEW_EVENT_TOPIC: ITEM_VIEW_EVENT_AVSC}),
+            out,
+            topics=[ITEM_VIEW_EVENT_TOPIC],
+            checkpoint_path=ckpt,
+        )
+        try:
+            for q in qs:
+                q.processAllAvailable()
+        finally:
+            for q in qs:
+                q.stop()
+
+    all_events = item_view_events(10)
+    stage(all_events[:6])
+    run_once()  # first "deployment": lands 6
+    stage(all_events[6:])
+    run_once()  # restart from checkpoint: must land ONLY the 4 new ones
+
+    back = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{out}/{ITEM_VIEW_EVENT_TOPIC}"
+    )
+    got = sorted(r.itemId for r in back.select("itemId").collect())
+    assert got == sorted(e["itemId"] for e in all_events)  # 10 rows, no dupes
