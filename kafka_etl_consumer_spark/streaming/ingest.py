@@ -99,6 +99,7 @@ def decode_avro(
     value_col: str = "value",
     keep_cols: Iterable[str] = (),
     mode: str = "FAILFAST",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Binary-Avro ``value_col`` → decoded top-level record columns.
 
@@ -110,18 +111,32 @@ def decode_avro(
     behavior, AbstractAvroDeserializeService.java:56-59); PERMISSIVE yields
     an all-null record instead.
 
+    ``corrupt_col`` (PERMISSIVE only): additionally carry the RAW bytes of
+    payloads that failed to decode (null for good rows) — the dead-letter
+    surface the reference lacks entirely (it crashes the pipeline): filter
+    ``corrupt_col IS NOT NULL`` to a quarantine table for replay after a
+    schema fix, instead of losing the bytes or the pipeline.
+
     Prefers the JVM ``from_avro`` (whole-stage codegen, zero Python) when
     spark-avro is loaded; otherwise decodes with the pure-Python codec in
     Arrow-batched ``mapInPandas`` — still partition-parallel, ~100k msg/s/core.
     """
     keep = list(keep_cols)
     struct_schema = to_spark_struct(avsc)
+    if corrupt_col is not None and mode.upper() != "PERMISSIVE":
+        raise ValueError("corrupt_col requires mode='PERMISSIVE'")
 
     if _jvm_from_avro_available(df, value_col, avsc):
         from pyspark.sql.avro.functions import from_avro
 
         rec = from_avro(F.col(value_col), avsc, {"mode": mode})
-        return df.select(*keep, rec.alias("__r")).select(*keep, "__r.*")
+        base = df.select(*keep, F.col(value_col).alias("__v"), rec.alias("__r"))
+        if corrupt_col is not None:
+            base = base.withColumn(
+                corrupt_col, F.when(F.col("__r").isNull(), F.col("__v"))
+            )
+            return base.select(*keep, corrupt_col, "__r.*")
+        return base.select(*keep, "__r.*")
 
     schema_tree = parse_schema(avsc)
     field_names = [f.name for f in struct_schema.fields]
@@ -134,20 +149,25 @@ def decode_avro(
         )
     out_schema = T.StructType(
         [next(f for f in df.schema.fields if f.name == c) for c in keep]
+        + ([T.StructField(corrupt_col, T.BinaryType())] if corrupt_col else [])
         + list(struct_schema.fields)
     )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            records = []
+            records, bad = [], []
             for payload in pdf[value_col]:
                 try:
                     records.append(decode_record(schema_tree, bytes(payload)))
+                    bad.append(None)
                 except Exception:
                     if not permissive:
                         raise
                     records.append(dict.fromkeys(field_names))
+                    bad.append(bytes(payload))
             out = pd.DataFrame({c: pdf[c].values for c in keep})
+            if corrupt_col:
+                out[corrupt_col] = bad
             for name in field_names:
                 out[name] = [r[name] for r in records]
             yield out if len(out.columns) else pd.DataFrame(index=pdf.index)

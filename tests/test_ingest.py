@@ -300,3 +300,26 @@ def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     )
     got = sorted(r.itemId for r in back.select("itemId").collect())
     assert got == sorted(e["itemId"] for e in all_events)  # 10 rows, no dupes
+
+
+def test_permissive_dead_letter_column(spark):
+    """corrupt_col keeps the raw bytes of undecodable payloads so they can
+    be quarantined and replayed — the reference would kill the pipeline."""
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    good = encode_record(schema, item_view_events(1)[0])
+    rows = [
+        Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(good)),
+        Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(b"\x07broken")),
+    ]
+    df = spark.createDataFrame(rows, ENVELOPE)
+    out = decode_avro(
+        df, ITEM_VIEW_EVENT_AVSC, keep_cols=["topic"],
+        mode="PERMISSIVE", corrupt_col="_corrupt",
+    )
+    dead = out.filter(F.col("_corrupt").isNotNull()).collect()
+    ok = out.filter(F.col("_corrupt").isNull()).collect()
+    assert len(dead) == 1 and bytes(dead[0]._corrupt) == b"\x07broken"
+    assert dead[0].itemId is None
+    assert len(ok) == 1 and ok[0].itemId == "any-item-id0"
+    with pytest.raises(ValueError, match="PERMISSIVE"):
+        decode_avro(df, ITEM_VIEW_EVENT_AVSC, corrupt_col="_corrupt")
