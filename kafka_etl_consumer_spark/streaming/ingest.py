@@ -100,6 +100,7 @@ def decode_avro(
     keep_cols: Iterable[str] = (),
     mode: str = "FAILFAST",
     corrupt_col: str | None = None,
+    reader_avsc: str | None = None,
 ) -> DataFrame:
     """Binary-Avro ``value_col`` → decoded top-level record columns.
 
@@ -117,6 +118,15 @@ def decode_avro(
     ``corrupt_col IS NOT NULL`` to a quarantine table for replay after a
     schema fix, instead of losing the bytes or the pipeline.
 
+    ``reader_avsc``: Avro schema-resolution-style evolution (the reference
+    pins one schema per topic forever, AbstractAvroDeserializeService.java:28-34
+    of the reference — a schema change breaks it). Payloads decode with the
+    WRITER schema ``avsc``; the output then projects to the reader schema:
+    fields the reader adds get their declared ``default`` (null-union fields
+    default to null), fields the reader dropped disappear. This covers the
+    add-with-default / drop evolution pair — the rolling-upgrade pattern;
+    type promotions are not attempted (fail loudly at analysis).
+
     Prefers the JVM ``from_avro`` (whole-stage codegen, zero Python) when
     spark-avro is loaded; otherwise decodes with the pure-Python codec in
     Arrow-batched ``mapInPandas`` — still partition-parallel, ~100k msg/s/core.
@@ -125,6 +135,9 @@ def decode_avro(
     struct_schema = to_spark_struct(avsc)
     if corrupt_col is not None and mode.upper() != "PERMISSIVE":
         raise ValueError("corrupt_col requires mode='PERMISSIVE'")
+    if reader_avsc is not None:
+        decoded = decode_avro(df, avsc, value_col, keep_cols, mode, corrupt_col)
+        return _resolve_to_reader(decoded, reader_avsc, keep, corrupt_col)
 
     if _jvm_from_avro_available(df, value_col, avsc):
         from pyspark.sql.avro.functions import from_avro
@@ -173,6 +186,31 @@ def decode_avro(
             yield out if len(out.columns) else pd.DataFrame(index=pdf.index)
 
     return df.mapInPandas(decode_batches, out_schema)
+
+
+def _resolve_to_reader(
+    decoded: DataFrame, reader_avsc: str, keep: list, corrupt_col: str | None
+) -> DataFrame:
+    """Project writer-decoded columns to the reader schema: keep passthrough
+    cols, add reader-only fields with their Avro defaults, drop writer-only
+    fields, preserve reader field order."""
+    import json as _json
+
+    reader_struct = to_spark_struct(reader_avsc)
+    # defaults come from the RAW schema JSON — parse_schema normalizes
+    # fields down to name/type and drops the "default" attribute
+    raw = _json.loads(reader_avsc) if isinstance(reader_avsc, str) else reader_avsc
+    defaults = {f["name"]: f.get("default") for f in raw["fields"]}
+    have = set(decoded.columns)
+    cols = [F.col(c) for c in keep] + ([F.col(corrupt_col)] if corrupt_col else [])
+    for f in reader_struct.fields:
+        if f.name in have:
+            cols.append(F.col(f.name))
+        else:
+            d = defaults.get(f.name)
+            lit = F.lit(None) if d is None else F.lit(d)
+            cols.append(lit.cast(f.dataType).alias(f.name))
+    return decoded.select(*cols)
 
 
 def encode_avro(df: DataFrame, avsc: str, value_col: str = "value") -> DataFrame:

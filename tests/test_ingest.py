@@ -323,3 +323,30 @@ def test_permissive_dead_letter_column(spark):
     assert len(ok) == 1 and ok[0].itemId == "any-item-id0"
     with pytest.raises(ValueError, match="PERMISSIVE"):
         decode_avro(df, ITEM_VIEW_EVENT_AVSC, corrupt_col="_corrupt")
+
+
+def test_reader_schema_evolution(spark):
+    """Rolling upgrade: payloads written with schema v1 decode under reader
+    schema v2 (adds a defaulted field, drops one) — add-with-default /
+    drop, per Avro schema resolution; the reference cannot do this at all."""
+    v1 = """{
+      "type": "record", "name": "Evt", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "legacy", "type": "string"},
+        {"name": "amount", "type": "int"}]}"""
+    v2 = """{
+      "type": "record", "name": "Evt", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "amount", "type": "int"},
+        {"name": "channel", "type": "string", "default": "web"},
+        {"name": "note", "type": ["null", "string"], "default": null}]}"""
+    schema_v1 = parse_schema(v1)
+    rows = [
+        Row(topic="t", value=bytearray(encode_record(schema_v1, {"id": i, "legacy": "x", "amount": 10 + i})))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ENVELOPE)
+    out = decode_avro(df, v1, reader_avsc=v2)
+    assert out.columns == ["id", "amount", "channel", "note"]  # reader order
+    got = sorted((r.id, r.amount, r.channel, r.note) for r in out.collect())
+    assert got == [(0, 10, "web", None), (1, 11, "web", None), (2, 12, "web", None)]
