@@ -88,13 +88,23 @@ def write_parquet(
     partition_by: list[str] | None = None,
     mode: str = "error",
     max_records_per_file: int | None = None,
+    sort_by: list[str] | None = None,
 ) -> None:
     """Snappy Parquet writer (the reference's sink posture: Snappy,
     dictionary encoding — ETLTask.java:146,197 of the reference; sizes via
     session conf parquet.block.size / parquet.page.size).
 
     ``max_records_per_file`` mirrors the reference's roll-interval file
-    sizing: bound file size without an extra repartition job."""
+    sizing: bound file size without an extra repartition job.
+
+    ``sort_by``: sort rows WITHIN each output file by these columns before
+    writing (no shuffle — per-partition sort). Parquet stores per-row-group
+    min/max stats per column; sorted data makes those ranges narrow and
+    disjoint, so later filtered scans skip whole row groups. The cheap 80%
+    of Z-ordering for the single-column-predicate case — sort by your most
+    filtered column at write time."""
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode).option("compression", "snappy")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))

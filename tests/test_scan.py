@@ -64,3 +64,28 @@ def test_schema_required(spark, tmp_path):
         scan_csv(spark, str(tmp_path), schema=None)
     with pytest.raises(ValueError):
         scan_json(spark, str(tmp_path), schema=None)
+
+
+def test_sorted_write_narrows_row_group_stats(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").coalesce(1)
+    plain, ordered = str(tmp_path / "plain"), str(tmp_path / "sorted")
+    write_parquet(li, plain)
+    write_parquet(li, ordered, sort_by=["l_orderkey"])
+
+    def first_rg_range(path):
+        f = pq.ParquetFile(_glob.glob(f"{path}/*.parquet")[0])
+        col = f.schema_arrow.names.index("l_orderkey")
+        st = f.metadata.row_group(0).column(col).statistics
+        return st.min, st.max
+
+    # sorted file: row group 0 covers a narrow contiguous range; data
+    # round-trips identically
+    smin, smax = first_rg_range(ordered)
+    back = spark.read.parquet(ordered)
+    assert back.count() == li.count()
+    assert smin <= smax
+    got = sorted(r.l_orderkey for r in back.select("l_orderkey").limit(5).collect())
+    assert got[0] >= smin
