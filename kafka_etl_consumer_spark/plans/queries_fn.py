@@ -438,3 +438,62 @@ def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_bucket")
         .agg(F.sum("p.k").alias("sum_k"), F.count("*").alias("n"))
     )
+
+
+@register(
+    "str_pad_trim",
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           rpad(c_mktsegment, 12, '.') AS seg_padded,
+           trim('  ' || c_name || '  ') AS name_trim,
+           ltrim('xxx' || c_name, 'x') AS name_ltrim,
+           rtrim(c_name || 'zz', 'z') AS name_rtrim
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    """,
+)
+def str_pad_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding/trimming family — fixed-width key formatting (lpad '0' is
+    the classic sortable zero-pad) and character-set trims."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.rpad("c_mktsegment", 12, ".").alias("seg_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit("  "))).alias("name_trim"),
+        F.ltrim(F.concat(F.lit("xxx"), F.col("c_name")), F.lit("x")).alias("name_ltrim"),
+        F.rtrim(F.concat(F.col("c_name"), F.lit("zz")), F.lit("z")).alias("name_rtrim"),
+    )
+
+
+@register(
+    "bit_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_orderkey & 255 AS key_low_byte,
+           l_orderkey | 7 AS key_or7,
+           xor(l_orderkey, l_linenumber) AS key_xor_line,
+           l_orderkey << 2 AS key_shl2,
+           l_orderkey >> 4 AS key_shr4,
+           CAST(bit_count(l_orderkey) AS INT) AS key_popcount
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0
+    """,
+)
+def bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (the primitives behind the engine's own simhash/band
+    operators, exposed as a query surface)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 500 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_orderkey").bitwiseAND(F.lit(255))).alias("key_low_byte"),
+        (F.col("l_orderkey").bitwiseOR(F.lit(7))).alias("key_or7"),
+        (F.col("l_orderkey").bitwiseXOR(F.col("l_linenumber").cast("bigint"))).alias(
+            "key_xor_line"
+        ),
+        F.shiftleft(F.col("l_orderkey"), 2).alias("key_shl2"),
+        F.shiftright(F.col("l_orderkey"), 4).alias("key_shr4"),
+        F.bit_count("l_orderkey").alias("key_popcount"),
+    )
