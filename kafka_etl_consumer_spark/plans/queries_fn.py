@@ -88,8 +88,8 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(l_extendedprice), 6) AS price_ln,
            l_discount * l_discount AS disc_sq,
            abs(l_discount - l_tax) AS disc_tax_gap,
-           ceil(l_quantity / 7) AS qty_ceil7,
-           floor(l_extendedprice / 1000) AS price_k,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
            l_linenumber % 3 AS line_mod3,
            greatest(l_discount, l_tax) AS max_rate
     FROM lineitem
@@ -389,7 +389,7 @@ def width_bucket_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_funcs",
     oracle="""
     SELECT event_id,
-           m['t'] AS type_from_map,
+           m['t'][1] AS type_from_map,
            CAST(cardinality(m) AS INT) AS map_size,
            array_to_string(map_keys(m), ',') AS keys_csv
     FROM (SELECT event_id,

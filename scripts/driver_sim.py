@@ -1,18 +1,28 @@
 """Simulate the driver's correctness gate: vanilla SparkSession, sf0.01,
-every queries() entry side-by-side with its oracle_sql() in DuckDB
-(row count + column names + order-insensitive value compare).
+every queries() entry side-by-side with its oracle_sql() in DuckDB.
+
+Comparison mirrors the driver's semantics (VERDICT.md round 1):
+- columns sorted by name, rows sorted, then values compared as CANONICAL
+  STRINGS — so an int 4 vs float 4.0 mismatch FAILS here like it fails the
+  driver's string-hash (round-1 ``math_funcs`` red).
+- every cell must be a scalar: a list/array/dict cell (e.g. a DuckDB MAP
+  extraction returning LIST) raises, like the driver's canonicalizer
+  crashed on round-1 ``map_funcs``.
 
 Usage: python scripts/driver_sim.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import decimal
 import math
 import os
 import sys
 import time
 
 import duckdb
+import numpy as np
 from pyspark.sql import SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -21,12 +31,67 @@ import __spark_entry__ as e  # noqa: E402
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(v):
+class NonScalarCell(Exception):
+    pass
+
+
+def canon(v) -> str:
+    """Canonical string for one cell. Type-class prefixed so int 4 and
+    float 4.0 differ (the driver hashes representations, not values)."""
+    if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+        raise NonScalarCell(f"non-scalar cell of type {type(v).__name__}: {v!r:.80}")
+    if isinstance(v, np.generic):
+        v = v.item()
+    if v is None:
+        return "<NULL>"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 9)
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
-    return v
+        if math.isnan(v):
+            return "f:NaN"
+        if math.isinf(v):
+            return "f:Inf" if v > 0 else "f:-Inf"
+        return f"f:{round(v, 9)!r}"
+    if isinstance(v, decimal.Decimal):
+        return f"d:{v}"
+    if isinstance(v, bytes):
+        return f"x:{v.hex()}"
+    if isinstance(v, str):
+        return f"s:{v}"
+    if isinstance(v, (dt.datetime, dt.date, dt.time)):
+        # pd.Timestamp subclasses datetime; str() formats match across engines
+        if v != v:  # NaT
+            return "<NULL>"
+        return f"t:{v}"
+    return f"o:{v!r}"
+
+
+def canon_frame(df):
+    """Sorted list of canonical-string row tuples, columns sorted by name."""
+    cols = sorted(df.columns)
+    rows = []
+    for r in df[cols].itertuples(index=False, name=None):
+        out = []
+        for x in r:
+            try:
+                if x is not None and not isinstance(x, (list, np.ndarray, dict)) and pdna(x):
+                    out.append("<NULL>")
+                    continue
+            except (TypeError, ValueError):
+                pass
+            out.append(canon(x))
+        rows.append(tuple(out))
+    rows.sort()
+    return rows
+
+
+def pdna(x) -> bool:
+    import pandas as pd
+
+    res = pd.isna(x)
+    return bool(res) if isinstance(res, (bool, np.bool_)) else False
 
 
 def main() -> int:
@@ -50,7 +115,7 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     print(f"{len(qs)} queries, {len(oracles)} oracles, sf_dir={sf}")
     fails = []
-    for name in sorted(qs):
+    for name in qs:  # driver order — a prefix cap checks the front first
         if only and name not in only:
             continue
         t0 = time.time()
@@ -63,22 +128,28 @@ def main() -> int:
         if name not in oracles:
             print(f"  {name}: rows-only, {len(sp)} rows ({time.time() - t0:.1f}s)")
             continue
-        du = con.execute(oracles[name]).fetchdf()
+        try:
+            du = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:
+            print(f"  {name}: ORACLE ERROR {str(ex)[:200]}")
+            fails.append(name)
+            continue
         ok_cols = sorted(map(str.lower, sp.columns)) == sorted(map(str.lower, du.columns))
         ok_n = len(sp) == len(du)
         ok_vals = False
         if ok_cols and ok_n:
-            key = lambda t: tuple((x is None, str(x)) for x in t)
-            a = sorted(
-                (tuple(canon(x) for x in r)
-                 for r in sp[sorted(sp.columns)].itertuples(index=False, name=None)),
-                key=key,
-            )
-            b = sorted(
-                (tuple(canon(x) for x in r)
-                 for r in du[sorted(du.columns)].itertuples(index=False, name=None)),
-                key=key,
-            )
+            try:
+                a = canon_frame(sp)
+            except NonScalarCell as ex:
+                print(f"  {name}: SPARK NON-SCALAR CELL {ex}")
+                fails.append(name)
+                continue
+            try:
+                b = canon_frame(du)
+            except NonScalarCell as ex:
+                print(f"  {name}: ORACLE NON-SCALAR CELL {ex}")
+                fails.append(name)
+                continue
             ok_vals = a == b
             if not ok_vals:
                 print("    first diffs:", [(x, y) for x, y in zip(a, b) if x != y][:2])
