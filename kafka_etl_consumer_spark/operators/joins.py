@@ -5,15 +5,19 @@ in the reference); these cover SURVEY.md §2.2's join rows beyond the stock
 ``df.join`` surface.
 
 Scale notes (100 TB posture):
-- ``asof_join`` is the candidate-join + per-left-row rank pattern in ONE
-  pass: left join on (equi-key AND ts-bound), then ``row_number() == 1``
-  per left row. The candidate join shuffles both sides by the equi-key —
-  salt if one key dominates; AQE skew-join handles moderate skew. When the
-  right side is a small dimension (e.g. latest price table), Spark
-  auto-broadcasts it and the as-of is shuffle-free on the left.
-- For large-large time-series as-of (both sides billions of rows), bucket
-  both tables by the key at write time; the same plan then runs as a
-  sort-merge join with no exchange.
+- ``asof_join`` defaults to the MERGE shape (strategy='merge'): union both
+  sides tagged by origin, ONE shuffle+sort by (key, ts), then
+  ``last(right_struct, ignorenulls)`` over a running window. Cost is
+  O(L+R) rows moved and sorted — no join, no candidate set, so a key with
+  millions of right rows (tick data) costs millions of rows, not L·R
+  candidate pairs. This survives 100 TB where the rank shape explodes.
+- strategy='rank' keeps the candidate-join + per-left-row rank pattern:
+  left join on (equi-key AND ts-bound), then ``row_number() == 1`` per
+  left row. Candidates per left row = ALL qualifying right rows for that
+  key, i.e. O(L·R) per key — only use when the right side per key is
+  known-small (e.g. a slowly-changing dimension Spark auto-broadcasts).
+- For large-large time-series as-of, bucket both tables by the key at
+  write time; the merge shape then sorts within buckets with no exchange.
 """
 
 from __future__ import annotations
@@ -32,6 +36,7 @@ def asof_join(
     direction: str = "backward",
     how: str = "left",
     left_unique: list[str] | None = None,
+    strategy: str = "merge",
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` (direction='backward') / smallest
@@ -41,14 +46,23 @@ def asof_join(
     the picked row is deterministic when several right rows share the
     boundary timestamp (DuckDB's ASOF JOIN leaves this unspecified; we don't).
 
-    ``left_unique``: columns forming a unique key of the left side (e.g. an
-    event id). When given, the rank window partitions by just these —
-    narrower sort keys and no struct comparison over the whole row
-    (measured ~25% off the rank stage). Without it, left rows are
-    identified by the full left column tuple, so exact duplicate left rows
-    collapse to one.
+    ``strategy``: 'merge' (default — union + sort + running last, O(L+R),
+    scale-safe) or 'rank' (candidate join + row_number, O(candidates); only
+    safe when right rows per key are few). Both return identical rows for
+    distinct left rows; they differ only on EXACT duplicate left rows
+    ('merge' preserves each copy, 'rank' without ``left_unique`` collapses
+    them — pandas merge_asof agrees with 'merge').
+
+    ``left_unique``: rank-strategy only — columns forming a unique key of
+    the left side; the rank window then partitions by just these (narrower
+    sort keys, measured ~25% off the rank stage).
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if strategy == "merge":
+        return _asof_merge(left, right, keys, left_ts, right_ts,
+                           tiebreakers, direction, how)
+    if strategy != "rank":
+        raise ValueError(f"strategy must be merge|rank, got {strategy!r}")
     if direction == "backward":
         cond = F.col(f"__r.{right_ts}") <= F.col(f"__l.{left_ts}")
         ts_order = [F.col(f"__r.{right_ts}").desc()]
@@ -81,6 +95,119 @@ def asof_join(
             *[F.col(f"__l.{c}") for c in left.columns],
             *[F.col(f"__r.{c}") for c in right_cols],
         )
+    )
+
+
+def _widen_ts_type(lt, rt):
+    """Common orderable type for the two as-of timestamp columns — the
+    comparison semantics Catalyst would use for ``l.ts <= r.ts`` (date
+    widens to timestamp, integers widen up). The merge shape unions the
+    two columns, so the coercion must be explicit."""
+    if lt == rt:
+        return lt
+    from pyspark.sql import types as T
+
+    families = (
+        [T.DateType(), T.TimestampNTZType(), T.TimestampType()],
+        [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType(),
+         T.FloatType(), T.DoubleType()],
+    )
+    for fam in families:
+        if lt in fam and rt in fam:
+            return fam[max(fam.index(lt), fam.index(rt))]
+    raise ValueError(f"incompatible as-of timestamp types: {lt} vs {rt}")
+
+
+def _asof_merge(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    tiebreakers: list[str] | None,
+    direction: str,
+    how: str,
+) -> DataFrame:
+    """Merge-asof: no join at all. Union left and right rows tagged by
+    side, shuffle+sort ONCE by (key, ts, side, tiebreakers), and carry the
+    most recent right row to each left row with a running
+    ``last(struct, ignorenulls)`` window. The right payload travels as ONE
+    struct so the picked row is atomic (a per-column last() could mix
+    columns from different right rows when payload values are null).
+
+    Cost at any scale: one exchange of L+R rows + an in-partition sort —
+    never the O(L·R) candidate blow-up of the inequality-join shape.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    right_cols = [c for c in right.columns if c not in keys]
+    tbs = list(tiebreakers or [])
+
+    lrow_t = left.select(F.struct(*left.columns).alias("s")).schema["s"].dataType
+    rrow_t = right.select(F.struct(*right_cols).alias("s")).schema["s"].dataType
+    ts_t = _widen_ts_type(left.schema[left_ts].dataType, right.schema[right_ts].dataType)
+
+    # A right row with any null key can never equi-match — drop it up front
+    # (in the merge shape null keys would otherwise group together and
+    # "match" null-keyed left rows, which SQL equality never does).
+    r_in = right
+    for k in keys:
+        r_in = r_in.filter(F.col(k).isNotNull())
+
+    l2 = left.select(
+        *keys,
+        F.col(left_ts).cast(ts_t).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*left.columns).alias("__lrow"),
+        F.lit(None).cast(rrow_t).alias("__rrow"),
+        *[F.lit(None).cast(right.schema[t].dataType).alias(f"__tb{i}")
+          for i, t in enumerate(tbs)],
+    )
+    r2 = r_in.select(
+        *keys,
+        F.col(right_ts).cast(ts_t).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lrow_t).alias("__lrow"),
+        F.struct(*right_cols).alias("__rrow"),
+        *[F.col(t).alias(f"__tb{i}") for i, t in enumerate(tbs)],
+    )
+    u = l2.unionByName(r2)
+
+    if direction == "backward":
+        # rights sort BEFORE lefts at equal ts (<= bound is inclusive);
+        # among same-ts rights, tiebreakers ASC so the running last() lands
+        # on the max tiebreaker — same pick as rank's DESC ordering.
+        order = [F.col("__ts").asc(), F.col("__side").asc()] + [
+            F.col(f"__tb{i}").asc() for i in range(len(tbs))
+        ]
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        match = F.last("__rrow", ignorenulls=True).over(w)
+    else:
+        # lefts BEFORE rights at equal ts (>= bound inclusive); among
+        # same-ts rights, tiebreakers DESC so the first() forward pick is
+        # the max tiebreaker.
+        order = [F.col("__ts").asc(), F.col("__side").desc()] + [
+            F.col(f"__tb{i}").desc() for i in range(len(tbs))
+        ]
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(*order)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        match = F.first("__rrow", ignorenulls=True).over(w)
+
+    out = u.withColumn("__m", match).filter(F.col("__side") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__m").isNotNull())
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(c) for c in right_cols],
     )
 
 

@@ -24,9 +24,14 @@ def sess(spark):
     return spark
 
 
-@given(left=left_rows, right=right_rows)
-@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-def test_asof_matches_pandas(sess, left, right):
+@given(
+    left=left_rows,
+    right=right_rows,
+    strategy=st.sampled_from(["merge", "rank"]),
+    direction=st.sampled_from(["backward", "forward"]),
+)
+@settings(max_examples=24, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_matches_pandas(sess, left, right, strategy, direction):
     lpdf = pd.DataFrame(left, columns=["k", "ts"]).drop_duplicates()
     lpdf["lid"] = range(len(lpdf))
     rpdf = (
@@ -37,18 +42,39 @@ def test_asof_matches_pandas(sess, left, right):
     ldf = sess.createDataFrame(lpdf)
     rdf = sess.createDataFrame(rpdf)
     got = asof_join(
-        ldf, rdf, on="k", left_ts="ts", right_ts="rts", direction="backward", how="left"
+        ldf, rdf, on="k", left_ts="ts", right_ts="rts",
+        direction=direction, how="left", strategy=strategy,
     ).toPandas()
 
     want = pd.merge_asof(
-        lpdf.sort_values("ts"),
-        rpdf.sort_values("rts"),
+        lpdf.sort_values("ts", kind="stable"),
+        rpdf.sort_values("rts", kind="stable"),
         left_on="ts",
         right_on="rts",
         by="k",
-        direction="backward",
+        direction=direction,
     )
 
     g = got.sort_values("lid")[["lid", "rts", "val"]].reset_index(drop=True)
     w = want.sort_values("lid")[["lid", "rts", "val"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+@given(left=left_rows, right=right_rows)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_inner_strategies_agree(sess, left, right):
+    """merge and rank strategies must return identical rows for how='inner'
+    (distinct left rows), including tiebreaker picks on shared timestamps."""
+    lpdf = pd.DataFrame(left, columns=["k", "ts"]).drop_duplicates()
+    rpdf = pd.DataFrame(right, columns=["k", "rts", "val"])  # ties kept
+
+    ldf = sess.createDataFrame(lpdf)
+    rdf = sess.createDataFrame(rpdf)
+    kw = dict(on="k", left_ts="ts", right_ts="rts", tiebreakers=["val"],
+              direction="backward", how="inner")
+    a = asof_join(ldf, rdf, strategy="merge", **kw).toPandas()
+    b = asof_join(ldf, rdf, strategy="rank", **kw).toPandas()
+    cols = ["k", "ts", "rts", "val"]
+    a = a[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    b = b[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
