@@ -21,8 +21,11 @@ Behavioral mapping, key by key:
 - ``checkpoint``       → NEW (no reference equivalent): checkpoint root.
   The reference tracks progress as Kafka offsets committed after flush
   (at-least-once, with its last-offset off-by-one duplicate,
-  ETLTask.java:269,359); here progress lives in the checkpoint +
-  ``_spark_metadata``, which upgrades delivery to exactly-once.
+  ETLTask.java:269,359); here progress lives in the checkpoint. Delivery
+  is exactly-once for ``layout='hive'`` (file-sink ``_spark_metadata``)
+  and for ``layout='reference'`` with ``idempotent=True``; the plain
+  reference layout is at-least-once under crash-replay (exactly-once on
+  clean stop/start) — see streaming/ingest.py.
 
 ``kafkaConsumerProps``: ``bootstrap.servers`` feeds the source; everything
 else passes through with the ``kafka.`` prefix. ``enable.auto.commit`` is

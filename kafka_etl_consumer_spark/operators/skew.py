@@ -82,7 +82,17 @@ def salted_join(
     ``buckets``. Use when the join key is skewed, the dim side is too big
     to broadcast whole but small enough to replicate ×buckets, and AQE
     can't intervene. Join key becomes (on, salt): the hot key's rows spread
-    over ``buckets`` tasks instead of one."""
+    over ``buckets`` tasks instead of one.
+
+    ``how`` is restricted to inner|left (fact-preserving sides): with
+    'right'/'full' an unmatched dim row would be emitted once PER SALT
+    REPLICA — ``buckets`` copies — silently corrupting the outer result."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' only, got {how!r}: "
+            "the dim side is replicated x buckets, so right/full outer "
+            "would duplicate unmatched dim rows once per replica"
+        )
     f = fact.withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(buckets)))
     d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
     out = f.join(d, [on, "__salt"], how)

@@ -13,11 +13,14 @@ Reference semantics being reproduced (SURVEY.md §2.1):
          (KafkaETLParquetConsumer.java:33-42, ETLTask.java:121-137)
          → ``trigger(processingTime=...)``: one micro-batch == one roll
 - C1/C2  offset tracking + flush-then-commit at-least-once
-         (ETLTask.java:332-382) → checkpointLocation + ``_spark_metadata``,
-         which upgrades delivery to exactly-once. Intentional divergences,
-         also exactly-once instead of the reference's systematic
-         1-record-per-partition duplicate (it commits the last *processed*
-         offset, ETLTask.java:269,359): documented here, not replicated.
+         (ETLTask.java:332-382) → checkpointLocation per query. Delivery:
+         ``layout='hive'`` is exactly-once (file sink + ``_spark_metadata``
+         commit log); ``layout='reference'`` is at-least-once under
+         crash-replay (exactly-once on clean stop/start, or always with
+         ``idempotent=True``'s bid-keyed overwrite). All modes beat the
+         reference's systematic 1-record-per-partition duplicate on every
+         restart (it commits the last *processed* offset,
+         ETLTask.java:269,359): documented here, not replicated.
 - K5     filename collision loop (ETLTask.java:221-231) → unnecessary:
          Spark task files are UUID-unique.
 
@@ -130,6 +133,11 @@ def decode_avro(
     Prefers the JVM ``from_avro`` (whole-stage codegen, zero Python) when
     spark-avro is loaded; otherwise decodes with the pure-Python codec in
     Arrow-batched ``mapInPandas`` — still partition-parallel, ~100k msg/s/core.
+    ``corrupt_col`` always uses the Python decoder: JVM PERMISSIVE
+    ``from_avro`` yields an all-null-FIELDS row for a corrupt payload, never
+    a null struct, so there is no JVM-side signal to capture the raw bytes
+    from (and an all-fields-null test would false-positive on a legitimately
+    all-null record).
     """
     keep = list(keep_cols)
     struct_schema = to_spark_struct(avsc)
@@ -139,16 +147,11 @@ def decode_avro(
         decoded = decode_avro(df, avsc, value_col, keep_cols, mode, corrupt_col)
         return _resolve_to_reader(decoded, reader_avsc, keep, corrupt_col)
 
-    if _jvm_from_avro_available(df, value_col, avsc):
+    if corrupt_col is None and _jvm_from_avro_available(df, value_col, avsc):
         from pyspark.sql.avro.functions import from_avro
 
         rec = from_avro(F.col(value_col), avsc, {"mode": mode})
-        base = df.select(*keep, F.col(value_col).alias("__v"), rec.alias("__r"))
-        if corrupt_col is not None:
-            base = base.withColumn(
-                corrupt_col, F.when(F.col("__r").isNull(), F.col("__v"))
-            )
-            return base.select(*keep, corrupt_col, "__r.*")
+        base = df.select(*keep, rec.alias("__r"))
         return base.select(*keep, "__r.*")
 
     schema_tree = parse_schema(avsc)
@@ -294,6 +297,7 @@ def ingest(
     layout: str = "reference",
     mode: str = "FAILFAST",
     event_time_col: str | Column | None = None,
+    idempotent: bool = False,
 ) -> list[StreamingQuery]:
     """Start one streaming query per topic: filter → Avro-decode →
     date-partitioned Snappy Parquet under ``<output_path>/<topic>/...``.
@@ -308,6 +312,8 @@ def ingest(
     - ``"reference"`` — foreachBatch writes
       ``<out>/<topic>/<date_format(now)>/part-*.parquet``: byte-for-byte
       the reference's directory contract (README.md:14-26 of the reference).
+      At-least-once under crash-replay; pass ``idempotent=True`` for
+      exactly-once via bid-keyed overwrite (see _reference_layout_writer).
     - ``"hive"`` — ``partitionBy(dt0, dt1, ...)`` key=value directories:
       partition-prunable by Spark/Hive/Trino readers; preferred for new
       deployments. With ``event_time_col`` (a decoded column name, e.g. an
@@ -349,7 +355,9 @@ def ingest(
             )
         else:
             q = (
-                decoded.writeStream.foreachBatch(_reference_layout_writer(sink_path, date_format))
+                decoded.writeStream.foreachBatch(
+                    _reference_layout_writer(sink_path, date_format, idempotent)
+                )
                 .option("checkpointLocation", ckpt)
                 .trigger(processingTime=trigger)
                 .queryName(f"ingest-{topic}")
@@ -359,12 +367,29 @@ def ingest(
     return queries
 
 
-def _reference_layout_writer(sink_path: str, date_format: str):
+def _reference_layout_writer(sink_path: str, date_format: str, idempotent: bool = False):
     """foreachBatch sink reproducing ``<out>/<topic>/<SimpleDateFormat(now)>/``.
 
     The date string is evaluated once per micro-batch on the driver — the
     exact analogue of the reference freezing it at writer-open time
-    (ETLTask.java:164-167). Empty batches write nothing (K4 lazy-open)."""
+    (ETLTask.java:164-167). Empty batches write nothing (K4 lazy-open).
+
+    Delivery semantics (C1/C2):
+    - ``idempotent=False`` (byte-exact reference layout): **at-least-once
+      under crash-replay** — a batch that dies after a partial append is
+      replayed on restart and re-appended, possibly into a different
+      minute directory. Clean stop/start is exactly-once (checkpoint holds
+      the committed offsets). This still beats the reference, which
+      duplicates one record per partition on EVERY restart
+      (ETLTask.java:269,359).
+    - ``idempotent=True``: exactly-once. Each batch writes to
+      ``<date>/bid=<batch_id>/`` with ``mode=overwrite``, and the batch's
+      date string is pinned in a ``_batch_index`` sidecar BEFORE data is
+      written, so a replay resolves the SAME directory and the overwrite
+      erases any partial files from the failed attempt. Costs one extra
+      directory level (readers use recursiveFileLookup or partition-style
+      globs, as they already must for ``<date>/<HH>/<mm>``).
+    """
     import datetime as _dt
 
     # SimpleDateFormat → strftime for the y/M/d/H/m subset the reference uses
@@ -376,9 +401,38 @@ def _reference_layout_writer(sink_path: str, date_format: str):
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        date_str = _dt.datetime.now(_dt.timezone.utc).strftime(strf)
-        batch_df.write.mode("append").option("compression", "snappy").parquet(
-            f"{sink_path}/{date_str}"
+        spark = batch_df.sparkSession
+        if not idempotent:
+            date_str = _dt.datetime.now(_dt.timezone.utc).strftime(strf)
+            batch_df.write.mode("append").option("compression", "snappy").parquet(
+                f"{sink_path}/{date_str}"
+            )
+            return
+
+        # exactly-once: pin this batch's date dir (write-once marker named
+        # <id>__<date with / as ~>), then overwrite a bid-keyed directory —
+        # both steps are replay-idempotent. Hadoop FS API so any scheme
+        # (file://, hdfs://, s3a://) works, not just the local fs.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        index = HPath(f"{sink_path}/_batch_index")
+        fs = index.getFileSystem(hconf)
+        fs.mkdirs(index)
+        prefix = f"{batch_id}__"
+        existing = [
+            st.getPath().getName()
+            for st in fs.listStatus(index)
+            if st.getPath().getName().startswith(prefix)
+        ]
+        if existing:
+            date_str = existing[0][len(prefix):].replace("~", "/")
+        else:
+            date_str = _dt.datetime.now(_dt.timezone.utc).strftime(strf)
+            marker = HPath(f"{sink_path}/_batch_index/{prefix}{date_str.replace('/', '~')}")
+            fs.create(marker, True).close()
+        batch_df.write.mode("overwrite").option("compression", "snappy").parquet(
+            f"{sink_path}/{date_str}/bid={batch_id}"
         )
 
     return write_batch

@@ -350,3 +350,109 @@ def test_reader_schema_evolution(spark):
     assert out.columns == ["id", "amount", "channel", "note"]  # reader order
     got = sorted((r.id, r.amount, r.channel, r.note) for r in out.collect())
     assert got == [(0, 10, "web", None), (1, 11, "web", None), (2, 12, "web", None)]
+
+
+def test_corrupt_col_never_takes_jvm_path(spark, monkeypatch):
+    """ADVICE r1: JVM PERMISSIVE from_avro returns all-null-FIELDS rows for
+    corrupt payloads (never a null struct), so a JVM-side dead-letter check
+    silently drops them. decode_avro must route corrupt_col through the
+    Python decoder even when the jar looks available — forcing the probe to
+    True proves the branch: the JVM path would crash here (no jar), the
+    Python path captures the bytes."""
+    import sys
+
+    ing = sys.modules["kafka_etl_consumer_spark.streaming.ingest"]
+    monkeypatch.setattr(ing, "_jvm_from_avro_available", lambda *a: True)
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    good = encode_record(schema, item_view_events(1)[0])
+    df = spark.createDataFrame(
+        [
+            Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(good)),
+            Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(b"\x07broken")),
+        ],
+        ENVELOPE,
+    )
+    out = ing.decode_avro(
+        df, ITEM_VIEW_EVENT_AVSC, keep_cols=["topic"],
+        mode="PERMISSIVE", corrupt_col="_corrupt",
+    )
+    dead = out.filter(F.col("_corrupt").isNotNull()).collect()
+    assert len(dead) == 1 and bytes(dead[0]._corrupt) == b"\x07broken"
+
+
+def test_reference_layout_idempotent_replay(spark, tmp_path):
+    """Chaos-replay parity (VERDICT r1 item 6): after a crash mid-batch,
+    Structured Streaming re-invokes foreachBatch with the SAME batch_id.
+    With idempotent=True the replay must overwrite the bid-keyed directory
+    pinned by the _batch_index marker — partial files from the failed
+    attempt disappear and the row set equals the batch exactly once."""
+    from kafka_etl_consumer_spark.streaming.ingest import _reference_layout_writer
+
+    sink = str(tmp_path / "sink")
+    writer = _reference_layout_writer(sink, "yyyy-MM-dd/HH/mm", idempotent=True)
+    batch = _encoded_events_df(spark, 5)
+
+    writer(batch, 0)
+    files_first = set(glob.glob(f"{sink}/**/*.parquet", recursive=True))
+    assert files_first, "first attempt wrote nothing"
+
+    # simulate a partial leftover from a crashed attempt, then the replay
+    bid_dir = next(iter(files_first)).rsplit("/", 1)[0]
+    (tmp_path / "garbage").write_bytes(b"not parquet")
+    import shutil
+
+    shutil.copy(tmp_path / "garbage", f"{bid_dir}/part-leftover.parquet.tmp")
+    writer(batch, 0)
+
+    back = spark.read.option("recursiveFileLookup", "true").parquet(sink)
+    assert back.count() == 5  # exactly once, not 10, and no stray partials
+    assert not glob.glob(f"{sink}/**/part-leftover*", recursive=True)
+    # marker pinned one date dir: replay reused it (no second date dir)
+    import os
+
+    date_dirs = {
+        os.path.relpath(p, sink).split("/bid=")[0]
+        for p in glob.glob(f"{sink}/*/*/*/bid=*", recursive=False)
+    }
+    assert len(date_dirs) == 1
+
+
+def test_ingest_idempotent_restart_no_duplicates(spark, tmp_path):
+    """End-to-end idempotent reference layout across a stop/restart."""
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+
+    def stage(events):
+        rows = [
+            Row(topic=ITEM_VIEW_EVENT_TOPIC, value=bytearray(encode_record(schema, r)))
+            for r in events
+        ]
+        spark.createDataFrame(rows, ENVELOPE).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        qs = ingest(
+            spark.readStream.schema(ENVELOPE).parquet(src),
+            DictSchemaRegistry({ITEM_VIEW_EVENT_TOPIC: ITEM_VIEW_EVENT_AVSC}),
+            out,
+            topics=[ITEM_VIEW_EVENT_TOPIC],
+            checkpoint_path=ckpt,
+            idempotent=True,
+        )
+        try:
+            for q in qs:
+                q.processAllAvailable()
+        finally:
+            for q in qs:
+                q.stop()
+
+    all_events = item_view_events(8)
+    stage(all_events[:5])
+    run_once()
+    stage(all_events[5:])
+    run_once()
+
+    back = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{out}/{ITEM_VIEW_EVENT_TOPIC}"
+    )
+    got = sorted(r.itemId for r in back.select("itemId").collect())
+    assert got == sorted(e["itemId"] for e in all_events)

@@ -89,3 +89,15 @@ def test_salted_join_left_keeps_unmatched(spark, sf_dir):
         got.filter(F.col("p_brand").isNull()).count()
         == want.filter(F.col("p_brand").isNull()).count()
     )
+
+
+def test_salted_join_rejects_outer(spark):
+    """ADVICE r1: dim side is replicated x buckets, so right/full outer
+    would emit unmatched dim rows once per salt replica."""
+    import pytest
+    from kafka_etl_consumer_spark.operators.skew import salted_join
+
+    df = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="inner"):
+            salted_join(df, df, on="k", salt_src="k", how=how)
