@@ -32,7 +32,16 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
     "q18_large_volume",
+    "q19_disjunctive",
+    "q22_global_sales",
+    "grouping_sets_agg",
+    "pivot_agg",
     "stats_agg",
     "win_ntile_dist",
     "filter_project",
@@ -50,8 +59,10 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "dedup_embedding_lsh",
     "text_quality",
     "multimodal_meta",
+    "multimodal_pixels",
     "pipeline_prepare_corpus",
 ]
 

@@ -3,15 +3,19 @@
 Convention (SURVEY.md §2.2 north-star row): media travels as an opaque
 ``binary`` column plus a typed metadata struct
 (``media_type``, ``n_bytes``, per-type fields). Decode / feature-extract /
-resize / frame-sample run as Arrow-batched ``mapInPandas`` stages — the
-Spark-side plumbing (schema, batching, partition parallelism) is real and
-tested; the actual pixel/sample decoding is STUBBED because no image/audio
-libraries exist in this container.
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages.
 
-``decode_image_meta`` uses a deterministic fake decoder (header arithmetic
-on the bytes) so tests and the DuckDB oracle can verify the full pipeline
-shape end-to-end. ``decode_image_pixels`` is the honest stub: it raises
-NotImplementedError where PIL/libvips would be called.
+Pixel decode is REAL for the uncompressed formats a pure-numpy decoder can
+handle — binary PPM (P6), PGM (P5), and 24-bit uncompressed BMP — via
+``decode_image_pixels`` / ``resize_images``; audio features are real numpy
+over PCM. Compressed formats (JPEG/PNG/...) raise ``ValueError`` at the
+parse step because no imaging library exists in this container; in
+production swap ``_parse_image`` for PIL/pyvips — every Spark-side contract
+(schema, Arrow batching, partition parallelism) is unchanged.
+
+``decode_image_meta`` keeps the deterministic header-arithmetic fake so the
+metadata-path oracle stays engine-independent; ``decode_image_pixels`` is
+the real-bytes path.
 
 Scale: mapInPandas is per-partition streaming over Arrow batches — no
 shuffle, memory bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
@@ -78,23 +82,172 @@ def decode_image_meta(df: DataFrame, media_col: str = "media", id_col: str = "do
     return df.select(id_col, media_col).mapInPandas(decode, _IMG_META_SCHEMA)
 
 
-def decode_image_pixels(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Real pixel decode — requires an imaging library not present in this
-    environment. The stub keeps the API surface + schema contract."""
-    raise NotImplementedError(
-        "pixel decode requires PIL/pyvips (not in this container); "
-        "wire the library into a mapInPandas stage shaped like decode_image_meta"
+def encode_ppm(pixels, width: int, height: int) -> bytes:
+    """RGB uint8 array (height*width*3 flat or HxWx3) → binary PPM (P6)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8).reshape(-1)
+    if arr.size != width * height * 3:
+        raise ValueError(f"need {width * height * 3} bytes, got {arr.size}")
+    return b"P6\n%d %d\n255\n" % (width, height) + arr.tobytes()
+
+
+def _parse_image(b: bytes):
+    """(width, height, channels, flat uint8 RGB/gray array) from binary
+    PPM (P6) / PGM (P5) / 24-bit uncompressed BMP bytes. Pure numpy — the
+    one function to swap for PIL/pyvips when compressed formats matter."""
+    import numpy as np
+
+    b = bytes(b)
+    if b[:2] in (b"P6", b"P5"):
+        # header: magic, width, height, maxval — '#' comments allowed
+        tokens, pos = [], 2
+        while len(tokens) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                pos = b.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(b[start:pos]))
+        pos += 1  # exactly one whitespace after maxval, then raster
+        w, h, maxval = tokens
+        if maxval > 255:
+            raise ValueError("16-bit PPM/PGM not supported")
+        ch = 3 if b[:2] == b"P6" else 1
+        data = np.frombuffer(b, dtype=np.uint8, count=w * h * ch, offset=pos)
+        return w, h, ch, data
+    if b[:2] == b"BM":
+        off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        comp = int.from_bytes(b[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})")
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * abs(h), offset=off)
+        rows = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:
+            rows = rows[::-1]  # bottom-up storage
+        return w, abs(h), 3, rows[..., ::-1].reshape(-1).copy()  # BGR→RGB
+    raise ValueError(
+        f"unsupported image magic {b[:2]!r}: pure-numpy decode handles "
+        "PPM/PGM/24-bit BMP; compressed formats need PIL/pyvips"
     )
 
 
-def resize_images(df: DataFrame, width: int, height: int, media_col: str = "media") -> DataFrame:
-    """Real pixel resize — imaging library required (stub, like
-    decode_image_pixels). The production shape: mapInPandas batch of
-    binaries → decode → resize → re-encode, one worker pass, no shuffle."""
-    raise NotImplementedError(
-        "pixel resize requires PIL/pyvips (not in this container); "
-        "wire it into a mapInPandas stage shaped like extract_audio_features"
+_PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("pixels", T.BinaryType()),  # decoded row-major buffer
+    ]
+)
+
+
+def decode_image_pixels(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL pixel decode for PPM/PGM/BMP → (dims, channels, raw pixel
+    buffer). The buffer column is the decoded tensor bytes (row-major,
+    interleaved channels) — downstream numpy stages reshape for free, and
+    nothing re-parses headers."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, bufs = [], [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[media_col]):
+                w, h, ch, data = _parse_image(payload)
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                bufs.append(data.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "channels": chs, "pixels": bufs}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(decode, _PIXELS_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL nearest-neighbor resize: decode → index-sample → re-encode PPM.
+    One mapInPandas pass, no shuffle; source pixel for destination (x, y)
+    is ``(x*W//width, y*H//height)`` — the deterministic floor mapping, so
+    results are bit-identical across engines and retries. Gray inputs are
+    broadcast to RGB on the way out (output is always P6)."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
     )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, medias = [], []
+            for i, payload in zip(pdf[id_col], pdf[media_col]):
+                w, h, ch, data = _parse_image(payload)
+                img = data.reshape(h, w, ch)
+                if ch == 1:
+                    img = np.repeat(img, 3, axis=2)
+                ys = np.arange(height) * h // height
+                xs = np.arange(width) * w // width
+                out = img[ys][:, xs]
+                ids.append(i)
+                medias.append(encode_ppm(out, width, height))
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": width, "height": height, "media": medias}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(resize, schema)
+
+
+_CHANNEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mean_c0", T.DoubleType()),
+        T.StructField("mean_c1", T.DoubleType()),
+        T.StructField("mean_c2", T.DoubleType()),
+    ]
+)
+
+
+def image_channel_stats(df: DataFrame) -> DataFrame:
+    """Per-channel pixel means over ``decode_image_pixels`` output (null for
+    channels the image lacks). Integer sums are exact in float64, so the
+    result is bit-identical across engines and summation orders — no
+    rounding needed for cross-engine comparison."""
+    import numpy as np
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, m0, m1, m2 = [], [], [], []
+            for i, buf, ch in zip(pdf["doc_id"], pdf["pixels"], pdf["channels"]):
+                arr = np.frombuffer(bytes(buf), np.uint8).astype(np.float64)
+                means = arr.reshape(-1, ch).mean(axis=0)
+                ids.append(i)
+                m0.append(float(means[0]))
+                m1.append(float(means[1]) if ch > 1 else None)
+                m2.append(float(means[2]) if ch > 2 else None)
+            yield pd.DataFrame({"doc_id": ids, "mean_c0": m0, "mean_c1": m1, "mean_c2": m2})
+
+    return df.select("doc_id", "pixels", "channels").mapInPandas(stats, _CHANNEL_STATS_SCHEMA)
 
 
 _AUDIO_FEAT_SCHEMA = T.StructType(

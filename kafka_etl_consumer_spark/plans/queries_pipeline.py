@@ -9,8 +9,10 @@ is exact — no rows-only fallbacks needed.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_etl_consumer_spark.functions.hashing import hash64_sql, minhash_coeffs
 from kafka_etl_consumer_spark.functions.text import tokens_sql, word_shingles_sql
@@ -361,6 +363,73 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stand-in for keyframe offsets) via mapInPandas flat-map."""
     docs = M.attach_binary(_t(spark, sf_dir, "documents"))
     return M.sample_frames(docs, every_n_bytes=64)
+
+
+@register(
+    "multimodal_pixels",
+    oracle="""
+    WITH px AS (
+        SELECT d.doc_id,
+               avg((d.doc_id * 7 + 3 * t.j) % 256) AS mean_r,
+               avg((d.doc_id * 7 + 3 * t.j + 1) % 256) AS mean_g,
+               avg((d.doc_id * 7 + 3 * t.j + 2) % 256) AS mean_b
+        FROM documents d, range(0, 144) t(j)
+        GROUP BY d.doc_id),
+    rz AS (
+        SELECT d.doc_id,
+               avg((d.doc_id * 7
+                    + 3 * (((t.j2 // 8) * 9 // 4) * 16 + (t.j2 % 8) * 2)) % 256)
+                   AS resized_mean_r
+        FROM documents d, range(0, 32) t(j2)
+        GROUP BY d.doc_id)
+    SELECT px.doc_id, mean_r, mean_g, mean_b, resized_mean_r
+    FROM px JOIN rz USING (doc_id)
+    """,
+)
+def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode + resize, end to end: synthesize a deterministic
+    16x9 PPM per document (flat value (doc_id*7 + i) % 256 at byte i), run
+    the actual PPM parser (`multimodal._parse_image`), take per-channel
+    means of the decoded buffer, nearest-neighbor resize to 8x4 through
+    `resize_images` (decode → index-sample → PPM re-encode → decode again),
+    and mean the resized red channel. The oracle reproduces the pixel
+    values arithmetically — so header parsing, buffer layout, channel
+    interleave, and the floor-mapping resample are all hash-checked.
+    Both branches are narrow numpy maps; the final equi-join is on doc_id
+    (broadcast at any realistic image-table size)."""
+    import numpy as np
+
+    W, H, RW, RH = 16, 9, 8, 4
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, medias = [], []
+            for i in pdf["doc_id"]:
+                flat = (int(i) * 7 + np.arange(W * H * 3)) % 256
+                ids.append(i)
+                medias.append(M.encode_ppm(flat, W, H))
+            yield pd.DataFrame({"doc_id": ids, "media": medias})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    media = ensure_min_parallelism(docs).mapInPandas(gen, gen_schema)
+    px = M.image_channel_stats(M.decode_image_pixels(media)).select(
+        "doc_id",
+        F.col("mean_c0").alias("mean_r"),
+        F.col("mean_c1").alias("mean_g"),
+        F.col("mean_c2").alias("mean_b"),
+    )
+    rz = M.image_channel_stats(
+        M.decode_image_pixels(M.resize_images(media, RW, RH))
+    ).select("doc_id", F.col("mean_c0").alias("resized_mean_r"))
+    return px.join(rz, "doc_id")
 
 
 @register(

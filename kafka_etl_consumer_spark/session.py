@@ -26,12 +26,28 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     shingle/hash/decode) over sources that arrive as a handful of files.
 
     On a 100 TB table the scan already yields ~800k splits and this is a
-    no-op (the check is plan metadata, no job). On a 1-file table it turns
-    a single-core pipeline into a full-width one for the price of shuffling
-    the (small) input once — measured 8x on the minhash bench."""
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    no-op. On a 1-file table it turns a single-core pipeline into a
+    full-width one for the price of shuffling the (small) input once —
+    measured 8x on the minhash bench.
+
+    The check reads the optimizer's size estimate — pure plan metadata, no
+    job, and (unlike the previous ``df.rdd.getNumPartitions()`` probe, cut
+    per VERDICT r1) no plan→RDD conversion: inputs smaller than
+    ``target × maxPartitionBytes`` can't produce ``target`` scan splits, so
+    they repartition; anything bigger already scans wide."""
+    session = df.sparkSession
+    target = min_partitions or session.sparkContext.defaultParallelism
+    if target <= 1:
+        return df  # any non-empty input already yields >= 1 partition
+    raw = str(session.conf.get("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)))
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "b": 1}
+    low = raw.strip().lower().removesuffix("b")
+    max_pb = (
+        int(low[:-1]) * units[low[-1]] if low and low[-1] in units else int(low or 0)
+    )
+    stat = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    size = int(stat.toString()) if hasattr(stat, "toString") else int(stat)
+    if size < target * max_pb:
         return df.repartition(target)
     return df
 

@@ -47,10 +47,90 @@ def test_audio_features_match_numpy(spark, sf_dir):
         assert r.peak == int(np.abs(x).max())
 
 
-def test_resize_is_honest_stub(spark, sf_dir):
+def test_parse_image_ppm_pgm_bmp_and_rejects_compressed():
+    from kafka_etl_consumer_spark.operators.multimodal import _parse_image, encode_ppm
+
+    # PPM round-trip, with a header comment
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8)
+    ppm = encode_ppm(rgb, 3, 2)
+    commented = ppm[:2] + b"\n# a comment\n" + ppm[2:]
+    for payload in (ppm, commented):
+        w, h, ch, data = _parse_image(payload)
+        assert (w, h, ch) == (3, 2, 3)
+        np.testing.assert_array_equal(data, rgb)
+
+    # PGM (grayscale)
+    gray = np.arange(6, dtype=np.uint8)
+    w, h, ch, data = _parse_image(b"P5\n3 2\n255\n" + gray.tobytes())
+    assert (w, h, ch) == (3, 2, 1)
+    np.testing.assert_array_equal(data, gray)
+
+    # 24-bit bottom-up BMP, 2x2: rows padded to 4-byte multiples, BGR order
+    px = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8
+    )  # RGB, row 0 = top
+    stride = (2 * 3 + 3) // 4 * 4
+    raster = b""
+    for row in px[::-1]:  # bottom-up
+        rowb = row[:, ::-1].tobytes()  # BGR
+        raster += rowb + b"\x00" * (stride - len(rowb))
+    header = (
+        b"BM" + (14 + 40 + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + b"\x00" * 20
+    )
+    w, h, ch, data = _parse_image(header + raster)
+    assert (w, h, ch) == (2, 2, 3)
+    np.testing.assert_array_equal(data.reshape(2, 2, 3), px)
+
+    with pytest.raises(ValueError, match="unsupported image magic"):
+        _parse_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_decode_and_resize_real_pixels(spark):
+    from kafka_etl_consumer_spark.operators.multimodal import (
+        _parse_image,
+        decode_image_pixels,
+        encode_ppm,
+        image_channel_stats,
+    )
+
+    W, H = 4, 4
+    rows = []
+    for i in range(3):
+        flat = (np.arange(W * H * 3) * (i + 1)) % 256
+        rows.append((i, bytearray(encode_ppm(flat, W, H))))
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+
+    px = decode_image_pixels(df).toPandas().set_index("doc_id")
+    for i in range(3):
+        expect = (np.arange(W * H * 3) * (i + 1)) % 256
+        np.testing.assert_array_equal(
+            np.frombuffer(bytes(px.loc[i, "pixels"]), np.uint8), expect
+        )
+
+    # nearest-neighbor 4x4 -> 2x2 must pick pixels (0,0),(0,2),(2,0),(2,2)
+    rz = resize_images(df, 2, 2).toPandas().set_index("doc_id")
+    w, h, ch, data = _parse_image(bytes(rz.loc[1, "media"]))
+    assert (w, h, ch) == (2, 2, 3)
+    src = ((np.arange(W * H * 3) * 2) % 256).reshape(H, W, 3)
+    np.testing.assert_array_equal(data.reshape(2, 2, 3), src[[0, 2]][:, [0, 2]])
+
+    stats = image_channel_stats(decode_image_pixels(df)).toPandas().set_index("doc_id")
+    flat0 = (np.arange(W * H * 3)) % 256
+    assert stats.loc[0, "mean_c0"] == flat0.reshape(-1, 3)[:, 0].mean()
+
+
+def test_resize_rejects_non_image_bytes(spark, sf_dir):
     docs = attach_binary(spark.read.parquet(f"{sf_dir}/documents.parquet").limit(1))
-    with pytest.raises(NotImplementedError, match="resize"):
-        resize_images(docs, 224, 224)
+    with pytest.raises(Exception, match="unsupported image magic"):
+        resize_images(docs, 224, 224).collect()
 
 
 def test_theta_distinct_ungrouped(spark, sf_dir):
