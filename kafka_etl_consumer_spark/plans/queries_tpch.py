@@ -497,7 +497,7 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > (SELECT 1.8 * avg(o_totalprice) FROM orders)
     """,
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -510,7 +510,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > (SELECT 2 * avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > (SELECT 1.8 * avg(o_totalprice) FROM orders)
         """
     )
 
