@@ -27,18 +27,26 @@ from kafka_etl_consumer_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "flagship_event_rollup",
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
+    "q9_product_profit",
     "q10_returned_items",
+    "q11_important_stock",
+    "q12_ship_delay",
     "q13_order_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
+    "q16_supplier_cnt",
     "q17_small_quantity",
     "q18_large_volume",
     "q19_disjunctive",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
     "q22_global_sales",
     "grouping_sets_agg",
     "pivot_agg",

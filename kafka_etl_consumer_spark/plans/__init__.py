@@ -5,6 +5,7 @@ from kafka_etl_consumer_spark.plans import queries as _q  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_fn as _qf  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline as _qp  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_tpch as _qt  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_tpch2 as _qt2  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_udf as _qu  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

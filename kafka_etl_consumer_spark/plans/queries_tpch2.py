@@ -1,0 +1,496 @@
+"""Query surface batch 5: the 8 remaining TPC-H query shapes (q2, q4, q9,
+q11, q12, q16, q20, q21), completing the full 22-query relational suite.
+
+The driver's testdata is a trimmed TPC-H: there is NO partsupp table and
+lineitem lacks l_shipmode / l_commitdate / l_receiptdate. Each query below
+keeps the ORIGINAL query's plan shape — the thing that matters for engine
+coverage and 100 TB planning — with predicates re-targeted onto available
+columns:
+
+- partsupp-derived quantities (supply cost, avail qty) are derived from
+  lineitem per (partkey, suppkey): unit cost = min(extendedprice/quantity),
+  shipped qty = sum(quantity).
+- "late delivery" (commitdate < receiptdate) becomes
+  l_shipdate > o_orderdate + 60 days.
+
+Same conventions as plans/queries.py: identical aliases in both engines,
+aggregate floats rounded in both, per-row floats never rounded, LIMIT always
+under a TOTAL ordering (unique tiebreaker) so top-k is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               min(l_extendedprice / l_quantity) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    ranked AS (
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost,
+               min(unit_cost) OVER (PARTITION BY p_partkey) AS best_cost
+        FROM cost
+        JOIN eu   ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM ranked
+    WHERE unit_cost = best_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each qualifying part,
+    the EUROPE supplier offering the lowest unit cost, where unit cost is
+    derived from lineitem (min extendedprice/quantity per part+supplier —
+    the partsupp stand-in; partsupp does not exist in this dataset).
+
+    Plan shape preserved from the original: aggregate → correlated-min →
+    join-back, decorrelated as a window MIN over partkey so the min and the
+    filter share ONE shuffle instead of an agg + re-join (what Catalyst
+    rewrites the correlated subquery into anyway). The supplier⋈nation⋈
+    region dimension chain broadcasts, so the only wide exchange at 100 TB
+    is the lineitem cost rollup; the window reuses its partitioning.
+    Top-k via TakeOrderedAndProject under a total ordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    ranked = (
+        cost.join(F.broadcast(eu), cost.l_suppkey == eu.s_suppkey)
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .withColumn(
+            "best_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey"))
+        )
+    )
+    return (
+        ranked.filter(F.col("unit_cost") == F.col("best_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS against lineitem →
+    LEFT SEMI join, the canonical decorrelation. "Late" = shipped more than
+    60 days after the order date (the dataset has no commitdate/receiptdate).
+
+    The date filter prunes orders BEFORE the semi join, and the semi join
+    keeps at most one match per order — no fan-out, map-side combinable agg
+    after. At 100 TB the semi join is the one shuffle; the grouped count is
+    5 rows."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): 5-way join, profit per supplier
+    nation per order year. Supply cost proxied as 0.5 * p_retailprice per
+    unit (no partsupp.ps_supplycost in this dataset).
+
+    The p_name LIKE filter lands on the part scan and the part⋈lineitem
+    join broadcasts the filtered parts, shrinking lineitem EARLY — at 100 TB
+    the '%widget%' selectivity (~1/6) is the whole game. supplier and nation
+    broadcast too; lineitem⋈orders is the only fact-fact shuffle, and the
+    final (nation, year) rollup is tiny.
+
+    The profit sum accumulates in DECIMAL(18,4): double accumulation is
+    order-dependent and this query's measure (a DIFFERENCE of products)
+    lands groups near .xx5 rounding boundaries, where Spark and DuckDB
+    round opposite ways. Exact decimal accumulation is order-independent
+    and identical in both engines (and is what you'd want for money at
+    100 TB anyway)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+                    ).cast("decimal(18,4)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH nation_value AS (
+        SELECT l_partkey, l_extendedprice * (1 - l_discount) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+    )
+    SELECT l_partkey AS p_partkey,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS part_value
+    FROM nation_value
+    GROUP BY l_partkey
+    HAVING sum(CAST(value AS DECIMAL(18,4))) > (SELECT 1.5 * avg(pv) FROM (
+        SELECT sum(CAST(value AS DECIMAL(18,4))) AS pv
+        FROM nation_value GROUP BY l_partkey))
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): per-part value for
+    one nation's suppliers, keeping parts above a GLOBAL threshold computed
+    by a scalar subquery — the HAVING-with-scalar-subquery shape. Value
+    derives from lineitem revenue (no partsupp availqty/supplycost here);
+    the threshold is 2x the mean per-part value rather than the original's
+    fixed fraction, which keeps selectivity meaningful at EVERY scale
+    factor (the original's 0.0001/SF fraction does the same re-scaling).
+
+    Decorrelated the way Catalyst would: the global total is a second agg
+    over the SAME pre-filtered frame, broadcast into the filter, so the base
+    join runs once per branch off a common cached-scan and nothing shuffles
+    twice at the same width. The nation filter broadcasts into lineitem via
+    the supplier dim, so only ~1/25 of lineitem survives the scan join."""
+    li = _t(spark, sf_dir, "lineitem")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select("s_suppkey")
+    )
+    value = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(18,4)")
+        .alias("value"),
+    )
+    per_part = value.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum("value").alias("raw_value")
+    )
+    threshold = per_part.agg(
+        (F.avg("raw_value").cast("double") * 1.5).alias("thr")
+    )
+    return (
+        per_part.join(F.broadcast(threshold), per_part.raw_value > threshold.thr)
+        .select(
+            "p_partkey", F.round("raw_value", 2).cast("double").alias("part_value")
+        )
+    )
+
+
+@register(
+    "q12_ship_delay",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90 THEN 'LATE'
+                WHEN date_diff('day', o_orderdate, l_shipdate) > 30 THEN 'SLOW'
+                ELSE 'FAST' END AS ship_speed,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ship_speed
+    """,
+)
+def q12_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes / priority): conditional aggregation
+    (CASE inside SUM) bucketed by a DERIVED dimension — ship delay class
+    computed from datediff(shipdate, orderdate), standing in for l_shipmode
+    (absent in this dataset).
+
+    The year filter pushes into the lineitem scan; the single shuffle is
+    lineitem⋈orders; both CASE sums fold into one map-side combinable agg
+    over 3 groups. This is the canonical 'pivot two measures out of one
+    pass' plan — no second scan, no join per measure."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(delay > 90, "LATE")
+            .when(delay > 30, "SLOW")
+            .otherwise("FAST")
+            .alias("ship_speed")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 200
+    """,
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers ship each qualifying (brand, type, size), EXCLUDING a
+    blacklist via NOT IN → LEFT ANTI join. Supplier "complaints" are
+    proxied as negative account balance (the dataset has no s_comment);
+    part attributes come through the lineitem⋈part join (no partsupp).
+
+    The exclusion list is tiny → broadcast anti join, free at any scale.
+    The part filter broadcasts; the COUNT(DISTINCT suppkey) is the one real
+    shuffle and Spark runs it as the standard two-phase partial-distinct
+    expand. Top-k under a total ordering (group key is unique)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(200)
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        GROUP BY l_partkey, l_suppkey
+    ),
+    heavy AS (
+        SELECT DISTINCT l_suppkey FROM (
+            SELECT l_suppkey, qty,
+                   avg(qty) OVER (PARTITION BY l_partkey) AS avg_qty
+            FROM shipped)
+        WHERE qty > 1.5 * avg_qty
+    )
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_11')
+      AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): nested IN-subqueries —
+    suppliers (in a nation set) whose shipped quantity of any 'red%' part
+    in 1997 exceeded 1.5x the average shipped for that part. Shipped
+    quantity per (part, supplier) is the partsupp.availqty stand-in.
+
+    Same decorrelation the original demands: innermost part filter →
+    broadcast semi-join into the lineitem scan; per-(part,supplier) rollup;
+    per-part threshold as a window avg over the SAME partkey-clustered
+    exchange (AQE reuses it); distinct suppliers → broadcast semi into the
+    supplier dim. Nothing in the chain shuffles lineitem more than once at
+    100 TB."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = _t(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    heavy = (
+        shipped.withColumn(
+            "avg_qty", F.avg("qty").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("qty") > 1.5 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin("NATION_3", "NATION_11"))
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH flagged AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        FROM flagged
+        GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM flagged WHERE late) lw
+    JOIN per_order po ON lw.l_orderkey = po.l_orderkey
+    JOIN supplier ON s_suppkey = lw.l_suppkey
+    WHERE po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finalized
+    orders, the supplier who was the ONLY late one in a multi-supplier
+    order. The original's EXISTS (another supplier) AND NOT EXISTS (another
+    LATE supplier) double-correlation is decorrelated into one per-order
+    aggregate — n_supp >= 2 encodes the EXISTS, n_late = 1 the NOT EXISTS —
+    which is how you want it at 100 TB: TWO orderkey-clustered shuffles
+    total (the flag rollup and the join-back, same key so AQE/exchange
+    reuse apply) instead of two correlated per-row probes of lineitem.
+    "Late" = shipped > 60 days after the order date (no receipt/commit
+    dates in this dataset). Supplier dim broadcasts; top-k under a total
+    ordering (s_name unique)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_pairs = (
+        flagged.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        late_pairs.join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

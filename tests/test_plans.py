@@ -93,3 +93,35 @@ def test_asof_merge_plan_has_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_asof", mode="simple")
     assert "Join" not in plan
     assert "Window" in plan
+
+def test_q4_exists_plans_as_semi_join(spark, sf_dir):
+    # the EXISTS decorrelates to ONE left-semi join (no fan-out, no
+    # correlated per-row subquery re-execution)
+    plan = _plan(spark, sf_dir, "q4_order_priority", mode="simple")
+    assert "LeftSemi" in plan
+
+
+def test_q9_broadcasts_every_dim(spark, sf_dir):
+    # part (filtered), supplier, nation all broadcast: the only
+    # sort-merge-eligible shuffle is the lineitem⋈orders fact join
+    plan = _plan(spark, sf_dir, "q9_product_profit", mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q2_no_cartesian_and_single_window(spark, sf_dir):
+    # the correlated-min decorrelation must stay a window MIN over the
+    # partkey exchange — never an extra agg+join-back pair or a nested loop
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_q21_double_correlation_is_two_shuffles_not_probes(spark, sf_dir):
+    # EXISTS + NOT EXISTS decorrelated into one per-order aggregate: the
+    # plan re-reads lineitem (cheap, columnar) but must never plan a
+    # correlated nested-loop; top-k is TakeOrderedAndProject
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
