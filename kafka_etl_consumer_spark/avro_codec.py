@@ -11,17 +11,30 @@ via an Arrow-batched ``mapInPandas`` otherwise.
 
 Supported: the full Avro 1.x type lattice the reference's registry can feed
 it — null, boolean, int, long, float, double, bytes, string, record (incl.
-nested + named references), enum, array, map, union, fixed. Logical types
-are passed through as their base type (the reference carries epoch-millis
-as plain long — item-view-event.avsc:18-23; FIXTURES.md §A).
+nested + named references), enum, array, map, union, fixed — plus the
+standard logical types with the same Spark mapping the JVM ``from_avro``
+uses (SchemaConverters semantics): ``date`` → DateType,
+``timestamp-millis``/``timestamp-micros`` → TimestampType (session-tz;
+this repo pins ``spark.sql.session.timeZone=UTC``, session.py),
+``local-timestamp-*`` → TimestampNTZType, ``decimal`` on bytes/fixed →
+DecimalType(precision, scale); ``uuid``/``time-*`` pass through as their
+base type. (The reference itself carries epoch-millis as plain long —
+item-view-event.avsc:18-23; FIXTURES.md §A — so logical types only appear
+when users bring richer schemas.)
 
-Multi-branch non-null unions have no clean Spark type; like the reference
-(which would throw on a schema mismatch, AbstractAvroDeserializeService.java:56-59)
-we fail fast at schema-translation time.
+Multi-branch non-null unions follow spark-avro: ``[int, long]`` widens to
+LongType, ``[float, double]`` to DoubleType, and any other non-null
+multi-branch union becomes a struct of nullable ``member0..memberN-1``
+fields (one per non-null branch, exactly one set per value). The reference
+would throw on any schema it didn't expect
+(AbstractAvroDeserializeService.java:56-59); we keep fail-fast only for
+shapes Spark itself cannot type (recursive records).
 """
 
 from __future__ import annotations
 
+import datetime as dt
+import decimal
 import io
 import json
 import struct
@@ -30,6 +43,18 @@ from typing import Any
 from pyspark.sql import types as T
 
 _PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+# logical types we materialize (anything else passes through as base type)
+_LOGICALS = {
+    "date",
+    "timestamp-millis",
+    "timestamp-micros",
+    "local-timestamp-millis",
+    "local-timestamp-micros",
+    "decimal",
+}
+_EPOCH_DATE = dt.date(1970, 1, 1)
+_EPOCH_DT = dt.datetime(1970, 1, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -83,6 +108,10 @@ def parse_schema(avsc: str | dict) -> dict:
             ns = node.get("namespace", namespace)
             full = f"{ns}.{node['name']}" if ns else node["name"]
             out = {"type": "fixed", "name": full, "size": int(node["size"])}
+            if node.get("logicalType") == "decimal":
+                out["logicalType"] = "decimal"
+                out["precision"] = int(node["precision"])
+                out["scale"] = int(node.get("scale", 0))
             named[full] = out
             named.setdefault(node["name"], out)
             return out
@@ -91,7 +120,14 @@ def parse_schema(avsc: str | dict) -> dict:
         if t == "map":
             return {"type": "map", "values": resolve(node["values"], namespace)}
         if t in _PRIMITIVES:
-            return t  # {"type": "long", "logicalType": ...} → base type
+            lt = node.get("logicalType")
+            if lt in _LOGICALS:  # keep the annotation; else → base type
+                out = {"type": t, "logicalType": lt}
+                if lt == "decimal":
+                    out["precision"] = int(node["precision"])
+                    out["scale"] = int(node.get("scale", 0))
+                return out
+            return t
         return resolve(t, namespace)
 
     return resolve(raw, None)
@@ -122,18 +158,29 @@ def to_spark_type(schema: Any, _visiting: frozenset[str] = frozenset()) -> tuple
 
     ``["null", X]`` unions become nullable X — exactly what the JVM
     ``from_avro`` does for the reference's all-nullable-fields schema
-    (FIXTURES.md §A). Recursive records are legal Avro but have no Spark
-    representation → ValueError (fail fast, like multi-branch unions)."""
+    (FIXTURES.md §A). Multi-branch unions follow spark-avro
+    SchemaConverters: [int,long]→LongType, [float,double]→DoubleType,
+    anything else → struct of nullable member0..memberN-1. Recursive
+    records are legal Avro but have no Spark representation → ValueError
+    (fail fast)."""
     if isinstance(schema, str):
         return _AVRO_TO_SPARK[schema], schema == "null"
     if isinstance(schema, list):
         non_null = [b for b in schema if b != "null"]
+        nullable = len(non_null) < len(schema)
         if len(non_null) == 1:
-            dt, _ = to_spark_type(non_null[0], _visiting)
-            return dt, True
-        raise ValueError(
-            f"multi-branch Avro union has no Spark equivalent: {[_type_name(b) for b in schema]}"
-        )
+            dtype, _ = to_spark_type(non_null[0], _visiting)
+            return dtype, nullable
+        names = {_type_name(b) for b in non_null}
+        if names == {"int", "long"}:
+            return T.LongType(), nullable
+        if names == {"float", "double"}:
+            return T.DoubleType(), nullable
+        fields = [
+            T.StructField(f"member{i}", to_spark_type(b, _visiting)[0], True)
+            for i, b in enumerate(non_null)
+        ]
+        return T.StructType(fields), nullable
     t = schema["type"]
     if t == "record":
         if schema["name"] in _visiting:
@@ -149,7 +196,20 @@ def to_spark_type(schema: Any, _visiting: frozenset[str] = frozenset()) -> tuple
     if t == "enum":
         return T.StringType(), False
     if t == "fixed":
+        if schema.get("logicalType") == "decimal":
+            return T.DecimalType(schema["precision"], schema["scale"]), False
         return T.BinaryType(), False
+    if t in _PRIMITIVES:  # logical-typed primitive node
+        lt = schema.get("logicalType")
+        if lt == "date":
+            return T.DateType(), False
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return T.TimestampType(), False
+        if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+            return T.TimestampNTZType(), False
+        if lt == "decimal":
+            return T.DecimalType(schema["precision"], schema["scale"]), False
+        return _AVRO_TO_SPARK[t], t == "null"
     if t == "array":
         dt, nullable = to_spark_type(schema["items"], _visiting)
         return T.ArrayType(dt, containsNull=nullable), False
@@ -254,6 +314,44 @@ class _Reader:
         return out
 
 
+def _from_logical(node: dict, v: Any) -> Any:
+    """Base-decoded value → Python value for a logical-typed primitive.
+    Timestamps come back tz-naive in UTC (the session tz this repo pins)."""
+    lt = node["logicalType"]
+    if lt == "date":
+        return _EPOCH_DATE + dt.timedelta(days=v)
+    if lt in ("timestamp-millis", "local-timestamp-millis"):
+        return _EPOCH_DT + dt.timedelta(milliseconds=v)
+    if lt in ("timestamp-micros", "local-timestamp-micros"):
+        return _EPOCH_DT + dt.timedelta(microseconds=v)
+    if lt == "decimal":  # bytes: two's-complement big-endian unscaled
+        return decimal.Decimal(int.from_bytes(v, "big", signed=True)).scaleb(
+            -node["scale"]
+        )
+    return v
+
+
+def _to_base(node: dict, v: Any) -> Any:
+    """Python value → base-typed value for encoding a logical primitive.
+    Accepts either the logical Python type or an already-base value."""
+    lt = node["logicalType"]
+    if lt == "date":
+        return (v - _EPOCH_DATE).days if isinstance(v, dt.date) else int(v)
+    if lt in ("timestamp-millis", "local-timestamp-millis"):
+        if isinstance(v, dt.datetime):
+            return (v.replace(tzinfo=None) - _EPOCH_DT) // dt.timedelta(milliseconds=1)
+        return int(v)
+    if lt in ("timestamp-micros", "local-timestamp-micros"):
+        if isinstance(v, dt.datetime):
+            return (v.replace(tzinfo=None) - _EPOCH_DT) // dt.timedelta(microseconds=1)
+        return int(v)
+    if lt == "decimal":
+        unscaled = int(decimal.Decimal(v).scaleb(node["scale"]).to_integral_value())
+        size = node.get("size") or max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(size, "big", signed=True)
+    return v
+
+
 def _decode(schema: Any, r: _Reader) -> Any:
     if isinstance(schema, str):
         if schema == "null":
@@ -279,14 +377,34 @@ def _decode(schema: Any, r: _Reader) -> Any:
         raise ValueError(f"unknown primitive {schema!r}")
     if isinstance(schema, list):  # union: varint branch index, then value
         idx = r.read_long()
-        return _decode(schema[idx], r)
+        branch = schema[idx]
+        if branch == "null":
+            return None
+        if len(schema) <= 2:  # ["null", X] / [X] — the hot path (every
+            return _decode(branch, r)  # nullable field) stays allocation-free
+        non_null = [b for b in schema if b != "null"]
+        if len(non_null) == 1:
+            return _decode(branch, r)
+        names = {_type_name(b) for b in non_null}
+        if names == {"int", "long"} or names == {"float", "double"}:
+            return _decode(branch, r)  # widened scalar (spark-avro semantics)
+        mi = non_null.index(branch)
+        v = _decode(branch, r)
+        return {f"member{i}": (v if i == mi else None) for i in range(len(non_null))}
     t = schema["type"]
     if t == "record":
         return {f["name"]: _decode(f["type"], r) for f in schema["fields"]}
     if t == "enum":
         return schema["symbols"][r.read_long()]
     if t == "fixed":
-        return r.read_fixed(schema["size"])
+        raw = r.read_fixed(schema["size"])
+        if schema.get("logicalType") == "decimal":
+            return decimal.Decimal(int.from_bytes(raw, "big", signed=True)).scaleb(
+                -schema["scale"]
+            )
+        return raw
+    if t in _PRIMITIVES:  # logical-typed primitive node
+        return _from_logical(schema, _decode(t, r))
     if t == "array":
         out = []
         while True:
@@ -373,12 +491,38 @@ def _encode(schema: Any, v: Any, w: _Writer) -> None:
             idx = schema.index("null")
             w.write_long(idx)
             return
-        for idx, branch in enumerate(schema):
-            if branch != "null":
+        non_null = [(i, b) for i, b in enumerate(schema) if b != "null"]
+        if not non_null:
+            raise ValueError("union has no non-null branch for value")
+        if len(non_null) > 1:
+            names = {_type_name(b) for _, b in non_null}
+            if names == {"int", "long"} or names == {"float", "double"}:
+                # widened scalar: encode into the widest branch
+                wide = "long" if "long" in names else "double"
+                idx, branch = next((i, b) for i, b in non_null if _type_name(b) == wide)
                 w.write_long(idx)
                 _encode(branch, v, w)
                 return
-        raise ValueError("union has no non-null branch for value")
+            if isinstance(v, dict) and any(k.startswith("member") for k in v):
+                set_members = [
+                    k for k, mv in v.items() if k.startswith("member") and mv is not None
+                ]
+                if len(set_members) != 1:
+                    raise ValueError(
+                        f"member-struct union value must set exactly one member, got {set_members}"
+                    )
+                mi = int(set_members[0][len("member") :])
+                idx, branch = non_null[mi]
+                w.write_long(idx)
+                _encode(branch, v[set_members[0]], w)
+                return
+            raise ValueError(
+                f"cannot pick a union branch for {type(v).__name__} among {sorted(names)}"
+            )
+        idx, branch = non_null[0]
+        w.write_long(idx)
+        _encode(branch, v, w)
+        return
     t = schema["type"]
     if t == "record":
         for f in schema["fields"]:
@@ -386,7 +530,11 @@ def _encode(schema: Any, v: Any, w: _Writer) -> None:
     elif t == "enum":
         w.write_long(schema["symbols"].index(v))
     elif t == "fixed":
+        if schema.get("logicalType") == "decimal" and not isinstance(v, (bytes, bytearray)):
+            v = _to_base(schema, v)
         w.out.write(bytes(v))
+    elif t in _PRIMITIVES:  # logical-typed primitive node
+        _encode(t, _to_base(schema, v), w)
     elif t == "array":
         if v:
             w.write_long(len(v))

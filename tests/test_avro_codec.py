@@ -115,13 +115,99 @@ def test_recursive_record_fails_fast_for_spark_but_decodes():
         to_spark_struct(json.dumps(FULL_AVSC))
 
 
-def test_multibranch_union_fails_fast():
-    avsc = json.dumps({
+def test_multibranch_union_member_struct():
+    # spark-avro SchemaConverters semantics: a non-null multi-branch union
+    # becomes struct<member0, member1, ...>, exactly one member set per value
+    avsc = {
         "type": "record", "name": "R",
-        "fields": [{"name": "u", "type": ["string", "long"]}],
-    })
-    with pytest.raises(ValueError, match="multi-branch"):
-        to_spark_struct(avsc)
+        "fields": [{"name": "u", "type": ["string", "long", "null"]}],
+    }
+    st = to_spark_struct(json.dumps(avsc))
+    assert st["u"].dataType == T.StructType([
+        T.StructField("member0", T.StringType(), True),
+        T.StructField("member1", T.LongType(), True),
+    ])
+    assert st["u"].nullable  # "null" is a branch
+    tree = parse_schema(json.dumps(avsc))
+    for row in (
+        {"u": {"member0": "s", "member1": None}},
+        {"u": {"member0": None, "member1": 99}},
+        {"u": None},
+    ):
+        assert decode_record(tree, encode_record(tree, row)) == row
+
+
+def test_union_numeric_widening():
+    # [int,long] → LongType, [float,double] → DoubleType (spark-avro parity)
+    avsc = {
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "il", "type": ["int", "long"]},
+            {"name": "fd", "type": ["null", "float", "double"]},
+        ],
+    }
+    st = to_spark_struct(json.dumps(avsc))
+    assert st["il"].dataType == T.LongType() and not st["il"].nullable
+    assert st["fd"].dataType == T.DoubleType() and st["fd"].nullable
+    tree = parse_schema(json.dumps(avsc))
+    row = {"il": 5, "fd": 2.5}
+    assert decode_record(tree, encode_record(tree, row)) == row
+    assert decode_record(tree, encode_record(tree, {"il": 2**50, "fd": None})) == {
+        "il": 2**50, "fd": None,
+    }
+
+
+LOGICAL_AVSC = {
+    "type": "record", "name": "L",
+    "fields": [
+        {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts_ms", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+        {"name": "ts_us", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+        {"name": "lts", "type": {"type": "long", "logicalType": "local-timestamp-micros"}},
+        {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2}},
+        {"name": "fdec", "type": {"type": "fixed", "name": "F8", "size": 8,
+                                  "logicalType": "decimal", "precision": 18, "scale": 4}},
+        {"name": "uid", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+    ],
+}
+
+
+def test_logical_types_spark_mapping():
+    st = to_spark_struct(json.dumps(LOGICAL_AVSC))
+    assert st["d"].dataType == T.DateType()
+    assert st["ts_ms"].dataType == T.TimestampType()
+    assert st["ts_us"].dataType == T.TimestampType() and st["ts_us"].nullable
+    assert st["lts"].dataType == T.TimestampNTZType()
+    assert st["dec"].dataType == T.DecimalType(10, 2)
+    assert st["fdec"].dataType == T.DecimalType(18, 4)
+    assert st["uid"].dataType == T.StringType()  # uuid passes through
+    assert st["tm"].dataType == T.IntegerType()  # time-millis passes through
+
+
+def test_logical_types_roundtrip():
+    import datetime as dt
+    import decimal
+
+    tree = parse_schema(json.dumps(LOGICAL_AVSC))
+    row = {
+        "d": dt.date(2024, 2, 29),
+        "ts_ms": dt.datetime(2024, 2, 29, 23, 59, 59, 123000),
+        "ts_us": dt.datetime(1969, 7, 20, 20, 17, 0, 1),  # pre-epoch-ish, µs
+        "lts": dt.datetime(2024, 1, 1, 0, 0, 0, 42),
+        "dec": decimal.Decimal("-12345678.90"),
+        "fdec": decimal.Decimal("99999999999999.9999"),
+        "uid": "123e4567-e89b-12d3-a456-426614174000",
+        "tm": 86_399_999,
+    }
+    assert decode_record(tree, encode_record(tree, row)) == row
+    # raw base values (epoch units) encode too — the fixture-producer path
+    raw = dict(row, d=19_782, ts_ms=0, ts_us=None)
+    out = decode_record(tree, encode_record(tree, raw))
+    import datetime as dt2
+    assert out["d"] == dt2.date(1970, 1, 1) + dt2.timedelta(days=19_782)
+    assert out["ts_ms"] == dt2.datetime(1970, 1, 1)
+    assert out["ts_us"] is None
 
 
 def test_spark_to_avro_roundtrip():

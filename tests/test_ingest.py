@@ -552,3 +552,50 @@ def test_jvm_python_avro_decode_parity(spark):
     finally:
         ing._jvm_from_avro_available = orig
     assert sorted(map(str, jvm_rows)) == sorted(map(str, py_rows))
+
+
+def test_decode_avro_logical_types_and_union_struct(spark):
+    # Logical types land as real Spark types through the full mapInPandas
+    # decode path (date/timestamp/decimal), and a multi-branch union lands
+    # as the spark-avro member-struct — not just in the codec unit tests.
+    import datetime as dt
+    import decimal
+    import json
+
+    avsc = json.dumps({
+        "type": "record", "name": "Ledger",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "at", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal",
+                                        "precision": 12, "scale": 2}},
+            {"name": "ref", "type": ["null", "string", "long"]},
+        ],
+    })
+    tree = parse_schema(avsc)
+    rows = [
+        {"id": 1, "day": dt.date(2024, 5, 4), "at": dt.datetime(2024, 5, 4, 8, 30, 0, 500000),
+         "amount": decimal.Decimal("1234.56"), "ref": {"member0": "inv-9", "member1": None}},
+        {"id": 2, "day": dt.date(1970, 1, 1), "at": dt.datetime(1970, 1, 1),
+         "amount": decimal.Decimal("-0.01"), "ref": {"member0": None, "member1": 42}},
+        {"id": 3, "day": dt.date(2030, 12, 31), "at": dt.datetime(2030, 12, 31, 23, 59, 59),
+         "amount": decimal.Decimal("0.00"), "ref": None},
+    ]
+    df = spark.createDataFrame(
+        [Row(topic="ledger", value=bytearray(encode_record(tree, r))) for r in rows],
+        ENVELOPE,
+    )
+    out = decode_avro(df, avsc)
+    assert dict(out.dtypes)["day"] == "date"
+    assert dict(out.dtypes)["at"] == "timestamp"
+    assert dict(out.dtypes)["amount"] == "decimal(12,2)"
+    assert dict(out.dtypes)["ref"] == "struct<member0:string,member1:bigint>"
+    got = {r.id: r for r in out.collect()}
+    assert got[1].day == dt.date(2024, 5, 4)
+    assert got[1].at == dt.datetime(2024, 5, 4, 8, 30, 0, 500000)
+    assert got[1].amount == decimal.Decimal("1234.56")
+    assert got[1].ref.member0 == "inv-9" and got[1].ref.member1 is None
+    assert got[2].amount == decimal.Decimal("-0.01")
+    assert got[2].ref.member1 == 42
+    assert got[3].day == dt.date(2030, 12, 31) and got[3].ref is None
