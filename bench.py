@@ -67,6 +67,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "sim_cosine_topk",
     "sim_ann_lsh",
+    "sim_ann_ivf",
     "dedup_embedding_lsh",
     "text_quality",
     "multimodal_meta",

@@ -14,6 +14,13 @@ loop — functions/vectors.py):
   the scan into an equi-join on bucket: corpus shuffles once by bucket
   key (or is pre-bucketed at write time), each query touches ~|corpus|/2^P
   rows. Recall is tunable via P and multi-probe; this is the scale path.
+- ``ivf_ann_topk``: inverted-file (IVF-Flat) index. A deterministic
+  hash-ranked sample of the corpus is the codebook; every vector is
+  assigned to its nearest centroid through a BROADCAST 1-row codebook
+  array + higher-order argmax — a narrow projection, ZERO corpus shuffle.
+  Queries probe their ``nprobe`` nearest cells, candidates come from one
+  broadcast equi-join on the cell id (~nprobe/C of the corpus per query).
+  Data-adaptive (cells follow density, unlike LSH's fixed hyperplanes).
 
 Ranking is done on round(score, 6) with id tiebreak so ordering is
 reproducible across engines (doubles differ only below 1e-12; rounding
@@ -169,6 +176,105 @@ def hyperplane_bucket(
         )
         sign_bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
     return df.withColumn("bucket", F.concat(*sign_bits))
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-Flat ANN top-k. ``queries`` needs (q_<id_col>, q_<vec_col>).
+
+    Codebook: the ``n_centroids`` corpus rows with the smallest
+    ``hash64(id)`` — a deterministic pseudo-random sample, reproducible in
+    the SQL oracle (a trained codebook would run a few Lloyd iterations
+    over the same assignment plan; the index/probe machinery — the part
+    Spark has to get right — is identical either way).
+
+    100 TB shape: codebook selection is a ``TakeOrderedAndProject`` (per-
+    partition top-C, no global sort); the C·(d+2) codebook collapses to ONE
+    row (``collect_list``) and rides a broadcast cross-join to every
+    executor; assignment is a per-row higher-order argmax — the corpus is
+    scanned once, never shuffled, O(C·d) flops/row in whole-stage codegen.
+    Candidate generation is a broadcast equi-join on ``cluster`` (queries
+    side is small), so the only shuffle in the whole plan is the final
+    per-query top-k window over ~nprobe/C of the corpus. Scores are
+    ``round(·, 6)`` before every ORDER BY so cross-engine ulp noise can't
+    flip ranks (same convention as the LSH path)."""
+    from kafka_etl_consumer_spark.functions.hashing import hash64
+
+    emb = F.col(vec_col).cast("array<double>")
+    ranked = (
+        corpus.select(
+            F.col(id_col),
+            emb.alias("__cvec"),
+            hash64(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(n_centroids)
+    )
+    # 16 rows: the single-task window is fine — the heavy lifting happened
+    # in the distributed top-C above
+    wcb = Window.orderBy("__h", id_col)
+    codebook = (
+        ranked.withColumn("centroid_id", F.row_number().over(wcb))
+        .select("centroid_id", "__cvec", l2_norm("__cvec").alias("__cn"))
+        .agg(F.collect_list(F.struct("centroid_id", "__cvec", "__cn")).alias("__cbook"))
+    )
+
+    def _scored(vec: str, norm: str):
+        # array<struct<s: rounded cosine, nc: -centroid_id>> — array_max /
+        # descending sort over it = score desc, centroid_id asc
+        return F.transform(
+            F.col("__cbook"),
+            lambda c: F.struct(
+                F.round(
+                    dot(vec, c["__cvec"]) / (F.col(norm) * c["__cn"]), 6
+                ).alias("s"),
+                (-c["centroid_id"]).alias("nc"),
+            ),
+        )
+
+    c = (
+        corpus.select(F.col(id_col), emb.alias(vec_col))
+        .withColumn("__n", l2_norm(vec_col))
+        .crossJoin(F.broadcast(codebook))
+        .withColumn("cluster", -F.array_max(_scored(vec_col, "__n"))["nc"])
+        .drop("__cbook")
+    )
+    q = (
+        queries.select(
+            F.col(f"q_{id_col}"), F.col(f"q_{vec_col}").cast("array<double>").alias(f"q_{vec_col}")
+        )
+        .withColumn("__qn", l2_norm(f"q_{vec_col}"))
+        .crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "__probe",
+            F.slice(
+                F.reverse(F.array_sort(_scored(f"q_{vec_col}", "__qn"))), 1, nprobe
+            ),
+        )
+        .select(f"q_{id_col}", f"q_{vec_col}", "__qn", F.explode("__probe").alias("__p"))
+        .withColumn("cluster", -F.col("__p")["nc"])
+        .drop("__p")
+    )
+    joined = (
+        c.join(F.broadcast(q), "cluster")
+        .filter(F.col(f"q_{id_col}") != F.col(id_col))
+        .select(
+            f"q_{id_col}",
+            id_col,
+            F.round(dot(f"q_{vec_col}", vec_col) / (F.col("__qn") * F.col("__n")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy(f"q_{id_col}").orderBy(F.col("score").desc(), F.col(id_col))
+    return joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
 def lsh_ann_topk(

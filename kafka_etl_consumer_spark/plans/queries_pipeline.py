@@ -244,6 +244,54 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann_topk(e.select("vec_id", "embedding"), q, k=10, planes=8, dims=64)
 
 
+@register(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cb AS (SELECT row_number() OVER (ORDER BY hh, vec_id) AS centroid_id,
+                  emb AS cvec
+           FROM (SELECT vec_id, emb,
+                        {hash64_sql("CAST(vec_id AS VARCHAR)")} AS hh
+                 FROM emb
+                 ORDER BY hh, vec_id LIMIT 16)),
+    asg AS (SELECT vec_id, emb, centroid_id,
+                   round(list_dot_product(emb, cvec)
+                         / (sqrt(list_dot_product(emb, emb))
+                            * sqrt(list_dot_product(cvec, cvec))), 6) AS cs
+            FROM emb CROSS JOIN cb),
+    corp AS (SELECT vec_id, emb, centroid_id AS cluster
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, centroid_id) AS crn FROM asg)
+             WHERE crn = 1),
+    qprobe AS (SELECT vec_id AS q_vec_id, emb AS q_emb, centroid_id AS cluster
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, centroid_id) AS crn FROM asg)
+               WHERE vec_id < 5 AND crn <= 4),
+    s AS (SELECT q_vec_id, e.vec_id, {_COS} AS score
+          FROM qprobe q JOIN corp e USING (cluster)
+          WHERE e.vec_id <> q.q_vec_id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                       ORDER BY score DESC, vec_id) AS rn
+          FROM s)
+    SELECT q_vec_id, vec_id, score FROM r WHERE rn <= 10
+    """,
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN top-10: 16-cell inverted index from a deterministic
+    hash-ranked codebook, nprobe=4 — candidates come from one broadcast
+    equi-join on the cell id; the corpus is assigned to cells in a narrow
+    broadcast-codebook pass and NEVER shuffled (operators/similarity.py
+    ivf_ann_topk has the full 100 TB plan rationale). The oracle rebuilds
+    the identical codebook/assignment arithmetically."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    return S.ivf_ann_topk(
+        e.select("vec_id", "embedding"), q, k=10, n_centroids=16, nprobe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

@@ -125,3 +125,16 @@ def test_q21_double_correlation_is_two_shuffles_not_probes(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_corpus_never_shuffles_before_candidates(spark, sf_dir):
+    # codebook = distributed top-C (TakeOrderedAndProject), assignment is a
+    # narrow broadcast pass, candidate join is broadcast on cluster — the
+    # only exchanges allowed are the 16-row codebook's own and the final
+    # per-query top-k window
+    plan = _plan(spark, sf_dir, "sim_ann_ivf", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # corpus-side sort-merge join would mean a full corpus shuffle
+    assert "SortMergeJoin" not in plan
