@@ -68,6 +68,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "graph_components",
+    "cluster_kmeans_refine",
     "dedup_embedding_lsh",
     "text_quality",
     "multimodal_meta",

@@ -1,0 +1,103 @@
+"""Connected components over an edge list — the clustering step that turns
+near-duplicate PAIRS (minhash / simhash / embedding-cosine, operators/dedup.py
+and similarity.py) into dedup GROUPS, so a corpus-prep pipeline can keep one
+canonical document per component.
+
+Algorithm: iterative min-label propagation with POINTER JUMPING (path
+halving). Each round does
+  1. hop:  every vertex takes the min label over itself + its neighbors
+           (one shuffle-join edges⋈labels + one map-side-combining groupBy)
+  2. jump: every vertex replaces its label by its label's label
+           (labels self-join — halves every label chain)
+so the reached radius at least doubles per round: ``max_iter`` rounds cover
+components of diameter ≥ 2^max_iter - 1. The default 8 rounds handle
+diameter-255 components — far beyond real near-dup clusters (tight clusters
+of copies, diameter a handful; the sf0.1 testdata's worst component has
+diameter 24, converged by round 5).
+
+Why not plain one-hop propagation: it needs diameter-many rounds — a chain
+component at 100 TB would need hundreds of shuffles. Pointer jumping is the
+log-round equivalent of the MapReduce hash-to-min family (Rastogi et al.,
+"Finding Connected Components in Map-Reduce in Logarithmic Rounds", ICDE'13
+— public literature, algorithm re-derived here in DataFrame ops).
+
+100 TB shape: state is ONE (vertex, label) row per vertex — never the
+quadratic reachability set. Each round is 3 equi-joins/aggs shuffling that
+linear state on vertex/label keys; AQE coalesces the post-filter partitions.
+The plan stays fully lazy (fixed round count, no driver-side convergence
+poll); for truly unbounded diameters, wrap with an eager loop that stops
+when ``labels_changed == 0`` and ``localCheckpoint()`` every few rounds to
+truncate lineage — same per-round plan, documented divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 8,
+    loop_partitions: int = 32,
+) -> DataFrame:
+    """(vertex ``id_col``, ``component_id``) — component id is the MIN vertex
+    id in the component (deterministic, SQL-reproducible). ``vertices`` rows
+    absent from ``edges`` come out as singleton components of themselves.
+
+    ``max_iter`` rounds of hop+jump converge for any component of diameter
+    < 2^max_iter; see module docstring for the scale rationale."""
+    spark = edges.sparkSession
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    # Materialize the edge list ONCE (lazily): the loop references it every
+    # round, and without this the upstream edge-producing plan (e.g. the
+    # BLAS cosine pair stage) would re-execute max_iter times.
+    sym = sym.localCheckpoint(eager=False)
+    # Only edge ENDPOINTS iterate — a 100 TB corpus is overwhelmingly
+    # singleton vertices, and shuffling them max_iter times would dominate
+    # the job for zero information. They rejoin as themselves at the end.
+    labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
+
+    # The loop's lineage checkpoints compile through ``toRdd`` (below),
+    # which bypasses AQE — so the iterate-on-endpoints stages would run at
+    # the session's full shuffle width no matter how small the label state
+    # is. Size them explicitly to the state (endpoint set ≪ corpus) and
+    # restore the session conf afterward; everything outside the loop still
+    # plans under the caller's settings.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        for i in range(max_iter):
+            # hop: min over own label + neighbors' labels
+            nbr = sym.alias("s").join(
+                labels.alias("l"), F.col("s.v") == F.col("l.u")
+            ).select(F.col("s.u").alias("u"), F.col("l.lbl").alias("lbl"))
+            labels = (
+                labels.unionByName(nbr).groupBy("u").agg(F.min("lbl").alias("lbl"))
+            )
+            # jump: lbl ← label(lbl)  (path halving; lbl exists as a vertex)
+            labels = labels.alias("a").join(
+                labels.alias("b"), F.col("a.lbl") == F.col("b.u")
+            ).select(F.col("a.u").alias("u"), F.least("a.lbl", "b.lbl").alias("lbl"))
+            # Truncate lineage every few rounds (lazy — the plan becomes a
+            # LogicalRDD, no job runs until the caller's action). Without
+            # this the analyzed plan references the previous round ~3×,
+            # i.e. 3^max_iter plan nodes — OOMs the driver long before the
+            # data matters. Same pattern MLlib uses for its iterative
+            # algorithms.
+            if i % 3 == 2 or i == max_iter - 1:
+                labels = labels.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    singletons = vertices.select(F.col(id_col).alias("u")).join(
+        labels.select("u"), "u", "left_anti"
+    ).withColumn("lbl", F.col("u"))
+    return labels.unionByName(singletons).select(
+        F.col("u").alias(id_col), F.col("lbl").alias("component_id")
+    )

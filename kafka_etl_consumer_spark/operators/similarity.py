@@ -178,6 +178,109 @@ def hyperplane_bucket(
     return df.withColumn("bucket", F.concat(*sign_bits))
 
 
+def hash_ranked_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic pseudo-random codebook: the ``n_centroids`` corpus rows
+    with the smallest ``hash64(id)`` → (centroid_id, __cvec). Selection is a
+    distributed ``TakeOrderedAndProject`` (per-partition top-C, no global
+    sort); the trailing row_number window runs on C rows only."""
+    from kafka_etl_consumer_spark.functions.hashing import hash64
+
+    ranked = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("__cvec"),
+            hash64(F.col(id_col).cast("string")).alias("__h"),
+        )
+        .orderBy("__h", id_col)
+        .limit(n_centroids)
+    )
+    wcb = Window.orderBy("__h", id_col)
+    return ranked.withColumn("centroid_id", F.row_number().over(wcb)).select(
+        "centroid_id", "__cvec"
+    )
+
+
+def _codebook_row(centroids: DataFrame) -> DataFrame:
+    """(centroid_id, __cvec) → ONE row holding the whole codebook as an
+    array of structs — rides a broadcast cross-join to every executor."""
+    return centroids.select(
+        "centroid_id", "__cvec", l2_norm("__cvec").alias("__cn")
+    ).agg(F.collect_list(F.struct("centroid_id", "__cvec", "__cn")).alias("__cbook"))
+
+
+def _cell_scores(vec: str, norm: str):
+    """array<struct<s: rounded cosine, nc: -centroid_id>> against __cbook —
+    array_max / descending sort over it = score desc, centroid_id asc."""
+    return F.transform(
+        F.col("__cbook"),
+        lambda c: F.struct(
+            F.round(dot(vec, c["__cvec"]) / (F.col(norm) * c["__cn"]), 6).alias("s"),
+            (-c["centroid_id"]).alias("nc"),
+        ),
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Append ``cluster`` = nearest centroid by rounded cosine (ties → the
+    smaller centroid id). A narrow broadcast-codebook projection: the corpus
+    is scanned once and NEVER shuffled, O(C·d) codegen flops per row."""
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col))
+        .withColumn("__n", l2_norm(vec_col))
+        .crossJoin(F.broadcast(_codebook_row(centroids)))
+        .withColumn("cluster", -F.array_max(_cell_scores(vec_col, "__n"))["nc"])
+        .drop("__cbook")
+    )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ONE Lloyd iteration, distributed: assign every vector to its nearest
+    centroid (narrow broadcast pass, zero corpus shuffle), then the new
+    centroid is the element-wise mean of its members →
+    (centroid_id, centroid array<double>, n_assigned).
+
+    100 TB shape: ``posexplode`` fans each row to d (cluster, pos, val)
+    rows INSIDE the partition and the partial aggregate collapses them to
+    ≤ C·d rows per partition before the one tiny shuffle — the full vector
+    set never moves. Iterating = calling this in a loop with
+    ``localCheckpoint`` between rounds (same lineage rule as
+    operators/graph.py); empty cells keep their old centroid."""
+    assigned = assign_cells(corpus, centroids, vec_col, id_col)
+    per_dim = (
+        assigned.select("cluster", F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("m"), F.count("*").alias("n"))
+    )
+    refined = per_dim.groupBy("cluster").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("__pm"),
+        F.first("n").alias("n_assigned"),
+    ).select(
+        F.col("cluster").alias("centroid_id"),
+        F.transform("__pm", lambda x: x["m"]).alias("centroid"),
+        "n_assigned",
+    )
+    # cells no vector chose keep their previous centroid (n_assigned = 0)
+    empty = centroids.join(
+        refined.select("centroid_id"), "centroid_id", "left_anti"
+    ).select("centroid_id", F.col("__cvec").alias("centroid"), F.lit(0).cast("long").alias("n_assigned"))
+    return refined.unionByName(empty)
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -205,57 +308,18 @@ def ivf_ann_topk(
     per-query top-k window over ~nprobe/C of the corpus. Scores are
     ``round(·, 6)`` before every ORDER BY so cross-engine ulp noise can't
     flip ranks (same convention as the LSH path)."""
-    from kafka_etl_consumer_spark.functions.hashing import hash64
-
-    emb = F.col(vec_col).cast("array<double>")
-    ranked = (
-        corpus.select(
-            F.col(id_col),
-            emb.alias("__cvec"),
-            hash64(F.col(id_col).cast("string")).alias("__h"),
-        )
-        .orderBy("__h", id_col)
-        .limit(n_centroids)
-    )
-    # 16 rows: the single-task window is fine — the heavy lifting happened
-    # in the distributed top-C above
-    wcb = Window.orderBy("__h", id_col)
-    codebook = (
-        ranked.withColumn("centroid_id", F.row_number().over(wcb))
-        .select("centroid_id", "__cvec", l2_norm("__cvec").alias("__cn"))
-        .agg(F.collect_list(F.struct("centroid_id", "__cvec", "__cn")).alias("__cbook"))
-    )
-
-    def _scored(vec: str, norm: str):
-        # array<struct<s: rounded cosine, nc: -centroid_id>> — array_max /
-        # descending sort over it = score desc, centroid_id asc
-        return F.transform(
-            F.col("__cbook"),
-            lambda c: F.struct(
-                F.round(
-                    dot(vec, c["__cvec"]) / (F.col(norm) * c["__cn"]), 6
-                ).alias("s"),
-                (-c["centroid_id"]).alias("nc"),
-            ),
-        )
-
-    c = (
-        corpus.select(F.col(id_col), emb.alias(vec_col))
-        .withColumn("__n", l2_norm(vec_col))
-        .crossJoin(F.broadcast(codebook))
-        .withColumn("cluster", -F.array_max(_scored(vec_col, "__n"))["nc"])
-        .drop("__cbook")
-    )
+    centroids = hash_ranked_centroids(corpus, n_centroids, vec_col, id_col)
+    c = assign_cells(corpus, centroids, vec_col, id_col)
     q = (
         queries.select(
             F.col(f"q_{id_col}"), F.col(f"q_{vec_col}").cast("array<double>").alias(f"q_{vec_col}")
         )
         .withColumn("__qn", l2_norm(f"q_{vec_col}"))
-        .crossJoin(F.broadcast(codebook))
+        .crossJoin(F.broadcast(_codebook_row(centroids)))
         .withColumn(
             "__probe",
             F.slice(
-                F.reverse(F.array_sort(_scored(f"q_{vec_col}", "__qn"))), 1, nprobe
+                F.reverse(F.array_sort(_cell_scores(f"q_{vec_col}", "__qn"))), 1, nprobe
             ),
         )
         .select(f"q_{id_col}", f"q_{vec_col}", "__qn", F.explode("__probe").alias("__p"))

@@ -17,6 +17,7 @@ from pyspark.sql import types as T
 from kafka_etl_consumer_spark.functions.hashing import hash64_sql, minhash_coeffs
 from kafka_etl_consumer_spark.functions.text import tokens_sql, word_shingles_sql
 from kafka_etl_consumer_spark.operators import dedup as D
+from kafka_etl_consumer_spark.operators import graph as G
 from kafka_etl_consumer_spark.operators import multimodal as M
 from kafka_etl_consumer_spark.operators import similarity as S
 from kafka_etl_consumer_spark.operators import text as X
@@ -174,6 +175,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_blas(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@register(
+    "graph_components",
+    oracle="""
+    WITH RECURSIVE e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+                         FROM embeddings),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.emb, b.emb)
+                / (sqrt(list_dot_product(a.emb, a.emb))
+                   * sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.3),
+    sym AS (SELECT id_a AS u, id_b AS v FROM p
+            UNION ALL SELECT id_b, id_a FROM p),
+    reach AS (
+        SELECT vec_id AS u, vec_id AS r FROM e
+        UNION
+        SELECT reach.u, sym.v FROM reach JOIN sym ON sym.u = reach.r),
+    lab AS (SELECT u AS vec_id, min(r) AS component_id FROM reach GROUP BY u)
+    SELECT vec_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS n_members
+    FROM lab
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the label-blocked
+    embedding-cosine pair graph (threshold 0.3 — non-transitive, so pairs
+    chain into real multi-hop components; the sf0.1 graph has a
+    151-vertex / diameter-24 component). Spark runs log-round pointer-
+    jumping (operators/graph.py — 6 rounds cover diameter 63); the oracle
+    computes the true fixpoint with a recursive CTE, so convergence itself
+    is hash-checked. Every vertex is emitted (singletons = own id)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs_blas(e, threshold=0.3)
+    comp = G.connected_components(
+        pairs, e.select("vec_id"), id_col="vec_id", src="id_a", dst="id_b",
+        max_iter=6,
+    )
+    w = Window.partitionBy("component_id")
+    return comp.withColumn("n_members", F.count("*").over(w))
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -289,6 +330,72 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return S.ivf_ann_topk(
         e.select("vec_id", "embedding"), q, k=10, n_centroids=16, nprobe=4
+    )
+
+
+@register(
+    "cluster_kmeans_refine",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    cb AS (SELECT row_number() OVER (ORDER BY hh, vec_id) AS centroid_id,
+                  emb AS cvec
+           FROM (SELECT vec_id, emb,
+                        {hash64_sql("CAST(vec_id AS VARCHAR)")} AS hh
+                 FROM emb
+                 ORDER BY hh, vec_id LIMIT 8)),
+    asg AS (SELECT vec_id, emb, centroid_id,
+                   round(list_dot_product(emb, cvec)
+                         / (sqrt(list_dot_product(emb, emb))
+                            * sqrt(list_dot_product(cvec, cvec))), 6) AS cs
+            FROM emb CROSS JOIN cb),
+    best AS (SELECT vec_id, emb, centroid_id
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, centroid_id) AS crn FROM asg)
+             WHERE crn = 1),
+    dims AS (SELECT b.centroid_id, dd.d AS pos, avg(b.emb[dd.d + 1]) AS m
+             FROM best b CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+             GROUP BY 1, 2),
+    agg AS (SELECT d.centroid_id,
+                   sqrt(sum(m * m)) AS nrm,
+                   sqrt(sum((m - cb.cvec[pos + 1]) * (m - cb.cvec[pos + 1]))) AS drift
+            FROM dims d JOIN cb USING (centroid_id)
+            GROUP BY 1),
+    cnt AS (SELECT centroid_id, count(*) AS n FROM best GROUP BY 1)
+    SELECT cb.centroid_id,
+           CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_assigned,
+           round(coalesce(agg.nrm, sqrt(list_dot_product(cb.cvec, cb.cvec))), 6)
+               AS centroid_norm,
+           round(coalesce(agg.drift, 0.0), 6) AS drift
+    FROM cb LEFT JOIN agg USING (centroid_id) LEFT JOIN cnt USING (centroid_id)
+    """,
+)
+def cluster_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, one Lloyd iteration over an 8-centroid
+    hash-ranked seed codebook: per-cell member count, refined-centroid norm
+    and L2 drift from the seed. The per-dim means shuffle at most C·d rows
+    per partition (posexplode + partial agg — operators/similarity.py
+    kmeans_refine); the oracle recomputes the identical assignment and
+    means arithmetically. Iterating to convergence is the same call in a
+    loop; one iteration keeps the oracle exact."""
+    from kafka_etl_consumer_spark.functions.vectors import l2_norm
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = S.hash_ranked_centroids(e, n_centroids=8)
+    ref = S.kmeans_refine(e.select("vec_id", "embedding"), cents)
+    return ref.join(cents, "centroid_id").select(
+        "centroid_id",
+        "n_assigned",
+        F.round(l2_norm("centroid"), 6).alias("centroid_norm"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("centroid", "__cvec", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("drift"),
     )
 
 

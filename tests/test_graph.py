@@ -1,0 +1,110 @@
+"""Connected components: pointer-jumping convergence vs brute-force BFS
+ground truth, singleton handling, and determinism of the component id."""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.operators.graph import connected_components
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    from kafka_etl_consumer_spark.operators.similarity import cosine_pairs_blas
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pairs = cosine_pairs_blas(emb, threshold=0.3)
+    return emb.select("vec_id"), pairs
+
+
+def _bfs_components(edges):
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    comp = {}
+    for s in adj:
+        if s in comp:
+            continue
+        members, frontier = {s}, [s]
+        while frontier:
+            frontier = [
+                v for u in frontier for v in adj[u] if v not in members and not members.add(v)
+            ]
+        lbl = min(members)
+        for m in members:
+            comp[m] = lbl
+    return comp
+
+
+def test_matches_bfs_ground_truth(spark, graph):
+    vertices, pairs = graph
+    edge_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    truth = _bfs_components(edge_rows)
+    got = {
+        r.vec_id: r.component_id
+        for r in connected_components(
+            pairs, vertices, id_col="vec_id", src="id_a", dst="id_b", max_iter=6
+        ).collect()
+    }
+    for v, lbl in truth.items():
+        assert got[v] == lbl, f"vertex {v}: {got[v]} != {lbl}"
+    # vertices without edges are their own singleton component
+    singles = set(got) - set(truth)
+    assert singles and all(got[v] == v for v in singles)
+    assert len(got) == vertices.count()
+
+
+def test_extra_rounds_change_nothing(spark, graph):
+    # 6 rounds is already the fixpoint (diameter coverage 2^6-1); more
+    # rounds must be a no-op — this is the convergence guarantee
+    vertices, pairs = graph
+    a = connected_components(pairs, vertices, id_col="vec_id", src="id_a", dst="id_b", max_iter=6)
+    b = connected_components(pairs, vertices, id_col="vec_id", src="id_a", dst="id_b", max_iter=8)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_shuffle_conf_restored(spark, graph):
+    vertices, pairs = graph
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    connected_components(pairs, vertices, id_col="vec_id", src="id_a", dst="id_b", max_iter=2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_kmeans_refine_matches_numpy(spark):
+    # one Lloyd iteration vs a straight numpy re-implementation
+    import numpy as np
+
+    from kafka_etl_consumer_spark.operators.similarity import (
+        hash_ranked_centroids,
+        kmeans_refine,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+    cents = hash_ranked_centroids(emb, n_centroids=8)
+    got = {
+        r.centroid_id: (np.array(r.centroid), r.n_assigned)
+        for r in kmeans_refine(emb, cents).collect()
+    }
+
+    rows = emb.collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.stack([np.array(r.embedding, dtype=np.float64) for r in rows])
+    crows = sorted(cents.collect(), key=lambda r: r.centroid_id)
+    cm = np.stack([np.array(r["__cvec"]) for r in crows])
+    cos = (m / np.linalg.norm(m, axis=1, keepdims=True)) @ (
+        cm / np.linalg.norm(cm, axis=1, keepdims=True)
+    ).T
+    # same tie-break as the operator: rounded score desc, centroid id asc
+    best = np.lexsort((np.arange(1, 9)[None, :].repeat(len(ids), 0),
+                       -np.round(cos, 6)), axis=1)[:, 0]
+    for cid in range(1, 9):
+        members = m[best == cid - 1]
+        assert got[cid][1] == len(members)
+        if len(members):
+            np.testing.assert_allclose(got[cid][0], members.mean(axis=0), rtol=1e-9)
