@@ -20,6 +20,7 @@ from kafka_etl_consumer_spark.operators import dedup as D
 from kafka_etl_consumer_spark.operators import graph as G
 from kafka_etl_consumer_spark.operators import multimodal as M
 from kafka_etl_consumer_spark.operators import similarity as S
+from kafka_etl_consumer_spark.operators.sampling import stratified_sample_sql
 from kafka_etl_consumer_spark.operators import text as X
 from kafka_etl_consumer_spark.operators.text import LANG_MARKERS
 from kafka_etl_consumer_spark.plans.registry import _t, register
@@ -173,6 +174,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. Scoring via the per-group BLAS matmul (cosine_pairs_blas, 5.5×
     the expression-eval path; cosine_pairs keeps the pure-JVM variant)."""
     return S.cosine_pairs_blas(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+_MIX = {"view": 0.1, "click": 0.25, "signup": 0.5, "purchase": 1.0}
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE {stratified_sample_sql('event_type', _MIX, 'CAST(event_id AS VARCHAR)')}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix rebalance: per-event-type keep fractions (purchases
+    100%, signups 50%, clicks 25%, views 10%, errors dropped) decided by a
+    deterministic hash of the row key — same rows every run/engine/retry,
+    narrow codegen filter, no shuffle (operators/sampling.py)."""
+    from kafka_etl_consumer_spark.operators.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return stratified_sample(
+        ev, "event_type", _MIX, key=F.col("event_id").cast("string")
+    ).select("event_id", "event_type", "value")
 
 
 @register(
@@ -574,6 +599,9 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     from kafka_etl_consumer_spark.session import ensure_min_parallelism
 
+    # NOTE: both branches re-run the generator stage; measured A/B, a
+    # localCheckpoint of the media is ~2x SLOWER here (serialization +
+    # inter-job barrier beat the cost of re-generating on idle cores)
     media = ensure_min_parallelism(docs).mapInPandas(gen, gen_schema)
     px = M.image_channel_stats(M.decode_image_pixels(media)).select(
         "doc_id",

@@ -108,3 +108,24 @@ def test_kmeans_refine_matches_numpy(spark):
         assert got[cid][1] == len(members)
         if len(members):
             np.testing.assert_allclose(got[cid][0], members.mean(axis=0), rtol=1e-9)
+
+
+def test_stratified_sample_fractions_and_determinism(spark):
+    from kafka_etl_consumer_spark.operators.sampling import stratified_sample
+    from pyspark.sql import functions as F
+
+    from kafka_etl_consumer_spark.plans.registry import _t
+
+    ev = _t(spark, SF_DIR, "events")
+    mix = {"view": 0.1, "click": 0.25, "signup": 0.5, "purchase": 1.0}
+    s = stratified_sample(ev, "event_type", mix, key=F.col("event_id").cast("string"))
+    got = {r.event_type: r.n for r in s.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    base = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert "error" not in got  # default_fraction=0 drops unlisted strata
+    assert got["purchase"] == base["purchase"]  # fraction 1.0 keeps all
+    for t, frac in (("view", 0.1), ("click", 0.25), ("signup", 0.5)):
+        assert abs(got[t] / base[t] - frac) < 0.05, (t, got[t], base[t])
+    # deterministic: same rows on a second evaluation
+    ids1 = sorted(r.event_id for r in s.select("event_id").collect())
+    ids2 = sorted(r.event_id for r in s.select("event_id").collect())
+    assert ids1 == ids2
