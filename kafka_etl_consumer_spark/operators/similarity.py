@@ -281,6 +281,29 @@ def kmeans_refine(
     return refined.unionByName(empty)
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Full spherical k-means: hash-ranked seed + ``iters`` Lloyd rounds →
+    (centroid_id, __cvec) in codebook shape, ready for :func:`assign_cells`
+    / :func:`ivf_ann_topk` (a trained codebook cuts IVF probe imbalance vs
+    the raw sample). Follows the iterative-loop rules (SCALE.md): the
+    corpus is re-SCANNED per round (that's Lloyd — linear, no shuffle);
+    per-round state (C centroids) is checkpointed so the plan stays O(1)."""
+    cents = hash_ranked_centroids(corpus, n_centroids, vec_col, id_col)
+    for _ in range(iters):
+        cents = (
+            kmeans_refine(corpus, cents, vec_col, id_col)
+            .select("centroid_id", F.col("centroid").alias("__cvec"))
+            .localCheckpoint(eager=False)
+        )
+    return cents
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -129,3 +129,36 @@ def test_stratified_sample_fractions_and_determinism(spark):
     ids1 = sorted(r.event_id for r in s.select("event_id").collect())
     ids2 = sorted(r.event_id for r in s.select("event_id").collect())
     assert ids1 == ids2
+
+
+def test_kmeans_train_reduces_inertia(spark):
+    # spherical k-means: mean updates must not worsen the clustering —
+    # inertia (sum of 1 - cosine to the assigned centroid) decreases
+    import numpy as np
+
+    from kafka_etl_consumer_spark.operators.similarity import (
+        assign_cells,
+        hash_ranked_centroids,
+        kmeans_train,
+    )
+    from pyspark.sql import functions as F
+    from kafka_etl_consumer_spark.functions.vectors import cosine_similarity
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select("vec_id", "embedding")
+
+    def inertia(cents):
+        a = assign_cells(emb, cents)
+        c = cents.withColumnRenamed("centroid_id", "cluster")
+        return (
+            a.join(c, "cluster")
+            .select(F.sum(1 - cosine_similarity("embedding", "__cvec")).alias("s"))
+            .collect()[0].s
+        )
+
+    seed = hash_ranked_centroids(emb, n_centroids=8)
+    i0 = inertia(seed)
+    i2 = inertia(kmeans_train(emb, n_centroids=8, iters=2))
+    i4 = inertia(kmeans_train(emb, n_centroids=8, iters=4))
+    assert i2 < i0
+    assert i4 <= i2 + 1e-6
+    assert not np.isnan(i4)
