@@ -138,3 +138,28 @@ def test_ivf_corpus_never_shuffles_before_candidates(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # corpus-side sort-merge join would mean a full corpus shuffle
     assert "SortMergeJoin" not in plan
+
+
+def test_q12_single_fact_shuffle(spark, sf_dir):
+    # orders broadcasts into the filtered lineitem scan; both measures come
+    # from ONE conditional-agg pass — no second scan, no join per measure
+    plan = _plan(spark, sf_dir, "q12_ship_delay", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 2  # lineitem + orders, once each
+
+
+def test_q16_anti_join_is_broadcast(spark, sf_dir):
+    # the complaint blacklist is tiny: NOT IN must plan as a BROADCAST
+    # anti join, never a shuffled one
+    plan = _plan(spark, sf_dir, "q16_supplier_cnt", mode="simple")
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines and all("BroadcastHashJoin" in ln for ln in anti_lines)
+
+
+def test_q20_semi_joins_stay_broadcast(spark, sf_dir):
+    # both IN-subquery decorrelations (part filter, supplier threshold)
+    # must be broadcast semi joins into the scans
+    plan = _plan(spark, sf_dir, "q20_excess_suppliers", mode="simple")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
