@@ -344,6 +344,36 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_measures",
+    oracle="""
+    WITH agg AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(sum(l_discount), 2) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, measure, amount
+    FROM agg
+    UNPIVOT (amount FOR measure IN (sum_qty, sum_price, sum_disc))
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, the inverse of `pivot_agg`): one aggregation
+    pass, then `DataFrame.unpivot` melts the measure columns — a pure
+    per-row projection (Expand node), NO extra shuffle or join; output is
+    3× the agg's rows regardless of input size."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "amount"
+    )
+
+
+@register(
     "join_outer_full",
     oracle="""
     SELECT coalesce(l.c_custkey, r.o_custkey) AS custkey,
