@@ -65,6 +65,78 @@ def flagship_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_gapfill_ffill",
+    oracle="""
+    WITH mins AS (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                                TIMESTAMP '2024-01-01 23:59:00',
+                                                INTERVAL 1 MINUTE)) AS minute),
+    agg AS (SELECT event_type,
+                   CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+                   count(*) AS n_events,
+                   round(avg(value), 6) AS avg_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+            GROUP BY 1, 2),
+    types AS (SELECT DISTINCT event_type FROM agg),
+    grid AS (SELECT event_type, minute FROM types CROSS JOIN mins)
+    SELECT g.event_type, g.minute,
+           CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+           last_value(a.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM grid g LEFT JOIN agg a USING (event_type, minute)
+    """,
+)
+def ts_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: densify one day to a fixed
+    per-type minute grid (`sequence` + explode — generated, not scanned),
+    left-join the sparse per-minute rollup, forward-fill the last observed
+    value per type (`last(ignorenulls)` over an ordered window). Minutes
+    before a type's first event stay NULL — same in both engines.
+
+    100 TB shape: the grid is O(types × minutes), independent of event
+    volume; events aggregate partial+final on (type, minute) BEFORE the
+    join, so the big side collapses first; the window shuffles only the
+    dense grid on the type key. This is the standard dashboard/feature
+    "resample to fixed frequency + ffill" primitive."""
+    ev = _t(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    )
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+    grid = (
+        agg.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                    F.lit("2024-01-01 23:59:00").cast("timestamp"),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("minute"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["event_type", "minute"], "left")
+        .select(
+            "event_type",
+            "minute",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped core relational queries
 # ---------------------------------------------------------------------------
