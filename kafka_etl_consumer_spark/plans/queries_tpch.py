@@ -344,6 +344,61 @@ def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_customer_segment",
+    oracle="""
+    WITH cur AS (SELECT c_custkey, c_mktsegment AS segment,
+                        TIMESTAMP '2023-01-01 00:00:00' AS valid_from,
+                        CAST(NULL AS TIMESTAMP) AS valid_to
+                 FROM customer),
+    big AS (SELECT o_custkey, max(o_totalprice) AS mx
+            FROM orders WHERE o_totalprice > 250000 GROUP BY 1),
+    upd AS (SELECT c_custkey,
+                   CASE WHEN mx > 400000 THEN 'VIP' ELSE c_mktsegment END AS segment,
+                   TIMESTAMP '2024-06-01 00:00:00' AS ts
+            FROM big JOIN customer ON o_custkey = c_custkey),
+    chg AS (SELECT u.c_custkey, u.segment AS new_seg, u.ts
+            FROM upd u JOIN cur c USING (c_custkey)
+            WHERE u.segment <> c.segment)
+    SELECT c.c_custkey, c.segment, c.valid_from, chg.ts AS valid_to
+    FROM cur c LEFT JOIN chg USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, new_seg AS segment, ts AS valid_from,
+           CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM chg
+    """,
+)
+def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (operators/scd.py): customers whose max order
+    exceeds 400k move to a 'VIP' segment effective 2024-06-01 — their open
+    row closes and a new open row appends; customers matched by the update
+    batch with an UNCHANGED segment are no-ops (no spurious version). One
+    key join decides every row; update batch ≪ dimension → broadcast."""
+    from kafka_etl_consumer_spark.operators.scd import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    cur = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("2023-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    big = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("mx"))
+    )
+    upd = big.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_custkey",
+        F.when(F.col("mx") > 400000, F.lit("VIP"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        F.lit("2024-06-01 00:00:00").cast("timestamp").alias("ts"),
+    )
+    return scd2_merge(cur, upd, "c_custkey", ["segment"], ts_col="ts")
+
+
+@register(
     "unpivot_measures",
     oracle="""
     WITH agg AS (
