@@ -98,6 +98,78 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# PII patterns. Plain character classes only (no lookarounds, no \b), so
+# Java regex (Spark) and RE2 (DuckDB) match byte-for-byte identically.
+# Order matters when redacting: emails first (their local part can contain
+# digits), then phone (+CC-NNN-NNNN shape), then bare IPv4.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("phone", r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}", "<PHONE>"),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+)
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, n_email, n_phone, n_ipv4, clean) — count and mask PII spans.
+
+    The C4/Dolma-style scrubbing pass a training pipeline runs before
+    publishing a corpus. Pure `regexp_extract_all` + chained
+    `regexp_replace` — JVM codegen, narrow map, no shuffle; at 100 TB this
+    is scan-bound and embarrassingly parallel. Patterns are RE2-safe so
+    the DuckDB oracle applies the byte-identical rule.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean: Column = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col), *counts, clean.alias("clean"))
+
+
+def repetition_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_tokens, dup_2gram_frac, dup_3gram_frac, top_token_frac) —
+    Gopher-style within-document repetition signals.
+
+    dup_kgram_frac = 1 - distinct_kgrams/total_kgrams (how much of the
+    document is self-repeating); top_token_frac = count of the most
+    frequent token / n_tokens (boilerplate / keyword-stuffing detector).
+    All array built-ins (`array_distinct`, `transform`+`filter`) — per-row
+    narrow map; the top-token scan is O(distinct·n) per document, bounded
+    by document length, with no shuffle at any scale.
+    """
+    from kafka_etl_consumer_spark.functions.text import word_shingles
+
+    toks = tokens(text_col)
+    d = df.select(F.col(id_col), toks.alias("__toks"))
+    t = F.col("__toks")
+
+    def dup_frac(sh: Column) -> Column:
+        n = F.size(sh)
+        return F.when(
+            n > 0,
+            F.round((n - F.size(F.array_distinct(sh))).cast("double") / n, 6),
+        ).otherwise(F.lit(0.0))
+
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(t), lambda u: F.size(F.filter(t, lambda x: x == u))
+        )
+    )
+    return d.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        dup_frac(word_shingles(t, 2)).alias("dup_2gram_frac"),
+        dup_frac(word_shingles(t, 3)).alias("dup_3gram_frac"),
+        F.when(
+            F.size(t) > 0, F.round(top_cnt.cast("double") / F.size(t), 6)
+        ).otherwise(F.lit(0.0)).alias("top_token_frac"),
+    )
+
+
 # Simplified GPT-2-style pretokenizer: contractions, letter runs, digit
 # runs, punctuation runs — each optionally preceded by one space. Plain
 # alternation only (no lookarounds), so Java regex (Spark) and RE2
