@@ -1,0 +1,113 @@
+"""Corpus-statistics operators: TF-IDF term ranking and PMI collocation
+mining over a document table.
+
+Scale design (100 TB):
+- Both operators shuffle on (doc_id, token) / bigram keys — high-cardinality
+  keys with map-side partial aggregation, the canonical scalable shape. No
+  all-pairs stage anywhere.
+- Corpus-level scalars (N docs, total tokens) are 1-row aggregates crossJoin-
+  broadcast back — no driver collect, no second scan of the raw text.
+- The per-token document-frequency table is joined on the token key; at
+  100 TB this is a plain shuffle join (vocabulary >> broadcast threshold);
+  Catalyst broadcasts it automatically when it is small.
+- ln() is used for idf/pmi; both engines compute IEEE doubles whose ulp
+  noise is removed by round(.., 6) before ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.text import tokens
+
+
+def _token_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by raw-count TF × ln(N/df).
+
+    (id, rank, token, score). Deterministic: ties broken by token asc on
+    the rounded score.
+    """
+    toks = _token_table(df, text_col, id_col)
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = df.agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "token", "score")
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information.
+
+    pmi(a,b) = ln( (c_ab/T) / ((c_a/U)·(c_b/U)) ) with c_ab ≥ min_count;
+    T = total bigrams, U = total tokens. (w1, w2, n_pair, pmi), ranked by
+    (pmi desc, w1, w2) on the rounded score.
+    """
+    t = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    bigrams = t.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.col("__toks"),
+                    F.slice(F.col("__toks"), 2, F.greatest(F.size("__toks") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                ),
+                lambda p: p.w2.isNotNull(),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = _token_table(df, text_col, id_col).groupBy("token").agg(
+        F.count("*").alias("c")
+    )
+    pair = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    totals = pair.agg(F.sum("n_pair").alias("__t")).crossJoin(
+        uni.agg(F.sum("c").alias("__u"))
+    )
+    scored = (
+        pair.where(F.col("n_pair") >= min_count)
+        .join(uni.withColumnRenamed("token", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("token", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("__t"))
+                    / ((F.col("c1") / F.col("__u")) * (F.col("c2") / F.col("__u")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    # global top-k: orderBy+limit compiles to TakeOrderedAndProject (per-
+    # partition heaps + driver merge of k rows), not a 1-partition window
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
