@@ -35,7 +35,10 @@ def tfidf_top_terms(
     the rounded score.
     """
     toks = _token_table(df, text_col, id_col)
-    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df-count branch and the scoring branch; without a
+    # persist Spark recomputes the tokenize+shuffle twice (the two
+    # subtrees differ post-optimization, so exchange reuse never fires)
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = df.agg(F.count("*").alias("__n"))
     scored = (
@@ -83,10 +86,17 @@ def pmi_collocations(
             )
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
-    uni = _token_table(df, text_col, id_col).groupBy("token").agg(
-        F.count("*").alias("c")
+    # uni is consumed 3× (c1 join, c2 join, total) and pair 2× (scoring,
+    # total): persist both so the corpus is tokenized exactly once per
+    # shape — these are vocabulary/bigram-count sized, orders of magnitude
+    # smaller than the corpus, the right things to cache at 100 TB
+    uni = (
+        _token_table(df, text_col, id_col)
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .persist()
     )
-    pair = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    pair = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_pair")).persist()
     totals = pair.agg(F.sum("n_pair").alias("__t")).crossJoin(
         uni.agg(F.sum("c").alias("__u"))
     )

@@ -40,32 +40,38 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     that view, first purchase AFTER that click, per user; corpus-level
     conversion counts + mean step latencies.
 
-    Three filtered min-aggregates chained by user-keyed joins — every
-    aggregate is map-side combinable and all joins share the user_id
-    shuffle key, so at 100 TB this is one partitioning reused across
-    stages (no re-shuffle after the first)."""
+    ONE scan, ONE shuffle: per-user events are gathered with
+    collect_list(struct) and the ordered step times fall out of chained
+    higher-order array_min/filter expressions (each step's filter
+    references the previous step's time — no join needed). The join-chain
+    formulation (3 filtered aggregates + user-keyed joins) re-scans the
+    fact table 6× because its aggregate subtrees don't hit Spark's
+    exchange-reuse; this shape scans once at any scale. Memory bound: one
+    user's funnel-relevant events per row — the standard sessionization
+    assumption."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("t1")
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("t1"))
+    g = (
+        ev.where(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("t1").alias("t1c"), F.min("ts").alias("t2"))
+        .agg(F.collect_list(F.struct("ts", "event_type")).alias("evs"))
     )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c.select("user_id", "t2"), "user_id")
-        .where(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+
+    def step_min(kind: str, after):
+        cand = F.filter(
+            F.col("evs"),
+            lambda ev_: (ev_.event_type == kind)
+            & (ev_.ts > after if after is not None else F.lit(True)),
+        )
+        return F.array_min(F.transform(cand, lambda ev_: ev_.ts))
+
+    per_user = (
+        g.withColumn("t1", step_min("view", None))
+        .withColumn("t2", step_min("click", F.col("t1")))
+        .withColumn("t3", step_min("purchase", F.col("t2")))
     )
-    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
-    gap1 = F.unix_micros(F.col("t2")) - F.unix_micros(F.col("t1c"))
+    gap1 = F.unix_micros(F.col("t2")) - F.unix_micros(F.col("t1"))
     gap2 = F.unix_micros(F.col("t3")) - F.unix_micros(F.col("t2"))
-    return funnel.agg(
+    return per_user.where(F.col("t1").isNotNull()).agg(
         F.count("*").alias("n_view"),
         F.count("t2").alias("n_click"),
         F.count("t3").alias("n_purchase"),

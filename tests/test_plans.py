@@ -163,3 +163,35 @@ def test_q20_semi_joins_stay_broadcast(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_single_scan_single_wide_shuffle(spark, sf_dir):
+    # the collect_list funnel must scan events ONCE (the join-chain shape
+    # re-scans 6x) and shuffle once on user_id plus the final 1-row agg
+    plan = _plan(spark, sf_dir, "funnel_steps", mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") <= 2
+
+
+def test_pack_sequences_one_exchange(spark, sf_dir):
+    # shard window + pack rollup reuse the same hash partitioning
+    plan = _plan(spark, sf_dir, "pack_sequences", mode="simple")
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pmi_top_k_and_cached_aggregates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pmi_collocations", mode="simple")
+    # global top-50 must be heap-based, never a 1-partition window sort
+    assert "TakeOrderedAndProject" in plan
+    # unigram/pair tables are persisted so the corpus tokenizes once per shape
+    assert "InMemoryTableScan" in plan
+
+
+def test_quantize_broadcasts_stats_row(spark, sf_dir):
+    # per-dim stats collapse to one broadcast row; corpus is never shuffled
+    plan = _plan(spark, sf_dir, "embedding_quantize_int8", mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    # only the d-row dim aggregate shuffles; embeddings themselves do not
+    assert all("posexplode" not in l for l in shuffles)
