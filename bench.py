@@ -72,6 +72,14 @@ HEADLINE = [
     "cluster_kmeans_refine",
     "dedup_embedding_lsh",
     "text_quality",
+    "text_pii_redact",
+    "text_repetition",
+    "tfidf_top_terms",
+    "pmi_collocations",
+    "pack_sequences",
+    "embedding_quantize_int8",
+    "funnel_steps",
+    "retention_cohorts",
     "multimodal_meta",
     "multimodal_pixels",
     "pipeline_prepare_corpus",

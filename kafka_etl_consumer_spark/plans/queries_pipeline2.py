@@ -232,3 +232,56 @@ def pos_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
     )
+
+
+@register(
+    "lateral_topk_per_order",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM orders o, LATERAL (
+        SELECT l_linenumber, l_extendedprice FROM lineitem
+        WHERE l_orderkey = o.o_orderkey
+        ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+    WHERE o.o_orderkey < 1000
+    """,
+)
+def lateral_topk_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 line items
+    per order). Catalyst decorrelates this into an equi-join + per-key
+    rank limit — the filtered orders side broadcasts and the pattern runs
+    without any nested-loop stage, so it scales like a windowed top-k."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM orders o, LATERAL (
+            SELECT l_linenumber, l_extendedprice FROM lineitem
+            WHERE l_orderkey = o.o_orderkey
+            ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        WHERE o.o_orderkey < 1000
+        """
+    )
+
+
+@register(
+    "variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS k,
+           CAST(props->>'k' AS BIGINT) % 10 AS k_bucket
+    FROM events
+    """,
+)
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json(props) -> binary variant, then typed path extraction with
+    try_variant_get. Variant decode stays columnar/JVM-side (no Python,
+    no UDF); at 100 TB this is a narrow map over the scan."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return ev.select(
+        F.col("event_id"),
+        k.alias("k"),
+        F.pmod(k, F.lit(10)).alias("k_bucket"),
+    )

@@ -195,3 +195,15 @@ def test_quantize_broadcasts_stats_row(spark, sf_dir):
     shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     # only the d-row dim aggregate shuffles; embeddings themselves do not
     assert all("posexplode" not in l for l in shuffles)
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    # the correlated LATERAL (ORDER BY + LIMIT) must decorrelate into an
+    # equi-join + per-key limit — no nested-loop over the fact table
+    plan = _plan(spark, sf_dir, "lateral_topk_per_order", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_variant_extract_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "variant_extract", mode="simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
