@@ -49,7 +49,11 @@ def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange-reuse; this shape scans once at any scale. Memory bound: one
     user's funnel-relevant events per row — the standard sessionization
     assumption."""
-    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # parquet ts may load as TIMESTAMP_NTZ (inference-dependent); unix_micros
+    # requires TIMESTAMP — cast at the scan (session tz is UTC, lossless).
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
     g = (
         ev.where(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
