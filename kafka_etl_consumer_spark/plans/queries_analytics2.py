@@ -1,0 +1,243 @@
+"""Query surface batch 7: event analytics round 2 (gap sessionization,
+rolling z-score anomalies) and SQL-surface widening (ordered string
+aggregation, edit-distance pairs, calendar arithmetic).
+
+All exact DuckDB oracles; the only floats are aggregate-level and rounded
+in both engines (per-row floats are never round()ed — see driver_sim
+HALF_UP note).
+
+The reference has no analytics surface (pass-through ETL,
+ETLTask.java:261-283); these are the downstream workloads its parquet
+layout exists to serve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def _events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized to TIMESTAMP (micros, UTC session tz)."""
+    return _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+
+
+@register(
+    "sessionize_gap",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    m AS (SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('microsecond', lag(ts) OVER w, ts) > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                      AS session_seq
+          FROM m)
+    SELECT user_id, session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           date_diff('microsecond', min(ts), max(ts)) AS duration_us
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a user's events split into sessions
+    wherever the inter-event gap exceeds 30 minutes; one row per session
+    with bounds, size, and exact duration.
+
+    More general than session_window (win_session) — the session id is a
+    running sum of boundary flags, so downstream ops can join back to raw
+    events on (user_id, session_seq). One user-keyed shuffle feeds both
+    the lag and the running sum (same window spec ⇒ one Exchange + two
+    Window passes, no second shuffle); the final rollup partial-combines.
+    """
+    ev = _events_ts(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_seq",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+    r AS (SELECT user_id, value,
+                 avg(value) OVER w AS mu,
+                 stddev_samp(value) OVER w AS sd,
+                 count(value) OVER w AS n_prior
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN abs((value - mu) / sd) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_anomalies,
+           round(max(abs((value - mu) / sd)), 6) AS max_abs_z
+    FROM r WHERE n_prior >= 10 AND sd > 0
+    GROUP BY 1
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value scored
+    against the trailing 20 events of the same user (needs >= 10 prior
+    observations); per-user count of |z| > 3 outliers and the rounded
+    max |z|.
+
+    One user-keyed shuffle; avg/stddev/count share a single window frame
+    (one Window operator, streaming frame evaluation). Per-row z values
+    stay unrounded internally — only the aggregate max is rounded, so
+    cross-engine float repr differences can't bite.
+    """
+    ev = _events_ts(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    scored = (
+        ev.withColumn("mu", F.avg("value").over(w))
+        .withColumn("sd", F.stddev_samp("value").over(w))
+        .withColumn("n_prior", F.count("value").over(w))
+        .where((F.col("n_prior") >= 10) & (F.col("sd") > 0))
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+    )
+    return scored.groupBy("user_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum(F.when(F.abs("z") > 3, 1).otherwise(0)).alias("n_anomalies"),
+        F.round(F.max(F.abs("z")), 6).alias("max_abs_z"),
+    )
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    WITH d AS (SELECT DISTINCT n.n_name, c.c_mktsegment
+               FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey)
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments_csv
+    FROM d GROUP BY 1
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): per nation, the sorted CSV of
+    distinct customer market segments present.
+
+    collect_list is non-deterministic in order at scale, so the engine
+    sorts the collected array before joining — the only way an
+    order-sensitive string agg is reproducible on a cluster. Nation dim
+    broadcasts; the distinct pre-aggregates map-side.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    pairs = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_mktsegment")
+        .distinct()
+    )
+    return pairs.groupBy("n_name").agg(
+        F.count("*").alias("n_segments"),
+        F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias(
+            "segments_csv"
+        ),
+    )
+
+
+@register(
+    "str_levenshtein_pairs",
+    oracle="""
+    WITH b AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(levenshtein(a.p_brand, b.p_brand) AS INTEGER) AS dist
+    FROM b a JOIN b b ON a.p_brand < b.p_brand
+    WHERE levenshtein(a.p_brand, b.p_brand) <= 2
+    """,
+)
+def str_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs over the distinct brand vocabulary
+    (levenshtein <= 2, ordered pairs only).
+
+    The distinct vocab is tiny at any scale (bounded domain), so one side
+    broadcasts and the quadratic comparison never leaves a single stage.
+    For unbounded vocabularies the scale path is blocked comparison
+    (dedup_minhash / dedup_ngram_jaccard), not this exact operator.
+    """
+    b = _t(spark, sf_dir, "part").select("p_brand").distinct()
+    a2, b2 = b.alias("a"), b.alias("b")
+    dist = F.levenshtein(F.col("a.p_brand"), F.col("b.p_brand"))
+    return (
+        a2.join(
+            F.broadcast(b2),
+            (F.col("a.p_brand") < F.col("b.p_brand")) & (dist <= 2),
+        )
+        .select(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+            dist.alias("dist"),
+        )
+    )
+
+
+@register(
+    "date_arith_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE),
+                    '%Y-%m-%d') AS plus_3m,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE),
+                    '%Y-%m-%d') AS month_start,
+           strftime(CAST(CAST(o_orderdate AS DATE) + 90 AS DATE), '%Y-%m-%d')
+                    AS plus_90d,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+                AS INTEGER) AS days_to_eoy
+    FROM orders
+    """,
+)
+def date_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic widening: add_months (end-of-month clamping),
+    last_day, month truncation, day offsets, quarter / ISO week / day-of-
+    week extraction, and day deltas to a fixed anchor.
+
+    Pure narrow projection — codegen, pushdown-friendly, no shuffle.
+    DuckDB numbers dayofweek 0=Sunday vs Spark 1=Sunday; the oracle
+    offsets by one so the engines agree on the same calendar fact.
+    Date-valued outputs travel as ISO strings: pandas has no date dtype,
+    so DuckDB DATE surfaces as midnight datetime while Spark yields
+    datetime.date — same fact, different repr, hash mismatch.
+    """
+    d = F.to_date(F.col("o_orderdate"))
+    iso = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        iso(F.add_months(d, 3)).alias("plus_3m"),
+        iso(F.last_day(d)).alias("month_end"),
+        iso(F.trunc(d, "month")).alias("month_start"),
+        iso(F.date_add(d, 90)).alias("plus_90d"),
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow"),
+        F.datediff(F.to_date(F.lit("1998-12-31")), d).alias("days_to_eoy"),
+    )

@@ -1,0 +1,95 @@
+"""Query surface batch 6: corpus-preparation round 3 — overlapping
+token-window chunking and benchmark n-gram decontamination.
+
+Chunking is the pre-tokenization step before sequence packing
+(pack_sequences); decontamination is the eval-overlap scrub every training
+corpus runs. Both carry exact DuckDB oracles built from the shared token /
+shingle / hash builders (functions/text.py, functions/hashing.py) so the
+formulas are provably identical across engines.
+
+The reference has no text surface (pass-through ETL, ETLTask.java:261-283).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.hashing import hash64_sql
+from kafka_etl_consumer_spark.functions.text import tokens_sql, word_shingles_sql
+from kafka_etl_consumer_spark.operators import chunking as C
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+_TOK = tokens_sql("text")
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    s AS (SELECT doc_id, toks,
+                 CASE WHEN len(toks) > {_CHUNK_SIZE}
+                      THEN range(1, len(toks) - {_CHUNK_SIZE - _CHUNK_STRIDE} + 1,
+                                 {_CHUNK_STRIDE})
+                      ELSE [1] END AS starts
+          FROM t),
+    ex AS (SELECT doc_id, toks, unnest(starts) AS start FROM s)
+    SELECT doc_id,
+           CAST((start - 1) // {_CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(len(toks[start : start + {_CHUNK_SIZE - 1}]) AS INTEGER) AS n_tokens,
+           array_to_string(toks[start : start + {_CHUNK_SIZE - 1}], ' ') AS chunk_text
+    FROM ex
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 64, stride 48) of every
+    document — one row per chunk with its reconstructed text.
+
+    Narrow map + posexplode generator, no shuffle at any scale
+    (operators/chunking.chunk_documents). Chunk starts are arithmetic
+    (1 + i*stride) so the oracle recovers chunk_idx without ordinality.
+    """
+    return C.chunk_documents(
+        _t(spark, sf_dir, "documents"), size=_CHUNK_SIZE, stride=_CHUNK_STRIDE
+    )
+
+
+_BENCH_MOD = 20  # doc_id % 20 == 0 plays the held-out benchmark corpus
+_CONTAM_K = 3
+_CONTAM_THRESHOLD = 8
+
+
+@register(
+    "decontaminate_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOK} AS toks FROM documents),
+    s AS (SELECT doc_id, {word_shingles_sql("toks", _CONTAM_K)} AS sh FROM t),
+    ex AS (SELECT DISTINCT doc_id, {hash64_sql("g")} AS gh
+           FROM (SELECT doc_id, unnest(sh) AS g FROM s)),
+    bench AS (SELECT DISTINCT gh FROM ex WHERE doc_id % {_BENCH_MOD} = 0),
+    train AS (SELECT * FROM ex WHERE doc_id % {_BENCH_MOD} != 0)
+    SELECT t.doc_id,
+           CAST(count(b.gh) AS BIGINT) AS n_shared,
+           count(b.gh) >= {_CONTAM_THRESHOLD} AS contaminated
+    FROM train t LEFT JOIN bench b ON t.gh = b.gh
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    distinct word 3-grams shared with the benchmark split (doc_id % 20
+    == 0 plays the eval set) and a contaminated flag at >= 8 shared.
+
+    Bench gram-hash set is broadcast (eval sets are small by nature), so
+    the train side never shuffles for the join; grams travel as 60-bit
+    md5 hashes, not strings (operators/chunking.ngram_contamination).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(_BENCH_MOD)) == 0)
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(_BENCH_MOD)) != 0)
+    return C.ngram_contamination(
+        train, bench, k=_CONTAM_K, threshold=_CONTAM_THRESHOLD
+    )
