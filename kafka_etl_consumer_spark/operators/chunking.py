@@ -87,15 +87,21 @@ def ngram_contamination(
     with n_shared = 0 so the output is a complete decontamination report.
     """
 
-    def gram_hashes(d: DataFrame) -> DataFrame:
+    def gram_pairs(d: DataFrame) -> DataFrame:
         sh = word_shingles(tokens(text_col), k)
         return d.select(F.col(id_col), F.explode(sh).alias("__g")).select(
             F.col(id_col), hash64(F.col("__g")).alias("gh")
-        ).distinct()
+        )
 
-    bench_grams = gram_hashes(bench).select("gh").distinct().withColumn("hit", F.lit(1))
+    bench_grams = gram_pairs(bench).select("gh").distinct().withColumn("hit", F.lit(1))
+    # Repartition by doc BEFORE the (doc, gram) distinct: hash(doc_id)
+    # satisfies the clustered distribution of both the distinct AND the
+    # final per-doc count, so the whole train side pays exactly ONE
+    # exchange (distinct-first would shuffle the gram set twice).
     return (
-        gram_hashes(train)
+        gram_pairs(train)
+        .repartition(id_col)
+        .distinct()
         .join(F.broadcast(bench_grams), "gh", "left")
         .groupBy(id_col)
         .agg(F.count("hit").alias("n_shared"))

@@ -207,3 +207,34 @@ def test_lateral_topk_decorrelates(spark, sf_dir):
 def test_variant_extract_stays_jvm_side(spark, sf_dir):
     plan = _plan(spark, sf_dir, "variant_extract", mode="simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sessionize_single_exchange_two_windows(spark, sf_dir):
+    # lag + running sum share one user-keyed exchange; the per-session
+    # rollup's clustering (user_id, session_seq) is satisfied by the
+    # existing hash(user_id) partitioning — no second shuffle.
+    plan = _plan(spark, sf_dir, "sessionize_gap", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+
+
+def test_decontaminate_broadcasts_bench_single_train_exchange(spark, sf_dir):
+    # bench gram set is broadcast; the train side pays exactly one
+    # exchange (repartition by doc feeds distinct AND final count).
+    plan = _plan(spark, sf_dir, "decontaminate_ngrams", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 2  # tiny bench + train
+
+
+def test_anomaly_zscore_single_exchange_single_window(spark, sf_dir):
+    # avg/stddev/count share one frame -> one Window operator; final
+    # per-user agg reuses the window's hash(user_id) partitioning.
+    plan = _plan(spark, sf_dir, "anomaly_zscore", mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_chunking_no_shuffle_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_chunk_overlap", mode="simple")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
