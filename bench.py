@@ -80,6 +80,10 @@ HEADLINE = [
     "embedding_quantize_int8",
     "funnel_steps",
     "retention_cohorts",
+    "sessionize_gap",
+    "anomaly_zscore",
+    "text_chunk_overlap",
+    "decontaminate_ngrams",
     "multimodal_meta",
     "multimodal_pixels",
     "pipeline_prepare_corpus",

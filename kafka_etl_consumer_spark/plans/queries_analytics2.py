@@ -241,3 +241,54 @@ def date_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).alias("dow"),
         F.datediff(F.to_date(F.lit("1998-12-31")), d).alias("days_to_eoy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling (data-quality first step over any landed table)
+# ---------------------------------------------------------------------------
+
+def _profile_oracle() -> str:
+    """UNION ALL oracle mirroring operators/profiling.profile over orders."""
+    cols = {
+        "o_orderkey": "num",
+        "o_custkey": "num",
+        "o_orderstatus": "str",
+        "o_totalprice": "num",
+        "o_orderdate": "ts",
+        "o_orderpriority": "str",
+    }
+    parts = []
+    for name, kind in cols.items():
+        if kind == "num":
+            mn = f"round(CAST(min({name}) AS DOUBLE), 6)"
+            mx = f"round(CAST(max({name}) AS DOUBLE), 6)"
+            sn = sx = "CAST(NULL AS VARCHAR)"
+        elif kind == "ts":
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            sn = f"strftime(min({name}), '%Y-%m-%d %H:%M:%S')"
+            sx = f"strftime(max({name}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = mx = "CAST(NULL AS DOUBLE)"
+            sn, sx = f"min({name})", f"max({name})"
+        parts.append(
+            f"SELECT '{name}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num, {sn} AS min_str, {sx} AS max_str "
+            f"FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_table", oracle=_profile_oracle())
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of the orders table: nulls, exact distincts, typed
+    extrema — one row per column from ONE scan + ONE reduce
+    (operators/profiling.profile; stack unpivots the wide aggregate).
+
+    Exact multi-column distincts cost one Expand of the input (rows x
+    n_cols before partial aggregation) — the documented exactness price;
+    approx_count_distinct drops it at 100 TB."""
+    from kafka_etl_consumer_spark.operators.profiling import profile
+
+    return profile(_t(spark, sf_dir, "orders"))

@@ -53,3 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view so arbitrary ANSI SQL
+    runs against the landed data — the `spark.sql` entry point a reference
+    user gets for free after switching (the reference offers no query
+    surface at all over its output; README.md:14-26 just lists files)."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run one ANSI SQL statement against the registered table views."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

@@ -89,3 +89,29 @@ def test_sorted_write_narrows_row_group_stats(spark, sf_dir, tmp_path):
     assert smin <= smax
     got = sorted(r.l_orderkey for r in back.select("l_orderkey").limit(5).collect())
     assert got[0] >= smin
+
+
+def test_sql_entry_over_registered_views(spark, sf_dir):
+    """Arbitrary ANSI SQL over the registered table views matches the
+    DataFrame formulation of the same join+agg."""
+    from kafka_etl_consumer_spark.sources.tables import load_table, sql
+
+    got = sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n.n_name, count(*) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """,
+    )
+    import pyspark.sql.functions as F
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    want = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
