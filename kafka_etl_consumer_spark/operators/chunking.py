@@ -93,14 +93,27 @@ def ngram_contamination(
             F.col(id_col), hash64(F.col("__g")).alias("gh")
         )
 
-    bench_grams = gram_pairs(bench).select("gh").distinct().withColumn("hit", F.lit(1))
-    # Repartition by doc BEFORE the (doc, gram) distinct: hash(doc_id)
-    # satisfies the clustered distribution of both the distinct AND the
-    # final per-doc count, so the whole train side pays exactly ONE
-    # exchange (distinct-first would shuffle the gram set twice).
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    bench_grams = (
+        gram_pairs(ensure_min_parallelism(bench))
+        .select("gh")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    # Repartition the RAW docs by doc_id BEFORE shingling: the shuffle
+    # moves ~300-byte texts instead of the 10-100x larger gram-hash set,
+    # the shingle+md5 work runs full-width even when the source is one
+    # small file, and hash(doc_id) satisfies the clustered distribution of
+    # both the (doc, gram) distinct AND the final per-doc count — so the
+    # whole train side pays exactly ONE exchange, and it's the cheapest
+    # one. The partition count is pinned explicitly: AQE would coalesce a
+    # countless column repartition of tiny text bytes to ONE partition and
+    # serialize the CPU-heavy generate stage downstream of it (measured
+    # 6x on this query at sf0.1).
+    width = train.sparkSession.sparkContext.defaultParallelism
     return (
-        gram_pairs(train)
-        .repartition(id_col)
+        gram_pairs(train.repartition(width, id_col))
         .distinct()
         .join(F.broadcast(bench_grams), "gh", "left")
         .groupBy(id_col)
