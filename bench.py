@@ -69,6 +69,7 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "graph_components",
+    "graph_pagerank",
     "cluster_kmeans_refine",
     "dedup_embedding_lsh",
     "text_quality",

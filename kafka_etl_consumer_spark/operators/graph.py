@@ -101,3 +101,60 @@ def connected_components(
     return labels.unionByName(singletons).select(
         F.col("u").alias(id_col), F.col("lbl").alias("component_id")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(id, rank) after ``iterations`` rounds of damped power iteration:
+
+        r_v = (1 - d)/N + d * sum_{(u,v) in E} r_u / outdeg(u)
+
+    All plan-side — N comes from a broadcast one-row count, never a
+    driver action, so the whole computation stays one lazy DAG a 100 TB
+    scan can stream through. Per round: edges ⋈ ranks on src (the ONE
+    fact-fact shuffle), then a dst-keyed partial+final sum, then a left
+    join back to vertices for dangling/no-inlink nodes. Fixed round
+    count; like connected_components, wrap with an eager delta loop +
+    localCheckpoint for unbounded convergence runs.
+
+    Vertices with no out-edges simply leak their mass (no dangling
+    redistribution) — the standard simplification; document when using
+    rank magnitudes, irrelevant for rank ORDER of well-linked graphs.
+    """
+    n_row = F.broadcast(vertices.agg(F.count("*").cast("double").alias("__n")))
+    v = vertices.select(F.col(id_col).alias("vid")).crossJoin(n_row)
+
+    deg = edges.groupBy(F.col(src).alias("u")).agg(
+        F.count("*").cast("double").alias("outdeg")
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("vdst")).join(
+        deg, "u"
+    )
+
+    ranks = v.select("vid", "__n", (F.lit(1.0) / F.col("__n")).alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.select("vid", "rank"), e.u == F.col("vid"))
+            .select(F.col("vdst"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("vdst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            v.join(contrib, v.vid == contrib.vdst, "left")
+            .select(
+                "vid",
+                "__n",
+                (
+                    (1.0 - damping) / F.col("__n")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select(F.col("vid").alias(id_col), "rank")

@@ -93,3 +93,72 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.ngram_contamination(
         train, bench, k=_CONTAM_K, threshold=_CONTAM_THRESHOLD
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (iterative link analysis over a deterministic synthetic graph)
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Exact power-iteration oracle: each round unrolled as one CTE."""
+    pre = """
+    WITH n AS (SELECT count(*) AS ni, CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    v AS (SELECT doc_id AS id FROM documents),
+    e AS (SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src,
+                   unnest([(doc_id*7+1) % ni, (doc_id*13+2) % ni,
+                           (doc_id*29+3) % ni]) AS dst
+            FROM documents, n)),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM e GROUP BY 1),
+    r0 AS (SELECT id, 1.0/nd AS r FROM v, n)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f""",
+    r{i} AS (SELECT v.id, 0.15/n.nd + 0.85*coalesce(sum(t.c), 0) AS r
+         FROM v CROSS JOIN n
+         LEFT JOIN (SELECT e.dst, r{i-1}.r / deg.outdeg AS c
+                    FROM e JOIN deg USING (src)
+                    JOIN r{i-1} ON r{i-1}.id = e.src) t ON t.dst = v.id
+         GROUP BY v.id, n.nd)""")
+    return (
+        pre
+        + "".join(rounds)
+        + f"\n    SELECT id AS doc_id, round(r, 9) AS rank FROM r{iters}"
+    )
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 damped power iterations) over a deterministic synthetic
+    link graph on doc_ids (3 modular out-links per doc — reproducible in
+    SQL, no self-loops for even N), via operators/graph.pagerank.
+
+    Fully lazy plan: N is a broadcast one-row count, each round is one
+    src-keyed join + one dst-keyed partial+final sum. Ranks rounded at 9
+    decimals in both engines — absorbs summation-order float drift while
+    still pinning every rank to ~1e-10. The exact oracle unrolls the same
+    5 rounds as chained CTEs.
+    """
+    from kafka_etl_consumer_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_row = F.broadcast(docs.agg(F.count("*").alias("__ni")))
+    edges = (
+        docs.crossJoin(n_row)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") * 7 + 1) % F.col("__ni"),
+                    (F.col("doc_id") * 13 + 2) % F.col("__ni"),
+                    (F.col("doc_id") * 29 + 3) % F.col("__ni"),
+                )
+            ).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(edges, docs, iterations=_PR_ITERS, id_col="doc_id")
+    return ranks.select("doc_id", F.round("rank", 9).alias("rank"))

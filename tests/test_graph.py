@@ -162,3 +162,24 @@ def test_kmeans_train_reduces_inertia(spark):
     assert i2 < i0
     assert i4 <= i2 + 1e-6
     assert not np.isnan(i4)
+
+
+def test_pagerank_mass_conserved_and_deterministic(spark):
+    """Every vertex has outdeg >= 1 in a ring graph, so total rank mass
+    stays 1 under power iteration; two runs agree exactly."""
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.operators.graph import pagerank
+
+    n = 50
+    verts = spark.createDataFrame([Row(id=i) for i in range(n)])
+    # ring + one chord per node: id -> id+1, id -> (2*id+1)%n
+    edges = spark.createDataFrame(
+        [Row(src=i, dst=(i + 1) % n) for i in range(n)]
+        + [Row(src=i, dst=(2 * i + 1) % n) for i in range(n)]
+    ).distinct()
+    r1 = {r.id: r["rank"] for r in pagerank(edges, verts, iterations=4).collect()}
+    r2 = {r.id: r["rank"] for r in pagerank(edges, verts, iterations=4).collect()}
+    assert abs(sum(r1.values()) - 1.0) < 1e-9
+    assert r1 == r2
+    assert min(r1.values()) > 0
