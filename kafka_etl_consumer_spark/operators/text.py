@@ -48,9 +48,15 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Deterministic quality heuristic: length saturation × (1 - digit
-    ratio) × stopword presence. Same shape as Gopher/C4-style filters."""
+    ratio) × stopword presence. Same shape as Gopher/C4-style filters.
+    ``keep_cols`` carries extra input columns through (e.g. lang)."""
     toks = tokens(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
@@ -65,6 +71,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         n_tokens.alias("n_tokens"),
         F.round(digit_ratio, 6).alias("digit_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

@@ -12,7 +12,7 @@ The reference has no text surface (pass-through ETL, ETLTask.java:261-283).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_etl_consumer_spark.functions.hashing import hash64_sql
@@ -162,3 +162,60 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, docs, iterations=_PR_ITERS, id_col="doc_id")
     return ranks.select("doc_id", F.round("rank", 9).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection (per-language training-mix knapsack)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 3000
+
+
+@register(
+    "corpus_token_budget",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, text, {_TOK} AS toks FROM documents),
+    raw AS (SELECT doc_id, lang, len(toks) AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS DOUBLE) / length(text) AS draw,
+                   CAST(len(list_filter(toks,
+                            t -> t IN ('the','a','of','and','in','to','is'))) AS DOUBLE)
+                        / len(toks) AS sraw
+            FROM tok),
+    q AS (SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+                 round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                       * (1 - draw) * (0.5 + 0.5 * least(1.0, sraw * 5)), 6) AS quality
+          FROM raw),
+    s AS (SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY lang
+                         ORDER BY quality DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM q)
+    SELECT lang, doc_id, n_tokens, quality, cum_tokens
+    FROM s WHERE cum_tokens <= {_BUDGET_TOKENS}
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget selection: greedily keep the highest-
+    quality documents of each language until a 3000-token budget fills —
+    the training-mix composition step after cleaning/dedup.
+
+    The selection key is the ROUNDED quality score (identical across
+    engines, ties broken by doc_id) so the greedy order is deterministic.
+    One lang-keyed shuffle; the running total and the budget cut happen
+    inside the window pass. At 100 TB the budget cut-off makes this a
+    WindowGroupLimit-like early stop per language partition.
+    """
+    from kafka_etl_consumer_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs, keep_cols=("lang",))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= _BUDGET_TOKENS)
+        .select("lang", "doc_id", "n_tokens", "quality", "cum_tokens")
+    )
