@@ -219,3 +219,48 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= _BUDGET_TOKENS)
         .select("lang", "doc_id", "n_tokens", "quality", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test corpus split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH b AS (SELECT lang,
+                      CAST(('0x' || substr(md5('split-' || CAST(doc_id AS VARCHAR)),
+                                           1, 15)) AS BIGINT) % 100 AS bucket,
+                      length(text) AS n_chars
+               FROM documents)
+    SELECT lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM b GROUP BY 1, 2
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split: every document's split
+    is a pure function of its id (salted md5 bucket), so the assignment
+    survives reruns, retries, engine swaps, and incremental corpus
+    growth — the property rand()-based splitters lack and leakage audits
+    require. Output: per (lang, split) doc and char accounting.
+
+    Narrow map + one partial-combining rollup; no shuffle before it.
+    """
+    from kafka_etl_consumer_spark.functions.hashing import hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = hash64(F.concat(F.lit("split-"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"), F.length("text").alias("n_chars"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
