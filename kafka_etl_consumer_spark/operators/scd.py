@@ -80,3 +80,29 @@ def scd2_merge(
     return closed_hist.select(*out_cols).unionByName(
         kept_open.unionByName(closed_now).unionByName(new_open)
     )
+
+
+def merge_type1(
+    current: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Generic type-1 MERGE (upsert + optional delete) over a landed
+    table: matched keys take the change row's values wholesale, unmatched
+    change rows insert, and rows whose change has ``delete_col`` true are
+    dropped. No history is kept — use :func:`scd2_merge` for that.
+
+    Shape: ONE anti join (current minus changed keys) + a union — never a
+    full outer join, so the big side shuffles at most once and not at all
+    when the change batch broadcasts (the common case: changes ≪ table).
+    Output is a full new snapshot to overwrite/partition-overwrite onto
+    the old one, same idempotent posture as scd2_merge.
+    """
+    keys = list(key_cols)
+    out_cols = [c for c in current.columns]
+    survivors = current.join(changes.select(*keys).distinct(), keys, "left_anti")
+    incoming = changes
+    if delete_col is not None:
+        incoming = incoming.where(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return survivors.unionByName(incoming.select(*out_cols))

@@ -292,3 +292,73 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_etl_consumer_spark.operators.profiling import profile
 
     return profile(_t(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# Generic type-1 MERGE (upsert + delete) over a landed table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_customers",
+    oracle="""
+    WITH changes AS (
+        SELECT c_custkey, c_name, c_nationkey,
+               c_acctbal + 100 AS c_acctbal, c_mktsegment,
+               (c_custkey % 10 = 7) AS is_delete
+        FROM customer WHERE c_custkey % 10 IN (3, 7)
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+               c_nationkey, 0.0, 'NEW', false
+        FROM customer WHERE c_custkey % 10 = 1
+    ),
+    survivors AS (SELECT c.* FROM customer c
+                  LEFT JOIN (SELECT DISTINCT c_custkey FROM changes) ch
+                  USING (c_custkey)
+                  WHERE ch.c_custkey IS NULL)
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM survivors
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM changes WHERE NOT is_delete
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-1 MERGE INTO (no history): a deterministic change batch —
+    balance bumps for keys ending in 3, deletes for keys ending in 7,
+    brand-new keys from keys ending in 1 — applied to the customer table
+    via operators/scd.merge_type1.
+
+    One broadcast anti join + union: the table never shuffles when the
+    change batch is small (the MERGE common case); the output is a full
+    overwritable snapshot.
+    """
+    from kafka_etl_consumer_spark.operators.scd import merge_type1
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    updates = cust.where(k % 10 == 3).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(False).alias("is_delete"),
+    )
+    deletes = cust.where(k % 10 == 7).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(True).alias("is_delete"),
+    )
+    inserts = cust.where(k % 10 == 1).select(
+        (k + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), k.cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(False).alias("is_delete"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return merge_type1(cust, F.broadcast(changes), ["c_custkey"], delete_col="is_delete")

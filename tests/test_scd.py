@@ -64,3 +64,34 @@ def test_scd2_merge_all_branches(spark):
         (5, "filled", T3, None), # NULL → value new version
     }
     assert out.count() == 8
+
+
+def test_merge_type1_all_branches(spark):
+    """Update, delete, insert, and untouched rows in one merge."""
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.operators.scd import merge_type1
+
+    cur = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=2, v="B", is_delete=False),   # update
+            Row(k=3, v="c", is_delete=True),    # delete
+            Row(k=4, v="d", is_delete=False),   # insert
+        ]
+    )
+    got = {r.k: r.v for r in merge_type1(cur, changes, ["k"], "is_delete").collect()}
+    assert got == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_type1_without_delete_col(spark):
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.operators.scd import merge_type1
+
+    cur = spark.createDataFrame([Row(k=1, v="a")])
+    changes = spark.createDataFrame([Row(k=1, v="A")])
+    got = merge_type1(cur, changes, ["k"]).collect()
+    assert len(got) == 1 and got[0].v == "A"
