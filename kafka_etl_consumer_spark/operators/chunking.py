@@ -53,6 +53,9 @@ def chunk_documents(
     """
     if stride <= 0 or size <= 0 or stride > size:
         raise ValueError("need 0 < stride <= size")
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     toks = tokens(text_col)
     n = F.size(toks)
     starts = F.when(

