@@ -88,6 +88,10 @@ HEADLINE = [
     "multimodal_meta",
     "multimodal_pixels",
     "pipeline_prepare_corpus",
+    "corpus_token_budget",
+    "profile_table",
+    "merge_upsert_customers",
+    "split_train_val_test",
 ]
 
 

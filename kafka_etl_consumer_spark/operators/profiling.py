@@ -31,6 +31,13 @@ def profile(df: DataFrame) -> DataFrame:
     string slots with ISO-formatted extrema. Exactly one scan regardless
     of column count.
     """
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    # the multi-distinct Expand multiplies rows x n_cols BEFORE the partial
+    # aggregate — widen a few-file scan so that work spreads (no-op on a
+    # wide 100 TB scan)
+    df = ensure_min_parallelism(df)
+
     aggs: list = []
     per_col: dict[str, dict[str, str]] = {}
 
