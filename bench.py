@@ -72,6 +72,11 @@ HEADLINE = [
     "graph_pagerank",
     "cluster_kmeans_refine",
     "dedup_embedding_lsh",
+    "dedup_canonical_pick",
+    "sample_reservoir_group",
+    "url_funcs",
+    "text_html_strip",
+    "text_unicode_clean",
     "text_quality",
     "text_pii_redact",
     "text_repetition",

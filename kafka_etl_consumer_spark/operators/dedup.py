@@ -364,3 +364,50 @@ def simhash(
         ],
     )
     return per_bit.select(F.col(id_col), sig.alias("simhash"))
+
+
+def canonical_pick(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 6,
+) -> DataFrame:
+    """(id, component_id, n_members, is_canonical) — turn near-duplicate
+    PAIRS into dedup DECISIONS: cluster the pair graph into components
+    (pointer-jumping, operators/graph.py) and mark exactly one keeper per
+    component — the member with the highest ``quality_col`` (ties broken by
+    the smallest id, so the pick is deterministic and SQL-reproducible).
+
+    This is the step that actually shrinks a corpus: `dedup_minhash` et al.
+    emit evidence (pairs); this emits the verdict (keep/drop per document).
+    Filter ``is_canonical`` to get the deduplicated corpus.
+
+    Scale shape: components state is one (id, label) row per document
+    (never the pair set); the final pick is ONE window over component_id —
+    rank<=1 plans as WindowGroupLimit, so each map task pre-prunes to one
+    candidate per component before the shuffle. Near-dup components are
+    tight clusters of copies (diameter a handful), so ``max_iter=6``
+    (diameter 63) is conservative.
+    """
+    from kafka_etl_consumer_spark.operators.graph import connected_components
+
+    comp = connected_components(
+        pairs, docs.select(id_col), id_col=id_col, src=src, dst=dst, max_iter=max_iter
+    )
+    joined = docs.select(id_col, quality_col).join(comp, id_col)
+    w_pick = Window.partitionBy("component_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    w_size = Window.partitionBy("component_id")
+    return (
+        joined.withColumn("__rn", F.row_number().over(w_pick))
+        .select(
+            F.col(id_col),
+            F.col("component_id"),
+            F.count("*").over(w_size).alias("n_members"),
+            (F.col("__rn") == 1).alias("is_canonical"),
+        )
+    )

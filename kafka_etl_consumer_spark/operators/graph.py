@@ -72,6 +72,14 @@ def connected_components(
     # plans under the caller's settings.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    # Constraint propagation must be off inside the loop: computing the
+    # Union's constraints during the lineage checkpoint hits a Catalyst
+    # rewrite bug ("key not found: u#...") when the upstream pair plan
+    # carries filter constraints (observed with the minhash-LSH pair plan
+    # on Spark 4.1). The loop gains nothing from constraints anyway — its
+    # joins are pure equi-joins on generated labels.
+    prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     try:
         for i in range(max_iter):
             # hop: min over own label + neighbors' labels
@@ -95,6 +103,7 @@ def connected_components(
                 labels = labels.localCheckpoint(eager=False)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
     singletons = vertices.select(F.col(id_col).alias("u")).join(
         labels.select("u"), "u", "left_anti"
     ).withColumn("lbl", F.col("u"))

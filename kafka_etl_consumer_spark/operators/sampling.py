@@ -21,7 +21,7 @@ scan filters. Changing the mix = changing literals, not re-shuffling.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_etl_consumer_spark.functions.hashing import hash64, hash64_sql
@@ -59,3 +59,27 @@ def stratified_sample_sql(
     )
     case = f"CASE {strata_col} {branches}ELSE {int(default_fraction * 1000)} END"
     return f"({hash64_sql(key_expr)}) % 1000 < {case}"
+
+
+def group_reservoir(
+    df: DataFrame, strata_col: str, k: int, key: Column
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per stratum — the fixed-SIZE
+    companion to ``stratified_sample``'s fixed-RATE keep (a per-class eval
+    slice or few-shot pool wants "20 per class", not "0.1% of each class").
+
+    The "reservoir" is deterministic: rank rows inside each stratum by
+    ``(hash64(key), key)`` — a uniform, retry-stable random order that both
+    engines reproduce — and keep rank <= k. The ``key`` tiebreak makes the
+    order total even under hash collisions.
+
+    Scale shape: one shuffle on the stratum key; the ``row_number() <= k``
+    filter plans as WindowGroupLimit (Spark >= 3.5), so every MAP task
+    pre-prunes to k rows per stratum before the exchange — a hot stratum
+    ships ~k rows per upstream partition, not its full torrent.
+    """
+    order = [hash64(key).asc(), key.asc()]
+    w = Window.partitionBy(strata_col).orderBy(*order)
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )

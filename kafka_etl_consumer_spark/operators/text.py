@@ -218,3 +218,84 @@ def bpe_token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
         F.size(bpe).alias("n_bpe_tokens"),
         F.round(F.size(bpe).cast("double") / F.size(toks), 6).alias("bpe_per_ws"),
     )
+
+
+# HTML entity table for unescaping after tag removal. ``&amp;`` is decoded
+# LAST: decoding it first would turn '&amp;lt;' into '&lt;' and then a
+# second pass into '<' — double-unescaping that the single ordered pass
+# never does (same rule as Python's html.unescape for this 5-entity set).
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+_TAG_PATTERN = r"<[^>]*>"
+
+
+def html_strip(df: DataFrame, html_col: str, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_tags, plain) — strip markup from an HTML column: count + drop
+    ``<...>`` tags, unescape the core entities, collapse whitespace.
+
+    The boilerplate-removal step every web-scraped corpus (C4/RefinedWeb
+    style) runs before quality scoring. Tag removal is one
+    ``regexp_replace`` and entity decoding is literal ``replace`` chains —
+    all JVM codegen, narrow map, no shuffle; at 100 TB this is scan-bound.
+    The tag regex is RE2-safe (no lookarounds) so the DuckDB oracle applies
+    the byte-identical rule. Not a full HTML5 parser by design: comments or
+    script bodies containing a bare '>' need a real parser (a mapInPandas
+    + html.parser stage slots in here if that fidelity is ever needed).
+    """
+    n_tags = F.size(F.regexp_extract_all(F.col(html_col), F.lit(_TAG_PATTERN), F.lit(0)))
+    txt: Column = F.regexp_replace(F.col(html_col), _TAG_PATTERN, " ")
+    for ent, ch in HTML_ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return df.select(F.col(id_col), n_tags.alias("n_tags"), txt.alias("plain"))
+
+
+# Control characters (C0 + DEL) minus \t\n\r, which collapse as whitespace.
+_CTRL_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def unicode_clean(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """(id, n_chars_raw, n_chars_clean, clean) — NFC-normalize combining
+    sequences, strip control characters, collapse whitespace.
+
+    The encoding-hygiene pass for scraped text: 'e' + U+0301 becomes the
+    single code point U+00E9, so downstream exact-dedup fingerprints and
+    tokenizers see one canonical byte form. NFC itself runs in an
+    Arrow-batched pandas UDF (``unicodedata`` — Spark SQL has no
+    normalization builtin); the UDF does ONLY the normalize, with the
+    control-strip and whitespace-collapse staying JVM-side regexp so the
+    Python surface is minimal. Narrow map, no shuffle; at 100 TB add
+    ``ensure_min_parallelism`` upstream if the source arrives as few files.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # plain-function form (no type hints): the module's
+    # ``from __future__ import annotations`` turns hints into strings,
+    # which pandas_udf's hint-based dispatch cannot resolve here
+    def _nfc_fn(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    _nfc = pandas_udf(_nfc_fn, "string")
+
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(_nfc(F.col(text_col)), _CTRL_PATTERN, ""), r"\s+", " "
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars_raw"),
+        F.length(clean).alias("n_chars_clean"),
+        clean.alias("clean"),
+    )

@@ -7,6 +7,7 @@ from kafka_etl_consumer_spark.plans import queries_pipeline as _qp  # noqa: F401
 from kafka_etl_consumer_spark.plans import queries_analytics as _qa  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline2 as _qp2  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline3 as _qp3  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline4 as _qp4  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_analytics2 as _qa2  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_tpch as _qt  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_tpch2 as _qt2  # noqa: F401,E402

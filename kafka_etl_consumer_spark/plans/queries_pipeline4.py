@@ -1,0 +1,249 @@
+"""Query surface batch 8: corpus-preparation round 4 — dedup DECISIONS
+(canonical keeper per near-dup cluster), fixed-size per-stratum sampling,
+and the web-scrape hygiene trio (URL parsing, HTML stripping, Unicode
+normalization).
+
+These close the loop from the batch-3 evidence operators (pair emitters)
+to the verdicts a pipeline acts on, plus the text-cleaning passes that run
+BEFORE quality scoring on web-scraped corpora. Every query carries an
+exact DuckDB oracle; the reference has no text surface at all
+(pass-through ETL, ETLTask.java:261-283 of the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.hashing import hash64_sql
+from kafka_etl_consumer_spark.operators import dedup as D
+from kafka_etl_consumer_spark.operators import text as X
+from kafka_etl_consumer_spark.operators.sampling import group_reservoir
+from kafka_etl_consumer_spark.plans.queries_pipeline import (
+    _MINHASH_COEFF_VALUES,
+    _SH_CTES,
+)
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# dedup decisions: pairs -> components -> one canonical keeper per cluster
+# ---------------------------------------------------------------------------
+
+# same pair-generation CTEs as the dedup_minhash oracle (same coefficients,
+# same band keys), extended with the recursive-CTE component fixpoint and
+# the per-component argmax pick — so Spark's 6-round pointer jumping AND
+# the window pick are both hash-checked against the true answer.
+_CANONICAL_ORACLE = _SH_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + f""",
+    hb AS (SELECT doc_id, ({hash64_sql('shingle')} % 2147483647) AS base FROM sh),
+    hx AS (SELECT doc_id, hp.h AS h, min((base * hp.a + hp.b) % 2147483647) AS m
+           FROM hb CROSS JOIN (VALUES {_MINHASH_COEFF_VALUES}) AS hp(h, a, b)
+           GROUP BY doc_id, hp.h),
+    bk AS (SELECT doc_id,
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY h)
+                      || ',' || CAST(h // 3 AS VARCHAR)) AS band_key
+           FROM hx GROUP BY doc_id, h // 3),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (SELECT id_a, id_b
+              FROM (SELECT id_a, id_b, count(*) AS n_inter
+                    FROM cand
+                    JOIN sh a ON a.doc_id = id_a
+                    JOIN sh b ON b.doc_id = id_b AND b.shingle = a.shingle
+                    GROUP BY id_a, id_b) i
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+    sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+        SELECT doc_id AS u, doc_id AS r FROM documents
+        UNION
+        SELECT reach.u, sym.v FROM reach JOIN sym ON sym.u = reach.r),
+    lab AS (SELECT u AS doc_id, min(r) AS component_id FROM reach GROUP BY u)
+    SELECT d.doc_id, lab.component_id,
+           CAST(count(*) OVER (PARTITION BY lab.component_id) AS BIGINT) AS n_members,
+           (row_number() OVER (PARTITION BY lab.component_id
+                               ORDER BY d.n_chars DESC, d.doc_id ASC)) = 1
+               AS is_canonical
+    FROM documents d JOIN lab ON d.doc_id = lab.doc_id
+    """
+
+
+@register("dedup_canonical_pick", oracle=_CANONICAL_ORACLE)
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup VERDICT: MinHash-LSH pairs (Jaccard >= 0.5)
+    -> connected components -> exactly one canonical keeper per cluster
+    (highest n_chars, ties to the smallest doc_id). ``is_canonical`` is
+    the keep/drop decision a corpus build filters on.
+
+    Scale: the pair stage is the bucketed LSH path (no all-pairs),
+    components carry one (doc, label) row per document, and the pick is a
+    WindowGroupLimit-pruned rank — see operators/dedup.canonical_pick.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=3, num_hashes=24, bands=8, rows_per_band=3, threshold=0.5
+    )
+    return D.canonical_pick(pairs, docs, quality_col="n_chars")
+
+
+# ---------------------------------------------------------------------------
+# fixed-size per-stratum sampling
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 20
+_RES_ORDER = (
+    f"{hash64_sql('CAST(event_id AS VARCHAR)')} ASC, CAST(event_id AS VARCHAR) ASC"
+)
+
+
+@register(
+    "sample_reservoir_group",
+    oracle=f"""
+    SELECT event_id, event_type, value,
+           CAST(row_number() OVER (PARTITION BY event_type ORDER BY {_RES_ORDER})
+                AS INT) AS sample_rank
+    FROM events
+    QUALIFY sample_rank <= {_RESERVOIR_K}
+    """,
+)
+def sample_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 events per event_type, picked by deterministic hash rank
+    — the fixed-SIZE sampling a per-class eval slice or few-shot pool
+    needs (vs sample_stratified's fixed-RATE keep). Same rows every
+    run/engine/retry; rank<=k plans as WindowGroupLimit so map tasks
+    pre-prune a hot stratum before the shuffle."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return group_reservoir(
+        ev, "event_type", _RESERVOIR_K, F.col("event_id").cast("string")
+    )
+
+
+# ---------------------------------------------------------------------------
+# web-scrape hygiene: URL parsing, HTML stripping, Unicode normalization
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic URL per event (the testdata has no URL column):
+# host carries the event_type + a shard digit, path the event id, and the
+# query string two parameters — enough surface for every parse_url part.
+_URL_SQL = (
+    "'https://' || event_type || CAST(user_id % 5 AS VARCHAR) || "
+    "'.example.com/p/' || CAST(event_id AS VARCHAR) || "
+    "'?u=' || CAST(user_id AS VARCHAR) || '&typ=' || event_type"
+)
+
+
+@register(
+    "url_funcs",
+    oracle=f"""
+    WITH u AS (SELECT event_id, {_URL_SQL} AS url
+               FROM events WHERE event_id % 10 = 0)
+    SELECT event_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]u=([^&]*)', 1) AS param_u
+    FROM u
+    """,
+)
+def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition family (protocol/host/path/query/named param) via
+    ``parse_url`` — the crawl-metadata extraction web corpora run for
+    domain-level filtering and per-site accounting. JVM codegen, narrow
+    map, no shuffle; the oracle recovers the identical parts with anchored
+    RE2 regexes."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 10 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("event_type"),
+        (F.col("user_id") % 5).cast("string"),
+        F.lit(".example.com/p/"),
+        F.col("event_id").cast("string"),
+        F.lit("?u="),
+        F.col("user_id").cast("string"),
+        F.lit("&typ="),
+        F.col("event_type"),
+    )
+    return ev.select(
+        "event_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("u")).alias("param_u"),
+    )
+
+
+# Synthetic HTML wrapper: headline from source, body from text, plus the
+# five core entities so the unescape chain is exercised.
+_HTML_TAIL = " &amp; <b>more</b> &lt;tags&gt; &quot;q&#39;s&quot;</p>"
+
+
+@register(
+    "text_html_strip",
+    oracle=f"""
+    WITH h AS (SELECT doc_id,
+                      '<html><body><h1>' || source || '</h1>' || chr(10) ||
+                      '<p>' || text || '{_HTML_TAIL}'
+                      || chr(10) || '</body></html>' AS html
+               FROM documents WHERE doc_id % 5 = 0)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                   regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&amp;', '&'),
+               '\\s+', ' ', 'g')) AS plain
+    FROM h
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> plain text: count + strip tags, unescape the core entities
+    (&amp; decoded last — no double-unescape), collapse whitespace. The
+    boilerplate-removal pass before quality scoring on web scrapes. All
+    JVM regexp/replace codegen, narrow map (operators/text.html_strip)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    html = F.concat(
+        F.lit("<html><body><h1>"),
+        F.col("source"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit(_HTML_TAIL + "\n</body></html>"),
+    )
+    return X.html_strip(docs.withColumn("html", html), "html")
+
+
+# NFC test vector: 'e' + U+0301 (combining acute) normalizes to U+00E9;
+# two BEL control chars and doubled spaces exercise the strip + collapse.
+_DIRTY_PREFIX = "Café  \x07bell\x07 "
+
+
+@register(
+    "text_unicode_clean",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, '{_DIRTY_PREFIX}' || substr(text, 1, 40) AS dirty
+               FROM documents WHERE doc_id % 5 = 1),
+    c AS (SELECT doc_id, dirty,
+                 trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+                      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+                      '\\s+', ' ', 'g')) AS clean
+          FROM d)
+    SELECT doc_id,
+           CAST(length(dirty) AS INT) AS n_chars_raw,
+           CAST(length(clean) AS INT) AS n_chars_clean,
+           clean
+    FROM c
+    """,
+)
+def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding hygiene: NFC-normalize combining sequences (é as ONE code
+    point, so fingerprints and tokenizers see canonical bytes), strip
+    control characters, collapse whitespace. NFC runs in an Arrow-batched
+    pandas UDF (Spark SQL has no normalization builtin); everything else
+    stays JVM-side (operators/text.unicode_clean)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    dirty = F.concat(F.lit(_DIRTY_PREFIX), F.substring("text", 1, 40))
+    return X.unicode_clean(docs.withColumn("dirty", dirty), "dirty")

@@ -1,0 +1,68 @@
+"""Edge-path unit tests for the batch-8 corpus operators (canonical pick,
+group reservoir, HTML strip, unicode clean) — the oracle parametrization in
+test_queries_oracle.py covers the happy paths; these pin the corners."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.operators.dedup import canonical_pick
+from kafka_etl_consumer_spark.operators.sampling import group_reservoir
+from kafka_etl_consumer_spark.operators.text import html_strip, unicode_clean
+
+
+def test_canonical_pick_singletons_and_ties(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, n_chars=c) for i, c in [(1, 10), (2, 50), (3, 50), (9, 7)]]
+    )
+    # 1-2 and 2-3 are near-dups (one chained component); 9 is a singleton
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)])
+    out = {
+        r["doc_id"]: r
+        for r in canonical_pick(pairs, docs, quality_col="n_chars").collect()
+    }
+    assert set(out) == {1, 2, 3, 9}
+    assert out[1]["component_id"] == out[2]["component_id"] == out[3]["component_id"] == 1
+    assert out[9]["component_id"] == 9 and out[9]["n_members"] == 1
+    # tie on n_chars=50 between 2 and 3 -> smaller id wins, exactly one keeper
+    keepers = [i for i, r in out.items() if r["is_canonical"]]
+    assert sorted(keepers) == [2, 9]
+    assert out[1]["n_members"] == 3
+
+
+def test_group_reservoir_exact_k_and_small_groups(spark):
+    rows = [Row(k="big", v=i) for i in range(50)] + [Row(k="tiny", v=i) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = group_reservoir(df, "k", 5, F.col("v").cast("string"))
+    counts = {r["k"]: r["n"] for r in out.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 5, "tiny": 3}  # min(k, group size), never padded
+    # deterministic: same pick on rerun
+    a = sorted(r["v"] for r in out.filter(F.col("k") == "big").collect())
+    b = sorted(
+        r["v"]
+        for r in group_reservoir(df, "k", 5, F.col("v").cast("string"))
+        .filter(F.col("k") == "big")
+        .collect()
+    )
+    assert a == b
+
+
+def test_html_strip_entity_order_no_double_unescape(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, html="<p>&amp;lt; stays-literal</p> <br/>x &lt;y&gt;")]
+    )
+    r = html_strip(df, "html").collect()[0]
+    # "&amp;lt;" must decode to the TEXT "&lt;", not to "<"
+    assert r["plain"] == "&lt; stays-literal x <y>"
+    assert r["n_tags"] == 3
+
+
+def test_unicode_clean_nfc_and_controls(spark):
+    dirty = "Cafe\u0301 \x00\x07 x\tz"  # decomposed accent + NUL/BEL + tab
+    clean_want = "Caf\u00e9 x z"  # precomposed, controls gone, ws collapsed
+    df = spark.createDataFrame([Row(doc_id=1, t=dirty)])
+    r = unicode_clean(df, "t").collect()[0]
+    assert r["clean"] == clean_want
+    assert r["n_chars_raw"] == len(dirty)
+    assert r["n_chars_clean"] == len(clean_want)
