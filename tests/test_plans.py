@@ -240,3 +240,19 @@ def test_chunking_no_shuffle_no_python(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_chunk_overlap", mode="simple")
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_group_reservoir_pushes_window_group_limit(spark, sf_dir):
+    # the fixed-size per-stratum sample must pre-prune map-side: rank<=k
+    # over (hash, key) plans as WindowGroupLimit so a hot stratum ships
+    # ~k rows per upstream partition, not its full torrent
+    plan = _plan(spark, sf_dir, "sample_reservoir_group", mode="simple")
+    assert "WindowGroupLimit" in plan
+
+
+def test_url_html_queries_stay_jvm(spark, sf_dir):
+    # parse_url / tag-strip / entity-unescape are all codegen built-ins —
+    # no Python evaluation node may appear
+    for name in ("url_funcs", "text_html_strip"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
