@@ -362,3 +362,44 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
     return merge_type1(cust, F.broadcast(changes), ["c_custkey"], delete_col="is_delete")
+
+
+@register(
+    "recursive_ancestors",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT doc_id AS start_id, doc_id AS node, 0 AS depth
+        FROM documents WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT start_id, node // 2, depth + 1 FROM anc WHERE node > 0
+    )
+    SELECT start_id, node, depth FROM anc
+    """,
+)
+def recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark >= 4.0 `WITH RECURSIVE`): walk each seed
+    document's implicit binary-tree ancestry (parent(n) = n div 2) to the
+    root — the hierarchy/BOM-walk SQL surface, exercised through
+    ``spark.sql`` rather than a DataFrame composition.
+
+    Scale shape: each recursion round is a NARROW map over the previous
+    frontier (no join, no shuffle), and depth is bounded by log2(max id)
+    (~17 rounds at 100k docs, ~47 at 100 TB of 64-bit ids) — recursion
+    depth grows with the LOG of the data, never linearly. For unbounded
+    graph recursion use operators/graph.py (pointer jumping) instead;
+    this surface is for hierarchy walks where SQL is the natural idiom.
+    """
+    from kafka_etl_consumer_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__docs_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT doc_id AS start_id, doc_id AS node, 0 AS depth
+            FROM __docs_rec WHERE doc_id % 97 = 0
+            UNION ALL
+            SELECT start_id, node DIV 2, depth + 1 FROM anc WHERE node > 0
+        )
+        SELECT start_id, node, depth FROM anc
+        """
+    )
