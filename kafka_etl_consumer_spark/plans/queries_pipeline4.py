@@ -85,7 +85,10 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         docs, k=3, num_hashes=24, bands=8, rows_per_band=3, threshold=0.5
     )
-    return D.canonical_pick(pairs, docs, quality_col="n_chars")
+    # max_iter=4 covers diameter 15 — measured ample (the sf0.1 pair graph
+    # converges at 3; near-dup clusters are chained cliques, not paths) and
+    # two rounds (6 shuffle stages) cheaper than the operator's default 6
+    return D.canonical_pick(pairs, docs, quality_col="n_chars", max_iter=4)
 
 
 # ---------------------------------------------------------------------------
