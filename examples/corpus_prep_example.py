@@ -62,6 +62,14 @@ def main() -> None:
     print("== greedy sequence packing ==")
     QUERIES["pack_sequences"](spark, sf_dir).show(5)
 
+    print("== near-dedup verdicts: minhash pairs -> components -> keeper ==")
+    verdicts = QUERIES["dedup_canonical_pick"](spark, sf_dir)
+    verdicts.groupBy("is_canonical").count().show()
+    # verdicts.filter("is_canonical") is the corpus to train on
+
+    print("== fixed-size per-class reservoir (20 events per type) ==")
+    QUERIES["sample_reservoir_group"](spark, sf_dir).groupBy("event_type").count().show()
+
     spark.stop()
 
 
