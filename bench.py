@@ -73,6 +73,7 @@ HEADLINE = [
     "cluster_kmeans_refine",
     "dedup_embedding_lsh",
     "dedup_canonical_pick",
+    "dedup_incremental_minhash",
     "sample_reservoir_group",
     "url_funcs",
     "text_html_strip",

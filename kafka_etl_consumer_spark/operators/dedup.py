@@ -411,3 +411,55 @@ def canonical_pick(
             (F.col("__rn") == 1).alias("is_canonical"),
         )
     )
+
+
+def minhash_lsh_matches_against(
+    new: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 24,
+    bands: int = 8,
+    rows_per_band: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(new_id, old_id, jaccard) — near-dup matches of a NEW batch against
+    an EXISTING corpus (the incremental form of ``minhash_lsh_pairs``: no
+    new×new or old×old pairs, only cross-set).
+
+    This is how dedup actually runs in a live pipeline: the corpus was
+    deduplicated once; each arriving batch only needs checking against the
+    corpus index plus itself — never a full recompute.
+
+    Scale shape: at 100 TB the corpus's (id, band_key) index and shingle
+    arrays are computed ONCE and persisted (bucketed by band_key); each
+    batch then recomputes only its own signatures — corpus-side cost is a
+    bucket-pruned join, and the batch side (small) broadcasts. Here both
+    sides derive in-plan; the join/verify stages are identical either way.
+    """
+    assert num_hashes == bands * rows_per_band
+    bk_new = band_keys(
+        minhash_signatures(new, text_col, id_col, k, num_hashes),
+        id_col, bands, rows_per_band,
+    ).select(F.col(id_col).alias("new_id"), "band_key")
+    bk_old = band_keys(
+        minhash_signatures(corpus, text_col, id_col, k, num_hashes),
+        id_col, bands, rows_per_band,
+    ).select(F.col(id_col).alias("old_id"), "band_key")
+    cand = bk_new.join(bk_old, "band_key").select("new_id", "old_id").distinct()
+
+    sa = shingle_arrays(new, text_col, id_col, k).select(
+        F.col(id_col).alias("new_id"), F.col("sh").alias("__sa")
+    )
+    sb = shingle_arrays(corpus, text_col, id_col, k).select(
+        F.col(id_col).alias("old_id"), F.col("sh").alias("__sb")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .select("new_id", "old_id", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -250,3 +250,71 @@ def text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
     dirty = F.concat(F.lit(_DIRTY_PREFIX), F.substring("text", 1, 40))
     return X.unicode_clean(docs.withColumn("dirty", dirty), "dirty")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a new batch checked against the existing corpus
+# ---------------------------------------------------------------------------
+
+_NEW_MOD = 10  # doc_id % 10 == 7 plays the arriving batch
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_SH_CTES + f""",
+    hb AS (SELECT doc_id, ({hash64_sql('shingle')} % 2147483647) AS base FROM sh),
+    hx AS (SELECT doc_id, hp.h AS h, min((base * hp.a + hp.b) % 2147483647) AS m
+           FROM hb CROSS JOIN (VALUES {_MINHASH_COEFF_VALUES}) AS hp(h, a, b)
+           GROUP BY doc_id, hp.h),
+    bk AS (SELECT doc_id,
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY h)
+                      || ',' || CAST(h // 3 AS VARCHAR)) AS band_key
+           FROM hx GROUP BY doc_id, h // 3),
+    cand AS (SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+             FROM bk n JOIN bk o ON n.band_key = o.band_key
+             WHERE n.doc_id % {_NEW_MOD} = 7 AND o.doc_id % {_NEW_MOD} != 7),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    jac AS (SELECT new_id, old_id,
+                   CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+            FROM (SELECT new_id, old_id, count(*) AS n_inter
+                  FROM cand
+                  JOIN sh a ON a.doc_id = new_id
+                  JOIN sh b ON b.doc_id = old_id AND b.shingle = a.shingle
+                  GROUP BY new_id, old_id) i
+            JOIN sizes sa ON sa.doc_id = new_id
+            JOIN sizes sb ON sb.doc_id = old_id),
+    hits AS (SELECT * FROM jac WHERE jaccard >= 0.5)
+    SELECT d.doc_id,
+           CAST(count(h.old_id) AS BIGINT) AS n_dups,
+           round(max(h.jaccard), 6) AS max_jaccard,
+           count(h.old_id) > 0 AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_NEW_MOD} = 7) d
+    LEFT JOIN hits h ON h.new_id = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: documents with doc_id % 10 == 7 play the
+    arriving batch; every one is checked against the REST of the corpus
+    via LSH band-bucket matching + exact-Jaccard verify (>= 0.5), and
+    flagged (n_dups, max_jaccard, is_dup). No batch×batch or corpus×corpus
+    pairs are formed — only cross-set, which is what a live pipeline pays
+    per batch (operators/dedup.minhash_lsh_matches_against; at 100 TB the
+    corpus band index is persisted, not recomputed)."""
+    docs = _t(spark, sf_dir, "documents")
+    is_new = F.pmod(F.col("doc_id"), F.lit(_NEW_MOD)) == 7
+    matches = D.minhash_lsh_matches_against(
+        docs.filter(is_new), docs.filter(~is_new),
+        k=3, num_hashes=24, bands=8, rows_per_band=3, threshold=0.5,
+    )
+    return (
+        docs.filter(is_new)
+        .select(F.col("doc_id"))
+        .join(matches.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("old_id").alias("n_dups"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+            (F.count("old_id") > 0).alias("is_dup"),
+        )
+    )
