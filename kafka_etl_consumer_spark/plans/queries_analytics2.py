@@ -403,3 +403,79 @@ def recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT start_id, node, depth FROM anc
         """
     )
+
+
+@register(
+    "agg_salted_hot_key",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid,
+           round(avg(value), 6) AS avg_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregation over the low-cardinality event_type
+    keys (a handful of groups carrying the whole table — the hot-GROUP-BY
+    shape AQE cannot split). Semantically identical to a plain GROUP BY —
+    which is exactly what the oracle runs, so the salt/partial/final
+    decomposition itself is hash-verified. Physically: stage-1 shuffle on
+    (key, salt) so no reducer sees more than ~1/32 of any key, stage-2
+    collapses 32 partial rows per key (operators/skew.salted_agg)."""
+    from kafka_etl_consumer_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        specs=[
+            ("count", "event_id", "n"),
+            ("sum", "user_id", "sum_uid"),
+            ("avg", "value", "avg_value"),
+            ("min", "value", "min_value"),
+            ("max", "value", "max_value"),
+        ],
+        salt_src="event_id",
+        buckets=32,
+    )
+    return out.select(
+        "event_type", "n", "sum_uid",
+        F.round("avg_value", 6).alias("avg_value"),
+        "min_value", "max_value",
+    )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    JOIN (SELECT o_orderkey, o_orderpriority FROM orders
+          WHERE o_orderkey % 3 = 0) o
+      ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED equi-join (fact=lineitem salted on l_linenumber-independent
+    row hash, dim=filtered orders replicated ×8) — the AQE-less skew-join
+    shape for a dim too big to broadcast whole but fine ×8. The oracle is
+    the PLAIN join + rollup, so replicate-and-salt is verified to change
+    the physical plan only (operators/skew.salted_join)."""
+    from kafka_etl_consumer_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, on="l_orderkey", salt_src="l_orderkey", buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
