@@ -66,3 +66,28 @@ def test_unicode_clean_nfc_and_controls(spark):
     assert r["clean"] == clean_want
     assert r["n_chars_raw"] == len(dirty)
     assert r["n_chars_clean"] == len(clean_want)
+
+
+def test_incremental_minhash_exact_copy_and_empty_batch(spark):
+    from kafka_etl_consumer_spark.operators.dedup import minhash_lsh_matches_against
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="completely different content about spark shuffles"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=11, text="nothing like anything in the corpus whatsoever yes"),
+        ]
+    )
+    got = {
+        (r.new_id, r.old_id): r.jaccard
+        for r in minhash_lsh_matches_against(new, corpus).collect()
+    }
+    assert got == {(10, 1): 1.0}  # exact copy matches its source only
+
+    empty = spark.createDataFrame([], corpus.schema)
+    assert minhash_lsh_matches_against(empty, corpus).count() == 0
