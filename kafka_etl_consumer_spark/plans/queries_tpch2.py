@@ -465,7 +465,14 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse apply) instead of two correlated per-row probes of lineitem.
     "Late" = shipped > 60 days after the order date (no receipt/commit
     dates in this dataset). Supplier dim broadcasts; top-k under a total
-    ordering (s_name unique)."""
+    ordering (s_name unique).
+
+    The qualifying filter pins n_late = 1, so the one late supplier is
+    recoverable INSIDE the same per-order aggregate (max over the late
+    branch) — no separate late-pair distinct and no join back to it. Net
+    plan: ONE orderkey shuffle + a broadcast supplier join (was: two
+    passes over the flagged join + an extra (orderkey, suppkey) distinct
+    shuffle + an orderkey join)."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
     flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -475,20 +482,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "late"
         ),
     )
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
     per_order = flagged.groupBy("l_orderkey").agg(
         F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
-    )
-    late_pairs = (
-        flagged.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+        F.count_distinct(late_supp).alias("n_late"),
+        F.max(late_supp).alias("late_suppkey"),
     )
     s = _t(spark, sf_dir, "supplier")
     return (
-        late_pairs.join(
-            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
-            "l_orderkey",
-        )
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
