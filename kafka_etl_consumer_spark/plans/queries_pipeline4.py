@@ -318,3 +318,114 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("old_id") > 0).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle + sharding (training export order)
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 8
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, lang,
+                      {hash64_sql("'shuf-' || CAST(doc_id AS VARCHAR)")} AS hkey
+               FROM documents)
+    SELECT doc_id, lang,
+           CAST(hkey % {_N_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hkey % {_N_SHARDS}
+                                   ORDER BY hkey, doc_id) AS INT) AS pos_in_shard
+    FROM h
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: order documents by a cryptographic
+    hash of their id (a fixed random-looking permutation — same on every
+    run, engine, and task retry, unlike rand()) and deal them into 8
+    shards with an explicit position. This is the export step before
+    training: data order affects the run, so the shuffle must be
+    REPRODUCIBLE. At 100 TB: shard = pmod(hash, N) is a narrow map and
+    the in-shard position is one range-partitioned sort per shard —
+    Spark's Window over (shard) with a hash sort key, no global sort."""
+    from kafka_etl_consumer_spark.functions.hashing import hash64
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    hkey = hash64(F.concat(F.lit("shuf-"), F.col("doc_id").cast("string")))
+    shard = F.pmod(hkey, F.lit(_N_SHARDS))
+    w = Window.partitionBy(shard).orderBy(hkey.asc(), F.col("doc_id").asc())
+    return docs.select(
+        "doc_id",
+        "lang",
+        shard.alias("shard"),
+        F.row_number().over(w).alias("pos_in_shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit: the approximate path measured against exact ground truth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=_SH_CTES + f""",
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    exact AS (SELECT i.id_a, i.id_b
+              FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2) i
+              JOIN sizes sa ON sa.doc_id = i.id_a
+              JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.5),
+    hb AS (SELECT doc_id, ({hash64_sql('shingle')} % 2147483647) AS base FROM sh),
+    hx AS (SELECT doc_id, hp.h AS h, min((base * hp.a + hp.b) % 2147483647) AS m
+           FROM hb CROSS JOIN (VALUES {_MINHASH_COEFF_VALUES}) AS hp(h, a, b)
+           GROUP BY doc_id, hp.h),
+    bk AS (SELECT doc_id,
+                  md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY h)
+                      || ',' || CAST(h // 3 AS VARCHAR)) AS band_key
+           FROM hx GROUP BY doc_id, h // 3),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM exact e
+                 JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b) AS BIGINT)
+               AS n_found,
+           round(CAST((SELECT count(*) FROM exact e
+                       JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall
+    """,
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the scale path against ground truth: what fraction
+    of TRUE near-dup pairs (exact all-pairs Jaccard >= 0.5, the quadratic
+    verification path) land in an LSH band bucket together. One row:
+    (n_exact, n_found, recall). With (24 hashes, 8x3 bands) the expected
+    candidate probability at j=0.5 is ~0.66 and rises steeply with j —
+    the audit makes the approximation error a MEASURED number, not a
+    hope. Run it on a sample at 100 TB (the exact side is quadratic; the
+    LSH side is the production path)."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, k=3, threshold=0.5).select("id_a", "id_b")
+    sig = D.minhash_signatures(docs, k=3, num_hashes=24)
+    bk = D.band_keys(sig, bands=8, rows_per_band=3)
+    a = bk.select(F.col("doc_id").alias("id_a"), "band_key")
+    b = bk.select(F.col("doc_id").alias("id_b"), "band_key")
+    cand = (
+        a.join(b, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    hit = exact.join(cand, ["id_a", "id_b"])
+    return exact.agg(F.count("*").alias("n_exact")).crossJoin(
+        hit.agg(F.count("*").alias("n_found"))
+    ).select(
+        "n_exact",
+        "n_found",
+        F.round(F.col("n_found").cast("double") / F.col("n_exact"), 6).alias("recall"),
+    )
