@@ -74,6 +74,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "dedup_canonical_pick",
     "dedup_incremental_minhash",
+    "corpus_shuffle_shards",
     "sample_reservoir_group",
     "url_funcs",
     "text_html_strip",
@@ -97,6 +98,9 @@ HEADLINE = [
     "corpus_token_budget",
     "profile_table",
     "merge_upsert_customers",
+    "recursive_ancestors",
+    "agg_salted_hot_key",
+    "join_salted_skew",
     "split_train_val_test",
 ]
 
