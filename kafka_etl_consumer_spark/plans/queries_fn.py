@@ -497,3 +497,41 @@ def bit_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("l_orderkey"), 4).alias("key_shr4"),
         F.bit_count("l_orderkey").alias("key_popcount"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT event_id, nullif(event_type, 'error') AS k, user_id
+               FROM events WHERE event_id % 20 = 0),
+         r AS (SELECT nullif(event_type, 'error') AS k,
+                      count(*) AS n_type
+               FROM events
+               GROUP BY 1)
+    SELECT l.event_id, coalesce(l.k, '<null>') AS join_key, l.user_id, r.n_type
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping — the semantics dedup and SCD
+    merges need on nullable business keys (a plain `=` join loses every
+    null-keyed row without an error). Spark plans eqNullSafe as a HASH
+    join on the null-wrapped key, same single shuffle as `=` — null
+    safety costs nothing; knowing which semantics you asked for is the
+    point."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("error"))
+    l = ev.filter(F.col("event_id") % 20 == 0).select(
+        "event_id", k.alias("k"), "user_id"
+    )
+    r = ev.groupBy(k.alias("k")).agg(F.count("*").alias("n_type"))
+    return (
+        l.join(r, l.k.eqNullSafe(r.k))
+        .select(
+            l.event_id,
+            F.coalesce(l.k, F.lit("<null>")).alias("join_key"),
+            l.user_id,
+            r.n_type,
+        )
+    )

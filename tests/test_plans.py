@@ -256,3 +256,10 @@ def test_url_html_queries_stay_jvm(spark, sf_dir):
     for name in ("url_funcs", "text_html_strip"):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    # eqNullSafe must plan as a hash/sort-merge equi-join (Spark wraps the
+    # key in a null-tolerant comparison), never a nested-loop scan
+    plan = _plan(spark, sf_dir, "join_null_safe", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
