@@ -99,6 +99,8 @@ HEADLINE = [
     "profile_table",
     "merge_upsert_customers",
     "recursive_ancestors",
+    "table_checksum_orders",
+    "table_diff_customers",
     "agg_salted_hot_key",
     "join_salted_skew",
     "split_train_val_test",

@@ -479,3 +479,118 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# reconciliation: order-insensitive checksum + keyed table diff
+# ---------------------------------------------------------------------------
+
+# orders row canonicalization shared by Spark and the oracle: doubles via
+# printf (raw double->varchar casts differ between engines), timestamps
+# via an explicit format
+_CK_COLS_SQL = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "printf('%.2f', o_totalprice)",
+    "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+    "o_orderpriority",
+]
+
+
+from kafka_etl_consumer_spark.operators.reconcile import row_fingerprint_sql
+
+_CK_FP_SQL = row_fingerprint_sql(_CK_COLS_SQL)
+
+
+@register(
+    "table_checksum_orders",
+    oracle=f"""
+    SELECT count(*) AS n_rows,
+           CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum_sum,
+           bit_xor(h) AS checksum_xor
+    FROM (SELECT {_CK_FP_SQL} AS h
+          FROM orders)
+    """,
+)
+def table_checksum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum of the orders table — the
+    "is the replica identical?" primitive for a 100 TB copy: one narrow
+    row->hash map, one single-row aggregate (partial sums collapse
+    map-side, bytes cross the wire, not rows), answer independent of
+    partitioning and task order (operators/reconcile.table_checksum)."""
+    from kafka_etl_consumer_spark.operators.reconcile import table_checksum
+
+    o = _t(spark, sf_dir, "orders")
+    return table_checksum(
+        o,
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            F.format_string("%.2f", F.col("o_totalprice")),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            F.col("o_orderpriority"),
+        ],
+    )
+
+
+@register(
+    "table_diff_customers",
+    oracle="""
+    WITH old AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+    new AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50 ELSE c_acctbal END
+                   AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 13 != 0
+        UNION ALL
+        SELECT c_custkey + 1000000, c_name, 0.0, 'NEW'
+        FROM customer WHERE c_custkey % 11 = 0
+    ),
+    j AS (
+        SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'added'
+                    WHEN n.c_custkey IS NULL THEN 'removed'
+                    WHEN o.c_acctbal = n.c_acctbal THEN 'same'
+                    ELSE 'changed' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    )
+    SELECT status, count(*) AS n FROM j GROUP BY status
+    """,
+)
+def table_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff between two versions of the customer table (synthetic
+    v2: +50 acctbal on key%7, key%13 deleted, key%11 re-inserted shifted)
+    — one full-outer join on the key comparing 60-bit row fingerprints,
+    rolled up to per-status counts. The change-data-capture primitive for
+    landed tables; co-located (no shuffle) when both sides are bucketed by
+    the key (operators/reconcile.table_diff)."""
+    from kafka_etl_consumer_spark.operators.reconcile import table_diff
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    old = cust.select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    new = (
+        old.filter(k % 13 != 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(k % 7 == 0, F.col("c_acctbal") + 50).otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .unionByName(
+            old.filter(k % 11 == 0).select(
+                (k + 1000000).alias("c_custkey"),
+                "c_name",
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    diff = table_diff(
+        old, new, ["c_custkey"],
+        ["c_name", F.format_string("%.2f", F.col("c_acctbal")), "c_mktsegment"],
+    )
+    return diff.groupBy("status").agg(F.count("*").alias("n"))

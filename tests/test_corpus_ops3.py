@@ -91,3 +91,28 @@ def test_incremental_minhash_exact_copy_and_empty_batch(spark):
 
     empty = spark.createDataFrame([], corpus.schema)
     assert minhash_lsh_matches_against(empty, corpus).count() == 0
+
+
+def test_table_checksum_order_insensitive_and_sensitive_to_change(spark):
+    from kafka_etl_consumer_spark.operators.reconcile import table_checksum
+
+    rows = [Row(k=i, v=f"v{i}") for i in range(100)]
+    a = spark.createDataFrame(rows).repartition(7)
+    b = spark.createDataFrame(list(reversed(rows))).repartition(3)
+    ca = table_checksum(a, ["k", "v"]).collect()[0]
+    cb = table_checksum(b, ["k", "v"]).collect()[0]
+    assert (ca.n_rows, ca.checksum_sum, ca.checksum_xor) == (
+        cb.n_rows, cb.checksum_sum, cb.checksum_xor,
+    )  # partitioning/order independent
+    c = spark.createDataFrame(rows[:-1] + [Row(k=99, v="CHANGED")])
+    cc = table_checksum(c, ["k", "v"]).collect()[0]
+    assert cc.checksum_xor != ca.checksum_xor  # one-row change flips it
+
+
+def test_table_diff_statuses(spark):
+    from kafka_etl_consumer_spark.operators.reconcile import table_diff
+
+    old = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")])
+    new = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="B"), Row(k=4, v="d")])
+    got = {r.k: r.status for r in table_diff(old, new, ["k"], ["v"]).collect()}
+    assert got == {1: "same", 2: "changed", 3: "removed", 4: "added"}
