@@ -24,6 +24,8 @@ from kafka_etl_consumer_spark.plans.queries_pipeline import (
     _SH_CTES,
 )
 from kafka_etl_consumer_spark.plans.registry import _t, register
+from kafka_etl_consumer_spark.functions.text import tokens_sql as _tok_sql
+from kafka_etl_consumer_spark.operators.text import STOPWORDS as _STOPWORDS
 
 # ---------------------------------------------------------------------------
 # dedup decisions: pairs -> components -> one canonical keeper per cluster
@@ -429,3 +431,48 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_found",
         F.round(F.col("n_found").cast("double") / F.col("n_exact"), 6).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+_TOKQ = _tok_sql("text")
+_STOPLIST = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS))
+
+
+@register(
+    "sample_weighted_quality",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOKQ} AS toks FROM documents),
+    raw AS (SELECT doc_id, len(toks) AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS DOUBLE) / length(text) AS draw,
+                   CAST(len(list_filter(toks, t -> t IN ({_STOPLIST}))) AS DOUBLE)
+                        / len(toks) AS sraw
+            FROM tok),
+    q AS (SELECT doc_id,
+                 round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                       * (1 - draw) * (0.5 + 0.5 * least(1.0, sraw * 5)), 6) AS quality
+          FROM raw)
+    SELECT doc_id, quality
+    FROM q
+    WHERE {hash64_sql("'ws-' || CAST(doc_id AS VARCHAR)")} % 1000000
+          < CAST(round(quality * 1000000) AS BIGINT)
+    """,
+)
+def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-quality sampling: each document is kept
+    with probability equal to its quality score, decided by a
+    deterministic hash threshold (same rows every run/engine/retry — the
+    retry-safety rule all sampling here follows). This is the soft
+    quality gate training mixes use instead of a hard cutoff: high-quality
+    docs almost surely survive, low-quality docs survive occasionally, so
+    the tail stays represented. Narrow codegen filter, no shuffle."""
+    from kafka_etl_consumer_spark.functions.hashing import hash64
+
+    q = X.quality_score(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
+    key = F.concat(F.lit("ws-"), F.col("doc_id").cast("string"))
+    thresh = F.round(F.col("quality") * 1_000_000, 0).cast("long")
+    return q.filter(hash64(key) % 1_000_000 < thresh)
