@@ -116,3 +116,61 @@ def test_table_diff_statuses(spark):
     new = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="B"), Row(k=4, v="d")])
     got = {r.k: r.status for r in table_diff(old, new, ["k"], ["v"]).collect()}
     assert got == {1: "same", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """Live-pipeline shape: documents stream in; each micro-batch is
+    near-dup-checked against the LANDED corpus (cross-set LSH match) and
+    only novel docs append. Batch 2 must also be checked against what
+    batch 1 landed."""
+    from pyspark.sql import types as T
+
+    from kafka_etl_consumer_spark.operators.dedup import minhash_lsh_matches_against
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    src = str(tmp_path / "src")
+    corpus_dir = str(tmp_path / "corpus")
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base_c = "one two three four five six seven eight nine ten eleven"
+    # seed corpus: A and B
+    spark.createDataFrame(
+        [(1, base_a), (2, "totally unrelated content about spark parquet sinks ok")],
+        schema,
+    ).write.parquet(corpus_dir)
+
+    def on_batch(batch, _bid):
+        if batch.isEmpty():
+            return
+        landed = batch.sparkSession.read.parquet(corpus_dir)
+        matches = minhash_lsh_matches_against(batch, landed).select(
+            F.col("new_id").alias("doc_id")
+        ).distinct()
+        novel = batch.join(matches, "doc_id", "left_anti")
+        novel.write.mode("append").parquet(corpus_dir)
+
+    # batch 1: C (novel) + A' (near-dup of seeded A -> dropped)
+    spark.createDataFrame(
+        [(10, base_c), (11, base_a + " extra")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: C' (near-dup of batch-1-landed C -> dropped) + D (novel)
+        spark.createDataFrame(
+            [(20, base_c + " twelve"), (21, "fresh document with entirely new words here today")],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    landed_ids = sorted(
+        r.doc_id for r in spark.read.parquet(corpus_dir).select("doc_id").collect()
+    )
+    assert landed_ids == [1, 2, 10, 21]  # A, B, C, D — near-dups dropped
