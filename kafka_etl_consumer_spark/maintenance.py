@@ -147,3 +147,70 @@ def zorder_parquet(
         .parquet(out_path)
     )
     return len(_glob.glob(os.path.join(out_path, "part-*.parquet")))
+
+
+def committed_sink_files(sink_path: str) -> set[str]:
+    """File paths committed in a streaming file sink's ``_spark_metadata``
+    log (the exactly-once manifest readers trust). Format on disk: one
+    UTF-8 file per batch — a ``v1`` version header line then one JSON
+    object per committed file with its ``path``; periodic ``.compact``
+    files fold the full history and supersede the per-batch logs they
+    cover."""
+    import json
+
+    log_dir = os.path.join(sink_path, "_spark_metadata")
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"no _spark_metadata under {sink_path}")
+    entries = [f for f in os.listdir(log_dir) if not f.startswith(".")]
+    compacts = sorted(
+        (f for f in entries if f.endswith(".compact")),
+        key=lambda f: int(f.split(".")[0]),
+    )
+    # a .compact file folds everything up to its batch id — read it plus
+    # any later per-batch logs
+    floor = int(compacts[-1].split(".")[0]) if compacts else -1
+    keep = ([compacts[-1]] if compacts else []) + [
+        f for f in entries
+        if not f.endswith(".compact") and f.isdigit() and int(f) > floor
+    ]
+    committed: set[str] = set()
+    for name in keep:
+        with open(os.path.join(log_dir, name), encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                rec = json.loads(line)
+                p = rec.get("path", "")
+                committed.add(p.removeprefix("file://").removeprefix("file:"))
+    return committed
+
+
+def vacuum_streaming_sink(sink_path: str, delete: bool = False) -> list[str]:
+    """Orphaned data files in a streaming file sink: on-disk parquet not
+    present in the ``_spark_metadata`` commit log (leftovers of failed or
+    zombie task attempts). Spark readers skip them via the manifest, but
+    EXTERNAL readers (DuckDB, Trino, plain parquet globs — exactly the
+    cross-engine access this repo's oracles model) would read phantom
+    rows — so vacuuming is what makes the directory safe to hand to
+    non-Spark consumers. Returns the orphan list; ``delete=True`` removes
+    them. Never deletes the manifest itself or non-parquet files.
+
+    At scale this is a listing problem, not a data problem: one object
+    listing + a set difference against the (small) manifest; run it with
+    compaction on closed partitions.
+    """
+    committed = committed_sink_files(sink_path)
+    orphans: list[str] = []
+    for root, dirs, files in os.walk(sink_path):
+        dirs[:] = [d for d in dirs if d != "_spark_metadata"]
+        for f in files:
+            if not f.endswith(".parquet") or f.startswith(("_", ".")):
+                continue
+            full = os.path.abspath(os.path.join(root, f))
+            if full not in committed:
+                orphans.append(full)
+    if delete:
+        for p in orphans:
+            os.remove(p)
+    return sorted(orphans)

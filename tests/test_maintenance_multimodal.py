@@ -5,6 +5,7 @@ features match an independent numpy computation on the same bytes."""
 from __future__ import annotations
 
 import glob
+import os
 
 import numpy as np
 import pytest
@@ -144,3 +145,46 @@ def test_theta_distinct_ungrouped(spark, sf_dir):
     # coarser scale stays a non-negative multiple-of-scale estimate
     est = theta_distinct(ev, "user_id", scale=4).first().est_distinct
     assert est is not None and est >= 0 and est % 4 == 0
+
+
+def test_vacuum_streaming_sink_removes_phantom_files(spark, tmp_path):
+    """Orphan parquet (failed-task leftovers) are invisible to Spark's
+    manifest-driven reads but WOULD be read by external engines — vacuum
+    must find exactly them and make the directory glob-safe."""
+    import glob as _glob
+    import shutil
+
+    import duckdb
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from kafka_etl_consumer_spark.maintenance import vacuum_streaming_sink
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    spark.createDataFrame([Row(x=i) for i in range(10)], schema).coalesce(1).write.parquet(src)
+    q = (
+        spark.readStream.schema(schema).parquet(src)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    committed = _glob.glob(os.path.join(out, "*.parquet"))
+    assert committed
+    orphan = os.path.join(out, "part-99999-deadbeef.c000.snappy.parquet")
+    shutil.copy(committed[0], orphan)
+
+    n_spark = spark.read.parquet(out).count()
+    n_duck = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n_spark == 10 and n_duck > 10  # phantom rows for external readers
+
+    found = vacuum_streaming_sink(out)
+    assert found == [os.path.abspath(orphan)]
+    vacuum_streaming_sink(out, delete=True)
+    assert duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0] == 10
+    assert spark.read.parquet(out).count() == 10  # committed files untouched
