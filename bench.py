@@ -94,6 +94,7 @@ HEADLINE = [
     "decontaminate_ngrams",
     "multimodal_meta",
     "multimodal_pixels",
+    "multimodal_audio",
     "pipeline_prepare_corpus",
     "corpus_token_budget",
     "profile_table",

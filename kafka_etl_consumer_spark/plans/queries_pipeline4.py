@@ -476,3 +476,70 @@ def sample_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.concat(F.lit("ws-"), F.col("doc_id").cast("string"))
     thresh = F.round(F.col("quality") * 1_000_000, 0).cast("long")
     return q.filter(hash64(key) % 1_000_000 < thresh)
+
+
+# ---------------------------------------------------------------------------
+# audio feature extraction under the exact-oracle gate
+# ---------------------------------------------------------------------------
+
+# 48-byte deterministic "waveform" per doc: three chained md5 digests of
+# the text. Both engines build the IDENTICAL bytes (md5 is the repo's
+# cross-engine primitive), and the oracle re-derives the signed-int8
+# samples arithmetically from the hex pairs — so the numpy decode path is
+# hash-verified without DuckDB ever touching binary audio.
+_AUDIO_HEX = "md5(text) || md5(text || '2') || md5(text || '3')"
+
+
+@register(
+    "multimodal_audio",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, {_AUDIO_HEX} AS hx
+               FROM documents WHERE doc_id % 5 = 2),
+    s AS (SELECT doc_id, j,
+                 CASE WHEN b >= 128 THEN b - 256 ELSE b END AS v
+          FROM (SELECT doc_id, j,
+                       CAST(('0x' || substr(hx, j * 2 + 1, 2)) AS INT) AS b
+                FROM h CROSS JOIN (SELECT unnest(range(48)) AS j))),
+    w AS (SELECT doc_id, v,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+          FROM s)
+    SELECT doc_id,
+           CAST(48 AS BIGINT) AS n_samples,
+           round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms,
+           CAST(count(CASE WHEN v * pv < 0 THEN 1 END) AS INT)
+               AS zero_crossings,
+           CAST(max(abs(v)) AS INT) AS peak
+    FROM w
+    GROUP BY doc_id
+    """,
+)
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (RMS / zero crossings / peak over signed
+    8-bit PCM) through the REAL numpy mapInPandas stage — on a
+    deterministic md5-derived waveform, so the DuckDB oracle re-derives
+    the exact samples arithmetically and the Python decode path itself is
+    hash-verified cross-engine. A production pipeline swaps the PCM
+    interpretation for soundfile/ffmpeg; batch shape and parallelism are
+    identical (operators/multimodal.extract_audio_features)."""
+    from kafka_etl_consumer_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 2)
+    media = F.unhex(
+        F.concat(
+            F.md5("text"),
+            F.md5(F.concat(F.col("text"), F.lit("2"))),
+            F.md5(F.concat(F.col("text"), F.lit("3"))),
+        )
+    )
+    feats = extract_audio_features(
+        docs.select("doc_id", media.alias("media")), media_col="media"
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_samples").cast("bigint").alias("n_samples"),
+        F.round("rms", 6).alias("rms"),
+        F.col("zero_crossings").cast("int").alias("zero_crossings"),
+        F.col("peak").cast("int").alias("peak"),
+    )
