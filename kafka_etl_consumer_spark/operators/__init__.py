@@ -1,6 +1,8 @@
 from kafka_etl_consumer_spark.operators.joins import asof_join, range_join
 from kafka_etl_consumer_spark.operators.dedup import (
+    canonical_pick,
     exact_dedup,
+    minhash_lsh_matches_against,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -16,8 +18,18 @@ from kafka_etl_consumer_spark.operators.similarity import (
 )
 from kafka_etl_consumer_spark.operators.skew import salted_agg, salted_join
 from kafka_etl_consumer_spark.operators.sketch import theta_distinct
+from kafka_etl_consumer_spark.operators.reconcile import (
+    table_checksum,
+    table_diff,
+)
+from kafka_etl_consumer_spark.operators.sampling import (
+    group_reservoir,
+    stratified_sample,
+)
 from kafka_etl_consumer_spark.operators.text import (
     fingerprint,
+    html_strip,
+    unicode_clean,
     lang_id,
     quality_score,
     token_stats,
@@ -63,4 +75,12 @@ __all__ = [
     "decode_image_meta",
     "decode_image_pixels",
     "sample_frames",
+    "canonical_pick",
+    "minhash_lsh_matches_against",
+    "table_checksum",
+    "table_diff",
+    "group_reservoir",
+    "stratified_sample",
+    "html_strip",
+    "unicode_clean",
 ]
