@@ -263,3 +263,16 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
     # key in a null-tolerant comparison), never a nested-loop scan
     plan = _plan(spark, sf_dir, "join_null_safe", mode="simple")
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_band_join_not_cartesian(spark, sf_dir):
+    # the batch-vs-corpus candidate stage must be an equi-join on band_key
+    plan = _plan(spark, sf_dir, "dedup_incremental_minhash", mode="simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_table_checksum_partial_agg(spark, sf_dir):
+    # one-row signature must come from a partial+final hash aggregate —
+    # map-side collapse, no sort, no exchange of data rows
+    plan = _plan(spark, sf_dir, "table_checksum_orders", mode="simple")
+    assert "HashAggregate" in plan and "Sort" not in plan
