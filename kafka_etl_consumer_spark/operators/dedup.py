@@ -423,10 +423,18 @@ def minhash_lsh_matches_against(
     bands: int = 8,
     rows_per_band: int = 3,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """(new_id, old_id, jaccard) — near-dup matches of a NEW batch against
     an EXISTING corpus (the incremental form of ``minhash_lsh_pairs``: no
     new×new or old×old pairs, only cross-set).
+
+    ``max_bucket`` caps the CORPUS side of each band bucket (smallest ids
+    kept — deterministic), the same hot-bucket guard as
+    ``minhash_lsh_pairs``: boilerplate text hashing thousands of corpus
+    docs into one band would otherwise make that band's join quadratic.
+    A capped bucket can only miss EXTRA duplicate evidence — a batch doc
+    landing there still matches the capped members.
 
     This is how dedup actually runs in a live pipeline: the corpus was
     deduplicated once; each arriving batch only needs checking against the
@@ -443,10 +451,15 @@ def minhash_lsh_matches_against(
         minhash_signatures(new, text_col, id_col, k, num_hashes),
         id_col, bands, rows_per_band,
     ).select(F.col(id_col).alias("new_id"), "band_key")
-    bk_old = band_keys(
-        minhash_signatures(corpus, text_col, id_col, k, num_hashes),
-        id_col, bands, rows_per_band,
-    ).select(F.col(id_col).alias("old_id"), "band_key")
+    bk_old = (
+        band_keys(
+            minhash_signatures(corpus, text_col, id_col, k, num_hashes),
+            id_col, bands, rows_per_band,
+        )
+        .groupBy("band_key")
+        .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, max_bucket).alias("ids"))
+        .select("band_key", F.explode("ids").alias("old_id"))
+    )
     cand = bk_new.join(bk_old, "band_key").select("new_id", "old_id").distinct()
 
     sa = shingle_arrays(new, text_col, id_col, k).select(
