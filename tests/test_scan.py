@@ -115,3 +115,31 @@ def test_sql_entry_over_registered_views(spark, sf_dir):
         .agg(F.count("*").alias("n_cust"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_scan_json_permissive_corrupt_record_capture(spark, tmp_path):
+    """Malformed JSON lines land in the corrupt-record column instead of
+    failing the scan — the file-source dead-letter surface, mirroring
+    decode_avro's corrupt_col for the streaming path."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "in.json"
+    p.write_text('{"a": 1, "b": "x"}\n{not json at all}\n{"a": 2, "b": "y"}\n')
+    df = scan_json(
+        spark,
+        str(p),
+        schema="a INT, b STRING, _corrupt_record STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r.a for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+    # FAILFAST surfaces the parse error instead
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        scan_json(spark, str(p), schema="a INT, b STRING", mode="FAILFAST").collect()
