@@ -543,3 +543,43 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zero_crossings").cast("int").alias("zero_crossings"),
         F.col("peak").cast("int").alias("peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum staging: quality deciles -> training phase assignment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_curriculum_stage",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_TOKQ} AS toks FROM documents),
+    raw AS (SELECT doc_id, len(toks) AS n_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS DOUBLE) / length(text) AS draw,
+                   CAST(len(list_filter(toks, t -> t IN ({_STOPLIST}))) AS DOUBLE)
+                        / len(toks) AS sraw
+            FROM tok),
+    q AS (SELECT doc_id,
+                 round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                       * (1 - draw) * (0.5 + 0.5 * least(1.0, sraw * 5)), 6) AS quality
+          FROM raw)
+    SELECT doc_id, quality,
+           CAST(ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS INT) AS stage
+    FROM q
+    """,
+)
+def corpus_curriculum_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: decile-rank every document by quality (ties
+    broken by id — total order, so both engines cut identical deciles)
+    into stages 1..10; curriculum training feeds stage 1 (cleanest) first.
+    One global sort — fine for a per-corpus-build step; at 100 TB swap the
+    exact ntile for width_bucket over approx_percentile cuts (documented
+    trade, same shape as stats_agg's note)."""
+    from pyspark.sql import Window
+
+    q = X.quality_score(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return q.select(
+        "doc_id", "quality", F.ntile(10).over(w).cast("int").alias("stage")
+    )
