@@ -97,6 +97,7 @@ HEADLINE = [
     "multimodal_audio",
     "pipeline_prepare_corpus",
     "corpus_token_budget",
+    "corpus_curriculum_stage",
     "profile_table",
     "merge_upsert_customers",
     "recursive_ancestors",
