@@ -74,6 +74,8 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "dedup_canonical_pick",
     "dedup_incremental_minhash",
+    "dedup_span_removal",
+    "text_script_detect",
     "corpus_shuffle_shards",
     "sample_reservoir_group",
     "url_funcs",

@@ -6,6 +6,7 @@ from kafka_etl_consumer_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    remove_duplicate_spans,
     shingle_arrays,
     simhash,
 )
@@ -52,6 +53,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "remove_duplicate_spans",
     "shingle_arrays",
     "simhash",
     "cosine_pairs",

@@ -476,3 +476,76 @@ def minhash_lsh_matches_against(
         .select("new_id", "old_id", (inter.cast("double") / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact dedup: cut every word k-gram that occurs >= ``min_count``
+    times corpus-wide OUT of every document (the n-gram form of exact-substring
+    dedup a la Lee et al. 2022, which uses a suffix array over characters; the
+    word-k-gram approximation keeps the whole pass in Spark built-ins).
+
+    A duplicated k-gram starting at token position s covers positions
+    s..s+k-1; a token survives iff no duplicated gram covers it. Unlike
+    document-level dedup (``exact_dedup``/``minhash_lsh_pairs``), this removes
+    boilerplate *inside* otherwise-unique documents — headers, license
+    blocks, navigation chrome — the single largest source of verbatim
+    repetition in web-scraped training data.
+
+    Returns (id, n_tokens, n_removed, clean_fp) where clean_fp = md5 of the
+    cleaned (space-rejoined) text — the fingerprint keeps the driver-hashed
+    output small while still pinning the exact surviving-token sequence.
+
+    Scale shape (100 TB): tokenize+gram is a narrow map. Three shuffles:
+    (1) gram-frequency hash-agg — partial counts collapse map-side, carries
+    one (hash64, count) row per DISTINCT gram; (2) occurrence->dup-gram join
+    keyed on the 8-byte gram hash (AQE broadcasts the dup set when small —
+    typical: boilerplate is a tiny fraction of distinct grams); (3) the
+    per-doc dup-start collect + join back to the token arrays, both keyed by
+    id and co-partitioned with the initial repartition, which Catalyst
+    reuses. The reference has no text surface at all (pass-through ETL,
+    ETLTask.java:261-283).
+    """
+    if k < 2:
+        raise ValueError("need k >= 2")
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        ensure_min_parallelism(df)
+        .repartition(width, id_col)
+        .select(id_col, tokens(text_col).alias("__toks"))
+    )
+    # occurrences: (id, 1-based gram start, 60-bit gram hash)
+    occ = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles("__toks", k)).alias("__p0", "__g"),
+    ).select(
+        F.col(id_col),
+        (F.col("__p0") + 1).alias("__start"),
+        hash64(F.col("__g")).alias("__gh"),
+    )
+    dup = occ.groupBy("__gh").count().filter(F.col("count") >= min_count).select("__gh")
+    dup_starts = (
+        occ.join(dup, "__gh")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__start")).alias("__dups"))
+    )
+    joined = docs.join(dup_starts, id_col, "left")
+    dups = F.coalesce(F.col("__dups"), F.array().cast("array<int>"))
+    # token at 0-based index i survives iff no dup start s covers it
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(dups, lambda s: (s <= i + 1) & (i + 1 <= s + (k - 1))),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
+    )
