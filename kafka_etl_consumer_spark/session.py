@@ -94,6 +94,11 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         # --- broadcast joins for dimension tables (region/nation/...) ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- runtime bloom filter: when a selective dim is too big to
+        # broadcast, inject might_contain() on the fact side so the fact
+        # shuffle carries only joinable rows (pinned by
+        # tests/test_plans.py::test_runtime_bloom_filter_prunes_shuffle_join)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

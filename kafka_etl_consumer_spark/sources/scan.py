@@ -119,3 +119,15 @@ def write_csv(df: DataFrame, path: str, mode: str = "error", **options: str) -> 
 
 def write_json(df: DataFrame, path: str, mode: str = "error", **options: str) -> None:
     df.write.mode(mode).options(**options).json(path)
+
+
+def scan_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — same pushdown/pruning posture as :func:`scan_parquet`
+    (ORC is the other columnar format Spark reads natively with predicate
+    pushdown, column pruning, and vectorized decoding)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "error", **options: str) -> None:
+    df.write.mode(mode).options(**options).orc(path)

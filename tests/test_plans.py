@@ -276,3 +276,54 @@ def test_table_checksum_partial_agg(spark, sf_dir):
     # map-side collapse, no sort, no exchange of data rows
     plan = _plan(spark, sf_dir, "table_checksum_orders", mode="simple")
     assert "HashAggregate" in plan and "Sort" not in plan
+
+
+def test_span_dedup_stays_jvm_equi_joined(spark, sf_dir):
+    # span removal is built-ins end to end: no Python eval nodes, no
+    # nested-loop joins, and the gram-frequency count collapses map-side
+    # (partial+final HashAggregate) before its exchange
+    plan = _plan(spark, sf_dir, "dedup_span_removal", mode="simple")
+    assert "EvalPython" not in plan and "InMemoryTableScan" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """100 TB posture: when a selective dim filter can't broadcast (both
+    sides above the broadcast threshold), Spark's runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.*) must inject a
+    might_contain() pre-filter on the fact side so the fact shuffle carries
+    only rows that can possibly join. This pins the knob actually firing —
+    the engine's session builder enables it, and a conf regression would
+    silently cost a full-fact shuffle at scale."""
+    confs = {
+        # force the shuffle-join regime the filter exists for, and lower
+        # the creation-side threshold so the sf0.001 dim qualifies
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        df = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        assert "bloom_filter" in plan.lower() or "might_contain" in plan.lower(), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

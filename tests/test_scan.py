@@ -10,9 +10,11 @@ from pyspark.sql import types as T
 from kafka_etl_consumer_spark.sources.scan import (
     scan_csv,
     scan_json,
+    scan_orc,
     scan_parquet,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
 
@@ -143,3 +145,25 @@ def test_scan_json_permissive_corrupt_record_capture(spark, tmp_path):
 
     with _pytest.raises(Exception):
         scan_json(spark, str(p), schema="a INT, b STRING", mode="FAILFAST").collect()
+
+
+def test_orc_roundtrip_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """ORC: write, scan back equal, and verify the 100 TB posture holds on
+    this format too — predicate pushdown and column pruning reach the ORC
+    reader exactly like the parquet plan tests assert."""
+    src = scan_parquet(spark, f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation_orc")
+    write_orc(src, out)
+    back = scan_orc(spark, out)
+    assert sorted(back.collect()) == sorted(src.collect())
+
+    pruned = scan_orc(spark, out, columns=["n_nationkey", "n_name"]).filter(
+        "n_nationkey = 3"
+    )
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = pruned._jdf.queryExecution().explainString(jmode)
+    assert "EqualTo(n_nationkey,3)" in plan  # pushed to the ORC reader
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "n_name" in read_schema and "n_comment" not in read_schema
