@@ -56,6 +56,7 @@ HEADLINE = [
     "agg_distinct",
     "join_asof",
     "join_range",
+    "join_interval_overlap",
     "win_rank_topk",
     "win_analytic",
     "win_session",

@@ -122,3 +122,64 @@ def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     c = d.select("doc_id", *cols)
     return c.withColumn("script", F.expr(_DOMINANT_SQL))
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join: bucketed equi-join shape (operators/joins.py
+# interval_join) vs DuckDB's native inequality join — same pairs, but the
+# Spark plan never builds the per-key quadratic candidate set.
+# ---------------------------------------------------------------------------
+
+_IVL_ORACLE = """
+WITH li AS (
+  SELECT l_suppkey, l_orderkey AS ok, l_linenumber AS ln,
+         datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s,
+         datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+           + 1 + (l_linenumber * 3 + l_orderkey) % 14 AS e
+  FROM lineitem
+)
+SELECT x.l_suppkey, CAST(count(*) AS BIGINT) AS n_overlap_pairs
+FROM li x JOIN li y ON x.l_suppkey = y.l_suppkey
+  AND (x.ok < y.ok OR (x.ok = y.ok AND x.ln < y.ln))
+  AND x.s <= y.e AND y.s <= x.e
+GROUP BY x.l_suppkey
+"""
+
+
+@register("join_interval_overlap", _IVL_ORACLE)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: overlapping transit-interval pairs among its shipments
+    (interval = [shipdate, shipdate + 1..14 deterministic days], as days
+    since 1992-01-01).
+
+    Uses :func:`interval_join`'s bucketed emit-once shape — equi-join on
+    (supplier, 16-day bucket) — so the plan compares only same-bucket pairs
+    instead of every same-supplier pair. The DuckDB oracle runs the naive
+    inequality join over the identical synthesized intervals.
+    """
+    from kafka_etl_consumer_spark.operators.joins import interval_join
+
+    epoch = F.lit("1992-01-01").cast("date")
+    s = F.datediff(F.col("l_shipdate"), epoch)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        s.alias("s"),
+        (s + 1 + (F.col("l_linenumber") * 3 + F.col("l_orderkey")) % 14).alias("e"),
+    )
+    x = li.select("l_suppkey", F.col("ok").alias("xok"), F.col("ln").alias("xln"),
+                  F.col("s").alias("xs"), F.col("e").alias("xe"))
+    y = li.select("l_suppkey", F.col("ok").alias("yok"), F.col("ln").alias("yln"),
+                  F.col("s").alias("ys"), F.col("e").alias("ye"))
+    pairs = interval_join(
+        x, y, on=["l_suppkey"],
+        left_interval=("xs", "xe"), right_interval=("ys", "ye"),
+        bucket_width=16,
+    ).filter(
+        (F.col("xok") < F.col("yok"))
+        | ((F.col("xok") == F.col("yok")) & (F.col("xln") < F.col("yln")))
+    )
+    return pairs.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_overlap_pairs")
+    )
