@@ -276,11 +276,18 @@ def interval_join(
     if w <= 0:
         raise ValueError("bucket_width must be positive")
 
+    # Pin the exchange width explicitly: the shuffled rows are small (keys +
+    # two ints) so AQE would coalesce to a handful of partitions and
+    # serialize the pair expansion that happens AFTER the exchange — the
+    # same trap documented on decontamination (chunking.py). Both sides use
+    # the identical (keys, bucket) partitioning, so the join adds none.
+    width = left.sparkSession.sparkContext.defaultParallelism
+
     def buckets(df: DataFrame, s: str, e: str) -> DataFrame:
         b = F.explode(
             F.sequence(F.floor(F.col(s) / w), F.floor(F.col(e) / w))
         ).alias("__bucket")
-        return df.select("*", b)
+        return df.select("*", b).repartition(width, *on, "__bucket")
 
     l = buckets(left, ls, le)
     r = buckets(right, rs, re)
