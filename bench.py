@@ -86,6 +86,7 @@ HEADLINE = [
     "text_pii_redact",
     "text_repetition",
     "tfidf_top_terms",
+    "text_bigram_lm_score",
     "pmi_collocations",
     "pack_sequences",
     "embedding_quantize_int8",

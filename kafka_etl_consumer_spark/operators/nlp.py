@@ -121,3 +121,51 @@ def pmi_collocations(
     # global top-k: orderBy+limit compiles to TakeOrderedAndProject (per-
     # partition heaps + driver merge of k rows), not a 1-partition window
     return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
+
+
+def bigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document corpus-bigram familiarity score — the engine-native
+    form of the CCNet/KenLM-style LM quality filter: documents whose word
+    bigrams are common across the corpus read as fluent prose; documents of
+    rare transitions (gibberish, boilerplate soup, wrong-language) score
+    low and get gated before training.
+
+    score = round(avg over the doc's bigrams of ln(corpus count), 6);
+    (id, n_bigrams, lm_score), lm_score NULL when the doc has < 2 tokens.
+
+    Scale shape (100 TB): tokenize+bigram is a narrow map over docs
+    repartitioned ONCE by id; the bigram-frequency table is one hash-agg on
+    the 8-byte gram hash (map-side partial collapse); the count join is
+    broadcast when the vocabulary is small, else a plain shuffle join on
+    the hash; the final per-doc avg reuses the id partitioning. Same
+    three-exchange skeleton as ``remove_duplicate_spans``.
+    """
+    from kafka_etl_consumer_spark.functions.hashing import hash64
+    from kafka_etl_consumer_spark.functions.text import word_shingles
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        ensure_min_parallelism(df)
+        .repartition(width, id_col)
+        .select(id_col, tokens(text_col).alias("__toks"))
+    )
+    occ = docs.select(
+        F.col(id_col), F.explode(word_shingles("__toks", 2)).alias("__g")
+    ).select(F.col(id_col), hash64(F.col("__g")).alias("__gh"))
+    cnt = occ.groupBy("__gh").count()
+    sc = (
+        occ.join(cnt, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("count")), 6).alias("lm_score"),
+        )
+    )
+    return docs.join(sc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.col("lm_score"),
+    )

@@ -183,3 +183,44 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n_overlap_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-bigram LM familiarity score (the CCNet/KenLM-style quality gate,
+# engine-native: the "language model" is the corpus's own bigram table)
+# ---------------------------------------------------------------------------
+
+from kafka_etl_consumer_spark.functions.text import word_shingles_sql  # noqa: E402
+
+_LM_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+),
+big AS (
+  SELECT doc_id, unnest({word_shingles_sql("toks", 2)}) AS g FROM docs
+),
+bh AS (SELECT doc_id, {hash64_sql("g")} AS gh FROM big),
+cnt AS (SELECT gh, count(*) AS c FROM bh GROUP BY gh),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln(c)), 6) AS lm_score
+  FROM bh JOIN cnt USING (gh) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       sc.lm_score
+FROM docs d LEFT JOIN sc USING (doc_id)
+"""
+
+
+@register("text_bigram_lm_score", _LM_ORACLE)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy: avg ln(corpus bigram count) per doc.
+
+    Spark side is :func:`operators.nlp.bigram_lm_score` (three-exchange
+    skeleton, broadcast-eligible count table); the oracle replays the
+    identical tokenize/bigram/hash/count/avg pipeline in SQL.
+    """
+    from kafka_etl_consumer_spark.operators.nlp import bigram_lm_score
+
+    return bigram_lm_score(_t(spark, sf_dir, "documents"))

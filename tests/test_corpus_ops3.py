@@ -174,3 +174,25 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(corpus_dir).select("doc_id").collect()
     )
     assert landed_ids == [1, 2, 10, 21]  # A, B, C, D — near-dups dropped
+
+
+def test_bigram_lm_score_orders_fluency(spark):
+    """Docs repeating corpus-common bigrams outscore gibberish; sub-2-token
+    docs get NULL score but stay present."""
+    from kafka_etl_consumer_spark.operators.nlp import bigram_lm_score
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common) for i in range(5)] + [
+        (10, "zxq vvt plk mnb qqa zzy"),  # bigrams seen once each
+        (11, "single"),
+        (12, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert len(got) == 8
+    assert got[0].lm_score > got[10].lm_score  # fluent >> gibberish
+    import math
+    assert abs(got[10].lm_score - 0.0) < 1e-9  # ln(1) bigrams
+    assert got[0].lm_score == round(math.log(5), 6)  # every bigram seen 5x
+    assert got[11].lm_score is None and got[11].n_bigrams == 0
+    assert got[12].lm_score is None and got[12].n_bigrams == 0
