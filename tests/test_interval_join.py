@@ -61,3 +61,37 @@ def test_interval_join_plans_as_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- property test: random intervals vs brute force -------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ivl = st.tuples(
+    st.integers(0, 2),        # key
+    st.integers(0, 60),       # start
+    st.integers(0, 25),       # span
+)
+_rows = st.lists(_ivl, min_size=1, max_size=20)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lrows=_rows, rrows=_rows, w=st.sampled_from([1, 5, 13, 64]))
+def test_interval_join_property_bruteforce(spark, lrows, rrows, w):
+    lt = [(k, i, s, s + d) for i, (k, s, d) in enumerate(lrows)]
+    rt = [(k, i, s, s + d) for i, (k, s, d) in enumerate(rrows)]
+    left = spark.createDataFrame(lt, "k int, xid int, xs int, xe int")
+    right = spark.createDataFrame(rt, "k int, yid int, ys int, ye int")
+    got = interval_join(
+        left, right, ["k"], ("xs", "xe"), ("ys", "ye"), bucket_width=w
+    ).collect()
+    got_pairs = sorted((r.xid, r.yid) for r in got)
+    want = sorted(
+        (i1, i2)
+        for (k1, i1, s1, e1) in lt
+        for (k2, i2, s2, e2) in rt
+        if k1 == k2 and s1 <= e2 and s2 <= e1
+    )
+    assert got_pairs == want              # exactly the overlap pairs
+    assert len(got) == len(set(got_pairs))  # emitted once each
