@@ -87,6 +87,7 @@ HEADLINE = [
     "text_repetition",
     "tfidf_top_terms",
     "text_bigram_lm_score",
+    "text_vocab_oov",
     "pmi_collocations",
     "pack_sequences",
     "embedding_quantize_int8",

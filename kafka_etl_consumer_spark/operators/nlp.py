@@ -169,3 +169,56 @@ def bigram_lm_score(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
         F.col("lm_score"),
     )
+
+
+def vocab_oov_rate(
+    df: DataFrame,
+    vocab_size: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build the corpus top-``vocab_size`` token vocabulary (count desc,
+    token asc on ties — a total order, so the cut is deterministic) and
+    score every document's out-of-vocabulary rate against it. The
+    tokenizer-training precursor: OOV rate against a trial vocabulary is
+    the standard signal for sizing it, and high-OOV docs are quality/
+    wrong-language outliers.
+
+    Returns (id, n_tokens, n_oov, oov_rate) — rate NULL for empty docs.
+
+    Scale shape (100 TB): token counts are ONE hash-agg on the token
+    (map-side partial collapse); top-k plans as TakeOrderedAndProject
+    (per-partition heaps, driver merges partitions×k rows — never a global
+    sort); the k-row vocabulary broadcasts back; the per-doc agg reuses the
+    id partitioning. The corpus shuffles once, as counts.
+    """
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    width = df.sparkSession.sparkContext.defaultParallelism
+    docs = (
+        ensure_min_parallelism(df)
+        .repartition(width, id_col)
+        .select(id_col, tokens(text_col).alias("__toks"))
+    )
+    tok = docs.select(F.col(id_col), F.explode("__toks").alias("token"))
+    vocab = (
+        tok.groupBy("token")
+        .count()
+        .orderBy(F.desc("count"), F.asc("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("__in"))
+    )
+    pd_ = (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("__in").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return docs.join(pd_, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+        F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias("oov_rate"),
+    )

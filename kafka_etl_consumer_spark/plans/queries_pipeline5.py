@@ -224,3 +224,40 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_etl_consumer_spark.operators.nlp import bigram_lm_score
 
     return bigram_lm_score(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build + OOV scoring (tokenizer-training precursor)
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM docs),
+cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+vocab AS (SELECT token FROM cnt ORDER BY c DESC, token ASC LIMIT 512),
+pd AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM tok t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+       coalesce(pd.n_oov, CAST(0 AS BIGINT)) AS n_oov,
+       round(pd.n_oov / CAST(pd.n_tokens AS DOUBLE), 6) AS oov_rate
+FROM docs d LEFT JOIN pd USING (doc_id)
+"""
+
+
+@register("text_vocab_oov", _VOCAB_ORACLE)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-512 vocabulary + per-document OOV rate.
+
+    Spark side is :func:`operators.nlp.vocab_oov_rate` — token counts in
+    one map-collapsed hash-agg, TakeOrderedAndProject top-k, broadcast-back
+    membership join.
+    """
+    from kafka_etl_consumer_spark.operators.nlp import vocab_oov_rate
+
+    return vocab_oov_rate(_t(spark, sf_dir, "documents"))

@@ -196,3 +196,22 @@ def test_bigram_lm_score_orders_fluency(spark):
     assert got[0].lm_score == round(math.log(5), 6)  # every bigram seen 5x
     assert got[11].lm_score is None and got[11].n_bigrams == 0
     assert got[12].lm_score is None and got[12].n_bigrams == 0
+
+
+def test_vocab_oov_rate_cut_and_ties(spark):
+    """Vocab cut is deterministic (count desc, token asc) and OOV counts
+    are exact; empty docs keep NULL rate."""
+    from kafka_etl_consumer_spark.operators.nlp import vocab_oov_rate
+
+    rows = [
+        (1, "aa aa aa bb bb cc"),   # counts: aa3 bb2 cc1+1(doc2)=2 dd1 -> top2 = aa, bb|cc tie
+        (2, "cc dd"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in vocab_oov_rate(df, vocab_size=2).collect()}
+    # counts: aa=3, bb=2, cc=2, dd=1; tie bb vs cc -> token asc keeps bb
+    assert got[1].n_oov == 1           # cc OOV
+    assert got[2].n_oov == 2           # cc, dd OOV
+    assert got[1].oov_rate == round(1 / 6, 6)
+    assert got[3].n_tokens == 0 and got[3].oov_rate is None
