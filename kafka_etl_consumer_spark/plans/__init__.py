@@ -13,5 +13,6 @@ from kafka_etl_consumer_spark.plans import queries_analytics2 as _qa2  # noqa: F
 from kafka_etl_consumer_spark.plans import queries_tpch as _qt  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_tpch2 as _qt2  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_udf as _qu  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_ingest as _qi  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
