@@ -103,6 +103,7 @@ HEADLINE = [
     "pipeline_prepare_corpus",
     "corpus_token_budget",
     "corpus_curriculum_stage",
+    "corpus_mix_temperature",
     "profile_table",
     "merge_upsert_customers",
     "recursive_ancestors",

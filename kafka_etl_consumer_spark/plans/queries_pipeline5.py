@@ -261,3 +261,62 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_etl_consumer_spark.operators.nlp import vocab_oov_rate
 
     return vocab_oov_rate(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled source mixing (the GPT-3/PaLM data-mixing op): per
+# source, weight ∝ tokens^alpha with alpha < 1 up-weighting small sources;
+# emits the per-source sampling rate that realizes the mix at a target
+# token budget. One narrow map + one tiny per-source agg + a one-row
+# total broadcast back — nothing here grows with corpus size except the
+# first scan.
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.3
+_MIX_TARGET = 20_000  # target tokens drawn across the mix
+
+_MIX_ORACLE = f"""
+WITH per_src AS (
+  SELECT source, CAST(sum(len({tokens_sql("text")})) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+w AS (SELECT *, pow(n_tokens, {_MIX_ALPHA}) AS wt FROM per_src),
+t AS (SELECT sum(wt) AS total_w FROM w)
+SELECT source, n_docs, n_tokens,
+       round(wt / total_w, 6) AS mix_share,
+       round({_MIX_TARGET} * wt / total_w / n_tokens, 6) AS sample_rate
+FROM w CROSS JOIN t
+"""
+
+
+@register("corpus_mix_temperature", _MIX_ORACLE)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source temperature mix: share ∝ n_tokens^0.3, plus the sampling
+    rate hitting a 20k-token target budget.
+
+    Shuffles: ONE per-source partial+final agg over token counts computed
+    in the scan map (size(tokens) — no explode); the weight normalizer is a
+    one-row aggregate crossJoin-broadcast back, never a driver collect.
+    """
+    from kafka_etl_consumer_spark.functions.text import tokens
+
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    w = per.withColumn("wt", F.pow("n_tokens", F.lit(_MIX_ALPHA)))
+    tot = w.agg(F.sum("wt").alias("total_w"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("wt") / F.col("total_w"), 6).alias("mix_share"),
+            F.round(
+                F.lit(_MIX_TARGET) * F.col("wt") / F.col("total_w") / F.col("n_tokens"), 6
+            ).alias("sample_rate"),
+        )
+    )
