@@ -327,3 +327,20 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_vocab_oov_takeordered_and_broadcast(spark, sf_dir):
+    # the vocabulary cut must be per-partition heaps (TakeOrderedAndProject,
+    # never a global sort) and the k-row vocab must broadcast back
+    plan = _plan(spark, sf_dir, "text_vocab_oov", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_bigram_lm_partial_agg_no_python(spark, sf_dir):
+    # bigram counts collapse map-side before their exchange; no Python nodes
+    plan = _plan(spark, sf_dir, "text_bigram_lm_score", mode="simple")
+    assert "partial_count" in plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
