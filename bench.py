@@ -95,6 +95,7 @@ HEADLINE = [
     "retention_cohorts",
     "sessionize_gap",
     "anomaly_zscore",
+    "ts_motif_topk",
     "text_chunk_overlap",
     "decontaminate_ngrams",
     "multimodal_meta",

@@ -320,3 +320,103 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sample_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series motif search: top-k z-normalized Euclidean matches of a fixed
+# query pattern over per-user sliding windows of the events value series
+# (the MASS/matrix-profile workload class, one-pattern form)
+# ---------------------------------------------------------------------------
+
+_MOTIF_M = 8
+# query pattern [1..8], z-normalized offline; the literal doubles below are
+# embedded verbatim in BOTH plans so the two engines parse identical values
+_MOTIF_ZQ = [
+    (i - 4.5) / (5.25 ** 0.5) for i in range(1, _MOTIF_M + 1)
+]
+_ZQ_SQL = "[" + ", ".join(repr(v) for v in _MOTIF_ZQ) + "]"
+
+_MOTIF_ORACLE = f"""
+WITH win AS (
+  SELECT user_id, event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN CURRENT ROW AND {_MOTIF_M - 1} FOLLOWING) AS w
+  FROM events
+),
+full_w AS (SELECT * FROM win WHERE len(w) = {_MOTIF_M}),
+st AS (
+  SELECT user_id, event_id, w,
+         list_aggregate(w, 'sum') / {_MOTIF_M} AS mu
+  FROM full_w
+),
+sd AS (
+  SELECT *, sqrt(list_aggregate(list_transform(w, x -> (x - mu) * (x - mu)),
+                                'sum') / {_MOTIF_M}) AS sigma
+  FROM st
+),
+d AS (
+  SELECT user_id, event_id,
+         round(sqrt(list_aggregate(
+           list_transform(w, (x, i) -> pow((x - mu) / sigma - ({_ZQ_SQL})[i], 2)),
+           'sum')), 6) AS dist
+  FROM sd WHERE sigma > 1e-9
+)
+SELECT user_id, event_id AS start_event_id, dist
+FROM d ORDER BY dist, user_id, start_event_id LIMIT 20
+"""
+
+
+@register("ts_motif_topk", _MOTIF_ORACLE)
+def ts_motif_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 sliding windows (per-user, length 8) of the event value
+    series nearest to an up-trend pattern under z-normalized Euclidean
+    distance — the one-pattern form of matrix-profile/MASS similarity
+    search, on DataFrame built-ins.
+
+    Scale shape: ONE user-keyed exchange feeds the window collect; the
+    z-normalize + distance math is higher-order array expressions in
+    codegen (zero Python); the final cut is TakeOrderedAndProject on the
+    ROUNDED distance with a total-order tiebreak — deterministic across
+    engines and partitionings. At 100 TB the window collect moves each
+    value m times within its user partition — bounded, no pair explosion.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w8 = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.currentRow, _MOTIF_M - 1)
+    )
+    qarr = F.array(*[F.lit(v) for v in _MOTIF_ZQ])
+    win = ev.select(
+        "user_id", "event_id", F.collect_list("value").over(w8).alias("w")
+    ).filter(F.size("w") == _MOTIF_M)
+    mu = (F.aggregate("w", F.lit(0.0), lambda a, x: a + x) / _MOTIF_M).alias("mu")
+    st = win.select("user_id", "event_id", "w", mu)
+    sigma = F.sqrt(
+        F.aggregate(
+            "w", F.lit(0.0), lambda a, x: a + (x - F.col("mu")) * (x - F.col("mu"))
+        )
+        / _MOTIF_M
+    ).alias("sigma")
+    sd = st.select("*", sigma).filter(F.col("sigma") > 1e-9)
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "w",
+                    qarr,
+                    lambda x, q: F.pow((x - F.col("mu")) / F.col("sigma") - q, F.lit(2.0)),
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+        6,
+    ).alias("dist")
+    return (
+        sd.select("user_id", F.col("event_id").alias("start_event_id"), dist)
+        .orderBy("dist", "user_id", "start_event_id")
+        .limit(20)
+    )
