@@ -25,6 +25,7 @@ from kafka_etl_consumer_spark.operators.dedup import minhash_lsh_matches_against
 from kafka_etl_consumer_spark.operators.text import quality_score, unicode_clean
 from kafka_etl_consumer_spark.session import get_spark
 from kafka_etl_consumer_spark.sources.tables import load_table
+from kafka_etl_consumer_spark.streaming.metrics import IngestMetricsListener
 
 QUALITY_FLOOR = 0.2
 
@@ -75,9 +76,11 @@ def main() -> None:
             f"({n_in - n_novel} gated or duplicate)"
         )
 
+    metrics = IngestMetricsListener()
+    spark.streams.addListener(metrics)
     q = (
         spark.readStream.schema(schema).parquet(src)
-        .writeStream.foreachBatch(on_batch)
+        .writeStream.queryName("live-corpus").foreachBatch(on_batch)
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .start()
     )
@@ -93,6 +96,10 @@ def main() -> None:
     final = spark.read.parquet(corpus)
     print(f"landed corpus: {final.count()} documents "
           f"(from {docs.count()} arriving + seeded)")
+    print("per-batch metrics (listener):")
+    metrics.to_df(spark).select(
+        "batch_id", "num_input_rows", "rows_per_sec", "batch_duration_ms"
+    ).show(truncate=False)
     spark.stop()
 
 
