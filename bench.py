@@ -96,6 +96,7 @@ HEADLINE = [
     "sessionize_gap",
     "anomaly_zscore",
     "ts_motif_topk",
+    "event_transition_matrix",
     "text_chunk_overlap",
     "decontaminate_ngrams",
     "multimodal_meta",

@@ -420,3 +420,59 @@ def ts_motif_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "user_id", "start_event_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# event transition matrix: per (event_type -> next event_type) counts and
+# row-normalized probabilities over per-user event sequences (the Markov
+# view of user behavior; funnel_steps answers "did the path happen",
+# this answers "what usually follows what")
+# ---------------------------------------------------------------------------
+
+_TRANS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+tot AS (SELECT event_type, sum(n) AS row_n FROM cnt GROUP BY event_type)
+SELECT c.event_type, c.next_type, c.n,
+       round(c.n / CAST(t.row_n AS DOUBLE), 6) AS p
+FROM cnt c JOIN tot t USING (event_type)
+"""
+
+
+@register("event_transition_matrix", _TRANS_ORACLE)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, next_type, n, p): Markov transition counts and
+    probabilities over per-user event streams.
+
+    ONE user-keyed exchange feeds the lead(); the pair count is a
+    partial+final hash-agg over the tiny (type, type) key space; the row
+    normalizer re-aggregates those counts (rows = |types|², trivially
+    broadcast for the join). Nothing downstream of the window grows with
+    the corpus.
+    """
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    cnt = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = cnt.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    return cnt.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.col("row_n").cast("double"), 6).alias("p"),
+    )
