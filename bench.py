@@ -107,6 +107,7 @@ HEADLINE = [
     "corpus_curriculum_stage",
     "corpus_mix_temperature",
     "profile_table",
+    "validate_orders",
     "merge_upsert_customers",
     "recursive_ancestors",
     "table_checksum_orders",

@@ -476,3 +476,55 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.col("row_n").cast("double"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality validation: expectation rules over orders (mixed zero and
+# non-zero violation counts so the gate is exercised, not vacuous)
+# ---------------------------------------------------------------------------
+
+_VALIDATE_ORACLE = """
+SELECT 'rows_scanned' AS rule, CAST(count(*) AS BIGINT) AS n_violations FROM orders
+UNION ALL
+SELECT 'not_null:o_orderkey', CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'expr:price_positive', CAST(sum(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'expr:price_under_200k', CAST(sum(CASE WHEN NOT (o_totalprice < 200000) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'expr:priority_in_set', CAST(sum(CASE WHEN NOT (o_orderpriority IN
+  ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')) THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+UNION ALL
+SELECT 'ref:orders_customer', CAST(count(*) AS BIGINT)
+FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+  ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+"""
+
+
+@register("validate_orders", _VALIDATE_ORACLE)
+def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over orders: null/range/set membership in ONE
+    aggregated scan, key uniqueness via one hash-agg, customer referential
+    integrity via one anti-join. See :mod:`operators/validate`.
+    """
+    from kafka_etl_consumer_spark.operators.validate import validate_table
+
+    return validate_table(
+        _t(spark, sf_dir, "orders"),
+        not_null=["o_orderkey"],
+        expr=[
+            ("price_positive", "o_totalprice > 0"),
+            ("price_under_200k", "o_totalprice < 200000"),
+            (
+                "priority_in_set",
+                "o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM',"
+                "'4-NOT SPECIFIED','5-LOW')",
+            ),
+        ],
+        unique=["o_orderkey"],
+        ref=[("orders_customer", "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey")],
+    )
