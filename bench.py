@@ -79,6 +79,7 @@ HEADLINE = [
     "text_script_detect",
     "corpus_shuffle_shards",
     "sample_reservoir_group",
+    "sample_weighted_reservoir",
     "url_funcs",
     "text_html_strip",
     "text_unicode_clean",

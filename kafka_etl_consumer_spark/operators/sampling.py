@@ -83,3 +83,40 @@ def group_reservoir(
     return df.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )
+
+
+def weighted_reservoir_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+) -> DataFrame:
+    """Fixed-size weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES): each row draws priority u^(1/w) with u uniform in (0,1)
+    and w its weight; the global top-k priorities are the sample. Inclusion
+    probability scales with weight, the size is exactly k — the missing
+    combination between ``stratified_sample`` (weighted RATE, random size)
+    and ``group_reservoir`` (fixed size, uniform).
+
+    u derives from ``hash64(key)`` — deterministic across runs/engines/
+    retries like everything in this module. Priorities are ROUNDED to 6
+    decimals with the key as tiebreak before the cut, so the selected set
+    is stable even where ln/pow differ by an ulp between engines.
+
+    Rows with weight <= 0 are excluded (zero-weight rows can never win).
+
+    Scale shape: priority is a narrow map; the cut is
+    TakeOrderedAndProject — per-partition top-k heaps, the driver merges
+    partitions×k rows; the corpus never shuffles.
+    """
+    key = F.col(key_col)
+    w = F.col(weight_col).cast("double")
+    # u in (0,1): (h + 0.5) / 2^60
+    u = (hash64(key).cast("double") + F.lit(0.5)) / F.lit(float(2**60))
+    prio = F.round(F.pow(u, F.lit(1.0) / w), 6).alias("priority")
+    return (
+        df.filter(w > 0)
+        .select("*", prio)
+        .orderBy(F.desc("priority"), key.asc())
+        .limit(k)
+    )

@@ -528,3 +528,34 @@ def validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique=["o_orderkey"],
         ref=[("orders_customer", "o_custkey", _t(spark, sf_dir, "customer"), "c_custkey")],
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling WITHOUT replacement, fixed k (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_WRS_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id, n_chars,
+         round(pow(({hash64_sql("CAST(doc_id AS VARCHAR)")} + 0.5) / 1152921504606846976.0,
+                   1.0 / CAST(n_chars AS DOUBLE)), 6) AS priority
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, priority
+FROM p ORDER BY priority DESC, doc_id ASC LIMIT 64
+"""
+
+
+@register("sample_weighted_reservoir", _WRS_ORACLE)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-64 length-weighted document sample via A-ES priorities
+    (:func:`operators.sampling.weighted_reservoir_k`): longer documents
+    proportionally likelier, size exact, selection deterministic."""
+    from kafka_etl_consumer_spark.operators.sampling import weighted_reservoir_k
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("n_chars"), F.col("doc_id").cast("string").alias("__k")
+    )
+    return weighted_reservoir_k(d, 64, "n_chars", "__k").select(
+        "doc_id", "n_chars", "priority"
+    )

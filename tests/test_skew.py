@@ -101,3 +101,22 @@ def test_salted_join_rejects_outer(spark):
     for how in ("right", "full", "left_anti"):
         with pytest.raises(ValueError, match="inner"):
             salted_join(df, df, on="k", salt_src="k", how=how)
+
+
+def test_weighted_reservoir_exact_k_and_weight_bias(spark):
+    """A-ES: exactly k rows, deterministic repeat, and heavier rows
+    overrepresented vs uniform."""
+    from kafka_etl_consumer_spark.operators.sampling import weighted_reservoir_k
+
+    rows = [(str(i), 1000.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, w double")
+    got = weighted_reservoir_k(df, 50, "w", "k")
+    ids = [r.k for r in got.collect()]
+    assert len(ids) == 50
+    assert ids == [r.k for r in weighted_reservoir_k(df, 50, "w", "k").collect()]
+    heavy = sum(1 for i in ids if int(i) < 50)
+    # 50 heavy rows (w=1000) vs 450 light (w=1): heavy should dominate
+    assert heavy >= 40
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame([("a", 0.0), ("b", -1.0), ("c", 2.0)], "k string, w double")
+    assert [r.k for r in weighted_reservoir_k(df2, 3, "w", "k").collect()] == ["c"]
