@@ -51,6 +51,7 @@ HEADLINE = [
     "grouping_sets_agg",
     "pivot_agg",
     "stats_agg",
+    "quantile_histogram",
     "win_ntile_dist",
     "filter_project",
     "agg_distinct",

@@ -44,3 +44,68 @@ def theta_distinct(
     if group_cols:
         return kept.groupBy(*group_cols).agg(agg.alias("est_distinct"))
     return kept.agg(agg.alias("est_distinct"))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: list[float],
+    bins: int = 1000,
+) -> DataFrame:
+    """Mergeable approximate quantiles via a fixed-width histogram — the
+    deterministic scale path exact ``percentile`` defers to (stats_agg's
+    docstring): exact percentile buffers every group value; this sketches
+    the distribution in ``bins`` counters with error ≤ one bin width, is
+    mergeable across partitions/batches (counters add), and — unlike
+    t-digest/approx_percentile — is bit-reproducible cross-engine, so it
+    carries an EXACT oracle.
+
+    Estimate: linear interpolation inside the bin where the running count
+    crosses q·N (the textbook grouped-data quantile formula).
+
+    Returns ONE row: (n, q_<pct> ... one column per requested quantile).
+
+    Scale shape: pass 1 is a min/max aggregate (one row, crossJoin-broadcast
+    back — no driver collect); pass 2 is a ``bins``-key hash-agg whose
+    partial counters collapse map-side; the cumulative scan runs over the
+    ``bins``-row table (constant, independent of data size).
+    """
+    if not quantiles:
+        raise ValueError("need at least one quantile")
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    mm = df.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi"), F.count(v).alias("__n")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / bins
+    bin_idx = F.least(
+        F.floor((v - F.col("__lo")) / width).cast("int"), F.lit(bins - 1)
+    )
+    counts = (
+        df.crossJoin(F.broadcast(mm))
+        .select(bin_idx.alias("__bin"), "__lo", "__hi", "__n")
+        .groupBy("__bin", "__lo", "__hi", "__n")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.orderBy("__bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "*",
+        (F.sum("__c").over(w) - F.col("__c")).alias("__before"),
+        ((F.col("__hi") - F.col("__lo")) / bins).alias("__w"),
+    )
+    aggs = [F.first("__n").cast("bigint").alias("n")]
+    for q in quantiles:
+        target = F.lit(q) * F.col("__n")
+        est = (
+            F.col("__lo")
+            + (F.col("__bin") + (target - F.col("__before")) / F.col("__c"))
+            * F.col("__w")
+        )
+        hit = F.when(
+            (F.col("__before") < target) & (target <= F.col("__before") + F.col("__c")),
+            est,
+        )
+        name = f"q_{str(q).replace('.', '_')}"
+        aggs.append(F.round(F.max(hit), 6).alias(name))
+    return cum.agg(*aggs)

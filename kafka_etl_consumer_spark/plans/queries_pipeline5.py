@@ -559,3 +559,51 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_reservoir_k(d, 64, "n_chars", "__k").select(
         "doc_id", "n_chars", "priority"
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram quantiles (the deterministic scale path for
+# percentiles; exact `percentile` buffers whole groups — stats_agg)
+# ---------------------------------------------------------------------------
+
+def _hq_col(q: str) -> str:
+    return f"""round(max(CASE WHEN before < {q} * n AND {q} * n <= before + c
+      THEN lo + (bin + ({q} * n - before) / c) * w END), 6)"""
+
+
+_HQ_ORACLE = f"""
+WITH mm AS (
+  SELECT min(CAST(l_extendedprice AS DOUBLE)) AS lo,
+         max(CAST(l_extendedprice AS DOUBLE)) AS hi,
+         count(l_extendedprice) AS n
+  FROM lineitem
+),
+b AS (
+  SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                           / ((hi - lo) / 1000)) AS INT), 999) AS bin,
+         lo, hi, n
+  FROM lineitem CROSS JOIN mm
+),
+c AS (SELECT bin, lo, hi, n, count(*) AS c FROM b GROUP BY bin, lo, hi, n),
+cum AS (
+  SELECT *, sum(c) OVER (ORDER BY bin) - c AS before, (hi - lo) / 1000 AS w
+  FROM c
+)
+SELECT CAST(max(n) AS BIGINT) AS n,
+       {_hq_col('0.5')} AS q_0_5,
+       {_hq_col('0.95')} AS q_0_95,
+       {_hq_col('0.99')} AS q_0_99
+FROM cum
+"""
+
+
+@register("quantile_histogram", _HQ_ORACLE)
+def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of l_extendedprice via the 1000-bin mergeable histogram
+    sketch (:func:`operators.sketch.histogram_quantiles`) — error ≤ one bin
+    width, counters add across partitions/batches, bit-reproducible."""
+    from kafka_etl_consumer_spark.operators.sketch import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", [0.5, 0.95, 0.99]
+    )

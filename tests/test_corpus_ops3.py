@@ -215,3 +215,23 @@ def test_vocab_oov_rate_cut_and_ties(spark):
     assert got[2].n_oov == 2           # cc, dd OOV
     assert got[1].oov_rate == round(1 / 6, 6)
     assert got[3].n_tokens == 0 and got[3].oov_rate is None
+
+
+def test_histogram_quantiles_accuracy_vs_exact(spark):
+    """1000-bin sketch quantiles land within one bin width of the exact
+    percentile on a skewed distribution."""
+    from kafka_etl_consumer_spark.operators.sketch import histogram_quantiles
+    from pyspark.sql import functions as F
+
+    vals = [(float(i * i % 9973),) for i in range(20000)]
+    df = spark.createDataFrame(vals, "v double")
+    row = histogram_quantiles(df, "v", [0.5, 0.99]).collect()[0]
+    exact = df.agg(F.expr("percentile(v, array(0.5, 0.99))")).collect()[0][0]
+    lo, hi = (
+        df.agg(F.min("v")).collect()[0][0],
+        df.agg(F.max("v")).collect()[0][0],
+    )
+    binw = (hi - lo) / 1000
+    assert row.n == 20000
+    assert abs(row.q_0_5 - exact[0]) <= binw
+    assert abs(row.q_0_99 - exact[1]) <= binw
