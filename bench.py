@@ -52,6 +52,7 @@ HEADLINE = [
     "pivot_agg",
     "stats_agg",
     "quantile_histogram",
+    "sketch_cms_tokens",
     "win_ntile_dist",
     "filter_project",
     "agg_distinct",

@@ -109,3 +109,48 @@ def histogram_quantiles(
         name = f"q_{str(q).replace('.', '_')}"
         aggs.append(F.round(F.max(hit), 6).alias(name))
     return cum.agg(*aggs)
+
+
+def cms_estimate(
+    df: DataFrame,
+    col: str,
+    candidates: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch frequency estimation: ``depth × width`` counters
+    (here 4×256 = 1 KiB of state regardless of cardinality), estimate =
+    min over rows of the hashed-cell counter. Always >= the true count
+    (collisions only add). Like everything in this module the hashes are
+    md5-derived, so the sketch — an approximate structure — still has an
+    exact DuckDB oracle.
+
+    ``candidates`` must carry a column named like ``col`` (CMS can answer
+    point queries only; pair with a candidate stream — e.g. the exact
+    vocabulary cut or last batch's heavy hitters — for top-k).
+
+    Returns candidates + ``cms_est``.
+
+    Scale shape: counter build is ONE hash-agg over (row, cell) pairs
+    (depth rows per value, map-side collapse, ≤ depth×width result rows —
+    constant); counters broadcast to the candidate probe. Counters from
+    disjoint batches ADD, so the sketch maintains incrementally.
+    """
+    cell = lambda j: (  # noqa: E731
+        hash64(F.concat(F.lit(f"cms-{j}:"), F.col(col))) % width
+    ).alias("__cell")
+    rows = [
+        F.struct(F.lit(j).alias("__j"), cell(j)) for j in range(depth)
+    ]
+    pairs = df.select(F.explode(F.array(*rows)).alias("__s")).select(
+        "__s.__j", "__s.__cell"
+    )
+    counters = pairs.groupBy("__j", "__cell").agg(F.count(F.lit(1)).alias("__c"))
+    probe = candidates.select(
+        "*", F.explode(F.array(*rows)).alias("__s")
+    ).select("*", "__s.__j", "__s.__cell").drop("__s")
+    return (
+        probe.join(F.broadcast(counters), ["__j", "__cell"])
+        .groupBy(*candidates.columns)
+        .agg(F.min("__c").cast("bigint").alias("cms_est"))
+    )

@@ -607,3 +607,53 @@ def quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         _t(spark, sf_dir, "lineitem"), "l_extendedprice", [0.5, 0.95, 0.99]
     )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch point queries for the exact top tokens (sketch family:
+# theta distinct, histogram quantiles, and now CMS frequencies)
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W, _CMS_K = 4, 256, 10
+
+_CMS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({tokens_sql("text")}) AS token FROM documents
+),
+top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS true_n
+  FROM tok GROUP BY token ORDER BY true_n DESC, token ASC LIMIT {_CMS_K}
+),
+cells AS (
+  SELECT j, {hash64_sql("'cms-' || CAST(j AS VARCHAR) || ':' || token")} % {_CMS_W} AS cell,
+         count(*) AS c
+  FROM tok CROSS JOIN (SELECT unnest(range(0, {_CMS_D})) AS j)
+  GROUP BY j, cell
+)
+SELECT t.token, t.true_n,
+       CAST(min(c.c) AS BIGINT) AS cms_est
+FROM top t
+JOIN cells c
+  ON c.cell = {hash64_sql("'cms-' || CAST(c.j AS VARCHAR) || ':' || t.token")} % {_CMS_W}
+GROUP BY t.token, t.true_n
+"""
+
+
+@register("sketch_cms_tokens", _CMS_ORACLE)
+def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS estimates vs true counts for the corpus's top-10 tokens — the
+    1 KiB-state frequency sketch (:func:`operators.sketch.cms_estimate`)
+    point-queried at the exact heavy hitters (verification pairing, like
+    ngram_jaccard is to minhash)."""
+    from kafka_etl_consumer_spark.functions.text import tokens
+    from kafka_etl_consumer_spark.operators.sketch import cms_estimate
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("token"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("token"))
+        .limit(_CMS_K)
+    )
+    return cms_estimate(tok, "token", top, _CMS_D, _CMS_W)

@@ -268,3 +268,20 @@ def test_histogram_quantiles_merge_across_batches(spark):
     )
     assert merged.total == 10000  # every row lands in exactly one counter
     assert whole.n == 10000
+
+
+def test_cms_overestimates_never_under(spark):
+    """CMS property: estimate >= true count for every candidate; exact on
+    a stream with fewer distincts than one sketch row."""
+    from kafka_etl_consumer_spark.operators.sketch import cms_estimate
+    from pyspark.sql import functions as F
+
+    rows = [(f"t{i % 37}",) for i in range(3700)]
+    df = spark.createDataFrame(rows, "token string")
+    truth = df.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    got = cms_estimate(df, "token", truth).collect()
+    assert len(got) == 37
+    assert all(r.cms_est >= r.true_n for r in got)
+    # 37 distincts over 256-wide rows: with 4 independent rows the min is
+    # almost surely collision-free -> exact
+    assert all(r.cms_est == r.true_n for r in got)
