@@ -53,6 +53,7 @@ HEADLINE = [
     "stats_agg",
     "quantile_histogram",
     "sketch_cms_tokens",
+    "sketch_bloom_membership",
     "win_ntile_dist",
     "filter_project",
     "agg_distinct",

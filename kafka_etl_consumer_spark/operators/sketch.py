@@ -154,3 +154,42 @@ def cms_estimate(
         .groupBy(*candidates.columns)
         .agg(F.min("__c").cast("bigint").alias("cms_est"))
     )
+
+
+def bloom_bits(df: DataFrame, col: str, m: int = 4096, k: int = 3) -> DataFrame:
+    """Build a Bloom filter as a DataFrame of set bit positions (one row
+    per DISTINCT set bit, <= m rows total): k md5-derived hash positions
+    per value. Deterministic like every sketch here, so membership results
+    have exact oracles.
+
+    The bit-set stays a DataFrame (broadcastable at any m) — no driver
+    collect, and bit-sets from disjoint batches UNION to the combined
+    filter.
+    """
+    pos = [
+        (hash64(F.concat(F.lit(f"bloom-{j}:"), F.col(col))) % m).alias("bit")
+        for j in range(k)
+    ]
+    return (
+        df.select(F.explode(F.array(*pos)).alias("bit")).distinct()
+    )
+
+
+def bloom_might_contain(
+    queries: DataFrame, col: str, bits: DataFrame, m: int = 4096, k: int = 3
+) -> DataFrame:
+    """queries + ``bloom_hit`` (true iff ALL k bit positions are set — may
+    false-positive, never false-negative). The probe is a broadcast join on
+    the bit position + a count == k check; the query side never shuffles.
+    """
+    pos = [
+        (hash64(F.concat(F.lit(f"bloom-{j}:"), F.col(col))) % m).alias("bit")
+        for j in range(k)
+    ]
+    probe = queries.select("*", F.explode(F.array(*pos)).alias("bit"))
+    hit = F.lit(1).alias("__hit")
+    return (
+        probe.join(F.broadcast(bits.select("bit", hit)), "bit", "left")
+        .groupBy(*queries.columns)
+        .agg((F.count("__hit") == k).alias("bloom_hit"))
+    )

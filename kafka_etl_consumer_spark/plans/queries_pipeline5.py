@@ -657,3 +657,108 @@ def sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_CMS_K)
     )
     return cms_estimate(tok, "token", top, _CMS_D, _CMS_W)
+
+
+# ---------------------------------------------------------------------------
+# bloom membership pre-filter with false-positive accounting: src0 tokens
+# probed against a bloom of every OTHER source's vocabulary — the constant-
+# memory pre-filter that replaces a full semi-join at 100 TB, with its FP
+# cost measured against the exact answer
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def _bloom_pos_sql(j: str, tok: str) -> str:
+    expr = "'bloom-' || CAST({j} AS VARCHAR) || ':' || {tok}".format(j=j, tok=tok)
+    return f"{hash64_sql(expr)} % {_BLOOM_M}"
+
+
+_BLOOM_ORACLE = f"""
+WITH docs AS (SELECT source, {tokens_sql("text")} AS toks FROM documents),
+qtok AS (
+  SELECT DISTINCT token FROM (
+    SELECT unnest({word_shingles_sql("toks", 2)}) AS token
+    FROM docs WHERE source = 'src0'
+    UNION ALL
+    -- known-absent probes: the bloom's false-positive path must actually
+    -- be exercised, and the synthetic corpus shares its whole bigram space
+    SELECT 'zz-probe-' || CAST(unnest(range(0, 200)) AS VARCHAR) AS token
+  )
+),
+ctok AS (
+  SELECT DISTINCT unnest({word_shingles_sql("toks", 2)}) AS token
+  FROM docs WHERE source <> 'src0'
+),
+js AS (SELECT unnest(range(0, {_BLOOM_K})) AS j),
+bits AS (
+  SELECT DISTINCT {_bloom_pos_sql("j", "token")} AS bit
+  FROM ctok CROSS JOIN js
+),
+probe AS (
+  SELECT q.token, count(b.bit) = {_BLOOM_K} AS bloom_hit
+  FROM qtok q CROSS JOIN js
+  LEFT JOIN bits b ON b.bit = {_bloom_pos_sql("j", "q.token")}
+  GROUP BY q.token
+),
+truth AS (
+  SELECT p.token, p.bloom_hit, (c.token IS NOT NULL) AS true_hit
+  FROM probe p LEFT JOIN ctok c USING (token)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hits,
+       CAST(sum(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positives
+FROM truth
+"""
+
+
+@register("sketch_bloom_membership", _BLOOM_ORACLE)
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-filter vs exact semi-join, with measured false positives.
+
+    (n_queries, n_bloom_hits, n_true_hits, n_false_positives): src0's
+    distinct word bigrams probed against a 4096-bit/3-hash bloom of the
+    other sources' bigrams (:func:`operators.sketch.bloom_bits` /
+    :func:`bloom_might_contain`). Bloom never misses a true member
+    (n_bloom_hits >= n_true_hits); the FP column is the price of the
+    constant memory.
+    """
+    from kafka_etl_consumer_spark.functions.text import tokens
+    from kafka_etl_consumer_spark.operators.sketch import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    from kafka_etl_consumer_spark.functions.text import word_shingles
+
+    grams = word_shingles(tokens("text"), 2)
+    probes = spark.range(0, 200).select(
+        F.concat(F.lit("zz-probe-"), F.col("id").cast("string")).alias("token")
+    )
+    qtok = (
+        d.filter(F.col("source") == "src0")
+        .select(F.explode(grams).alias("token"))
+        .unionByName(probes)
+        .distinct()
+    )
+    ctok = (
+        d.filter(F.col("source") != "src0")
+        .select(F.explode(grams).alias("token"))
+        .distinct()
+    )
+    bits = bloom_bits(ctok, "token", _BLOOM_M, _BLOOM_K)
+    probed = bloom_might_contain(qtok, "token", bits, _BLOOM_M, _BLOOM_K)
+    truth = probed.join(
+        ctok.withColumn("__t", F.lit(1)), "token", "left"
+    ).select("bloom_hit", F.col("__t").isNotNull().alias("true_hit"))
+    return truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("bigint").alias("n_bloom_hits"),
+        F.sum(F.col("true_hit").cast("int")).cast("bigint").alias("n_true_hits"),
+        F.sum((F.col("bloom_hit") & ~F.col("true_hit")).cast("int"))
+        .cast("bigint")
+        .alias("n_false_positives"),
+    )
