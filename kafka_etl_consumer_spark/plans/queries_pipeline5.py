@@ -1,10 +1,21 @@
-"""Query surface batch 9: span-level exact dedup (cut repeated k-grams OUT
-of documents, the in-document complement to the doc-level dedup family) and
-Unicode-script detection (the code-point-range precursor to language ID).
+"""Query surface batch 9+ (round 2 extensions):
 
-The reference has no text surface at all (pass-through ETL,
+- span-level exact dedup (repeated k-grams cut OUT of documents)
+- Unicode-script detection (code-point-range precursor to language ID)
+- bucketed interval-overlap join
+- corpus-bigram LM familiarity score (CCNet/KenLM-style quality gate)
+- vocabulary build + per-document OOV rate
+- temperature-scaled source mixing
+- time-series motif search (z-normalized pattern top-k)
+- event transition matrix (Markov counts/probabilities)
+- data-quality validation suite
+- weighted sampling without replacement (Efraimidis-Spirakis)
+- mergeable histogram quantiles, count-min frequencies, Bloom membership
+
+The reference has no analytics surface at all (pass-through ETL,
 ETLTask.java:261-283 of the reference); these extend the training-data
-pipeline operators the brief requires.
+pipeline operators the brief requires. Every query carries an exact DuckDB
+oracle.
 """
 
 from __future__ import annotations
