@@ -74,6 +74,7 @@ HEADLINE = [
     "sim_ann_ivf",
     "graph_components",
     "graph_pagerank",
+    "graph_triangles",
     "cluster_kmeans_refine",
     "dedup_embedding_lsh",
     "dedup_canonical_pick",

@@ -167,3 +167,49 @@ def pagerank(
             )
         )
     return ranks.select(F.col("vid").alias(id_col), "rank")
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle count + global clustering coefficient for an
+    undirected simple graph given as normalized distinct edges
+    (``src < dst``). Returns ONE row:
+    (n_vertices, n_edges, n_wedges, n_triangles, global_clustering) with
+    clustering = 3·triangles / wedges (rounded 6).
+
+    Plan: degrees are one hash-agg over exploded endpoints; wedges =
+    Σ deg·(deg-1)/2 folds to one row; triangles enumerate id-ordered paths
+    a<b<c via edges⋈edges on the middle vertex, closed by a semi-join on
+    (a, c) — each triangle counted exactly once.
+
+    Scale note: the wedge join is the classic hot spot — a celebrity vertex
+    with degree d contributes d² candidate wedges. At 100 TB orient each
+    edge from its lower-(degree, id) endpoint first (deterministic, one
+    degree join) so every wedge enumerates from the LOW-degree side:
+    candidates drop from Σ deg² to O(m^1.5) (the standard compact-forward
+    bound). The id-ordered form here keeps the oracle simple at test scale;
+    the orientation is a drop-in pre-map on the same plan.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).distinct()
+    ends = e.select(F.col("a").alias("v")).unionAll(e.select(F.col("b").alias("v")))
+    deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    base = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        (F.sum(F.col("d")) / 2).cast("bigint").alias("n_edges"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    ab = e.select(F.col("a"), F.col("b"))
+    bc = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = ab.join(bc, "b").select("a", "b", "c")
+    tri = wedges.join(
+        e.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    out = base.crossJoin(F.broadcast(tri))
+    return out.select(
+        "n_vertices",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"), 6
+        ).alias("global_clustering"),
+    )

@@ -773,3 +773,54 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_positives"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph: triangle count + clustering coefficient over the co-ordered-parts
+# graph (edge = two parts appearing in the same order)
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+ends AS (SELECT p1 AS v FROM e UNION ALL SELECT p2 FROM e),
+deg AS (SELECT v, count(*) AS d FROM ends GROUP BY v),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+         CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+         CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM e ab JOIN e bc ON ab.p2 = bc.p1
+            JOIN e ac ON ac.p1 = ab.p1 AND ac.p2 = bc.p2
+)
+SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       round(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6) AS global_clustering
+FROM base CROSS JOIN tri
+"""
+
+
+@register("graph_triangles", _TRI_ORACLE)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles + global clustering of the parts-co-ordered-together
+    graph (:func:`operators.graph.triangle_stats` — see its docstring for
+    the degree-orientation refinement that bounds the wedge join at
+    100 TB)."""
+    from kafka_etl_consumer_spark.operators.graph import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_stats(e)

@@ -187,3 +187,19 @@ def test_pagerank_mass_conserved_and_deterministic(spark):
     for k in r1:
         assert abs(r1[k] - r2[k]) < 1e-12, k
     assert min(r1.values()) > 0
+
+
+def test_triangle_stats_known_graph(spark):
+    """Hand-built graph: K4 plus a pendant. K4 has 4 triangles; wedges =
+    sum C(deg,2) = 3*C(3,2)+C(4,2) = 9+6 = 15... computed exactly below."""
+    from kafka_etl_consumer_spark.operators.graph import triangle_stats
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant 5 attached to 1
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    row = triangle_stats(df).collect()[0]
+    assert row.n_vertices == 5 and row.n_edges == 7
+    # degrees: 1->4, 2..4 ->3, 5->1; wedges = C(4,2)+3*C(3,2)+0 = 6+9 = 15
+    assert row.n_wedges == 15
+    assert row.n_triangles == 4
+    assert row.global_clustering == round(3 * 4 / 15, 6)
