@@ -72,6 +72,7 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh",
     "sim_ann_ivf",
+    "search_bm25_topk",
     "graph_components",
     "graph_pagerank",
     "graph_triangles",

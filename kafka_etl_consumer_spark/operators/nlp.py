@@ -222,3 +222,63 @@ def vocab_oov_rate(
         F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
         F.round(F.col("n_oov") / F.col("n_tokens").cast("double"), 6).alias("oov_rate"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical retrieval: top-k documents for a bag-of-words query —
+    the keyword-search complement to the embedding ANN family (Okapi BM25,
+    the standard lexical ranking function; idf uses the +1 'BM25+'-style
+    floor so common terms never go negative).
+
+    Returns (id, score) with score rounded to 6 (ordering ties broken by
+    id, so the cut is deterministic cross-engine).
+
+    Scale shape: the corpus-level scalars (N, avgdl) are a ONE-ROW
+    aggregate crossJoin-broadcast back; term frequencies FILTER to the
+    query's terms BEFORE any shuffle (per-doc tf of |q| terms, not the
+    vocabulary); document-frequency is a |q|-row aggregate broadcast to the
+    scorer; the cut is TakeOrderedAndProject. One real shuffle — the
+    (doc, term) tf hash-agg over query-term hits only.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    docs = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    dl = docs.select(F.col(id_col), F.size("__toks").alias("__dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    hits = docs.select(
+        F.col(id_col), F.explode("__toks").alias("__t")
+    ).filter(F.array_contains(terms, F.col("__t")))
+    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "__t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "__idf",
+            F.log(
+                (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf")
+            * (F.col("__tf") * (k1 + 1))
+            / (
+                F.col("__tf")
+                + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("__s"), 6).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.col(id_col).asc()).limit(k)

@@ -824,3 +824,45 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_stats(e)
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (the keyword complement to sim_* embedding search)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["vector", "hash", "join"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id, {tokens_sql("text")} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS d FROM docs),
+corpus AS (SELECT count(*) AS n, avg(d) AS avgdl FROM dl),
+hits AS (
+  SELECT doc_id, t FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+  WHERE t IN ('vector', 'hash', 'join')
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY doc_id, t),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * ({_BM25_K1} + 1))
+             / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * d / avgdl))) AS s
+  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+@register("search_bm25_topk", _BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for the query {vector, hash, join} under Okapi
+    BM25 (:func:`operators.nlp.bm25_topk`): one query-term-filtered tf
+    shuffle, broadcast df/corpus scalars, TakeOrdered cut."""
+    from kafka_etl_consumer_spark.operators.nlp import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS)

@@ -285,3 +285,21 @@ def test_cms_overestimates_never_under(spark):
     # 37 distincts over 256-wide rows: with 4 independent rows the min is
     # almost surely collision-free -> exact
     assert all(r.cms_est == r.true_n for r in got)
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    """BM25 sanity: a doc saturated with query terms outranks one with a
+    single hit; docs without any query term are absent."""
+    from kafka_etl_consumer_spark.operators.nlp import bm25_topk
+
+    rows = [
+        (1, "alpha beta alpha beta alpha"),          # no query terms
+        (2, "needle in a haystack of words here"),   # one hit
+        (3, "needle needle needle thread thread"),   # many hits
+        (4, "completely unrelated text body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(df, ["needle", "thread"], k=10).collect()
+    ids = [r.doc_id for r in got]
+    assert set(ids) == {2, 3}
+    assert ids[0] == 3 and got[0].score > got[1].score
