@@ -73,6 +73,7 @@ HEADLINE = [
     "sim_ann_lsh",
     "sim_ann_ivf",
     "search_bm25_topk",
+    "search_inverted_index",
     "graph_components",
     "graph_pagerank",
     "graph_triangles",

@@ -282,3 +282,29 @@ def bm25_topk(
         .agg(F.round(F.sum("__s"), 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.col(id_col).asc()).limit(k)
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build the inverted index behind :func:`bm25_topk`: one row per term
+    with document frequency, collection frequency, and the sorted posting
+    list (as an array — fingerprint it for compact verification).
+
+    Returns (token, df, cf, postings: array<id>).
+
+    Scale shape: ONE (doc, term) shuffle keyed by the term; tf pairs
+    collapse map-side first so the exchange carries distinct (doc, term)
+    rows + counts. The skew risk is the stopword row — its posting list is
+    ~every document. At 100 TB: drop terms above a df threshold to a
+    df/cf-only sidecar (they're useless for retrieval anyway — BM25's idf
+    floors them to ~0) or shard postings by hash(doc) range; here the full
+    list is kept so the oracle can pin it exactly.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    per_doc = tok.groupBy("token", id_col).agg(F.count(F.lit(1)).alias("__tf"))
+    return per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("__tf").cast("bigint").alias("cf"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
+    )

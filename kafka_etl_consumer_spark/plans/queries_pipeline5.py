@@ -866,3 +866,41 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_etl_consumer_spark.operators.nlp import bm25_topk
 
     return bm25_topk(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build (the index behind BM25), postings fingerprinted
+# ---------------------------------------------------------------------------
+
+_IDX_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS token FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY token, doc_id
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS cf,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_fp
+FROM per_doc GROUP BY token
+"""
+
+
+@register("search_inverted_index", _IDX_ORACLE)
+def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full inverted index over documents (term -> df, cf, postings), the
+    posting lists md5-fingerprinted so every list is value-pinned without
+    hashing megabytes of arrays. See :func:`operators.nlp.inverted_index`
+    for the stopword-skew story."""
+    from kafka_etl_consumer_spark.operators.nlp import inverted_index
+
+    idx = inverted_index(_t(spark, sf_dir, "documents"))
+    return idx.select(
+        "token",
+        "df",
+        "cf",
+        F.md5(
+            F.concat_ws(",", F.transform("postings", lambda x: x.cast("string")))
+        ).alias("postings_fp"),
+    )
