@@ -122,6 +122,14 @@ HEADLINE = [
     "agg_salted_hot_key",
     "join_salted_skew",
     "split_train_val_test",
+    "geo_radius_join",
+    "search_hybrid_rrf",
+    "sketch_hll_distinct",
+    "ts_resample_ohlc",
+    "ewma_user_value",
+    "encode_target_mean",
+    "anomaly_mad_outliers",
+    "knn_label_predict",
 ]
 
 

@@ -111,6 +111,71 @@ def histogram_quantiles(
     return cum.agg(*aggs)
 
 
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    m: int = 64,
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct estimate (Flajolet et al. 2007),
+    register-exact across engines.
+
+    Spark's built-in ``approx_count_distinct`` IS HLL but its xxhash64
+    register state isn't reproducible in another engine; this variant runs
+    the identical algorithm over the md5-based :func:`hash64` so every
+    register value — and therefore the estimate — has an exact DuckDB
+    oracle (the point of this module; see ``theta_distinct``).
+
+    Layout of the 60-bit hash: low ``log2(m)`` bits pick the register, the
+    remaining ``54`` bits (for m=64) feed ρ = 1 + leading-zero count,
+    computed portably as the first-'1' position of the zero-padded binary
+    string (``bin``/``lpad``/``instr`` exist with identical semantics in
+    Spark SQL and DuckDB — no float log2, whose ulp could flip a register).
+    Small-range correction: linear counting when E <= 2.5m and empty
+    registers exist, exactly per the paper.
+
+    Scale shape: ONE hash-agg with ``m``-bounded keys per group (max ρ per
+    register, partials collapse map-side — registers are where HLL beats
+    the θ-sketch's kept-VALUE distinct at extreme cardinalities), then an
+    ``m``-row-per-group rollup. State is m·6 bits/group and registers
+    MERGE by max, so the sketch maintains incrementally across batches.
+    """
+    import math
+
+    if m & (m - 1) or m < 16:
+        raise ValueError(f"m must be a power of two >= 16, got {m}")
+    p = int(math.log2(m))
+    suffix_bits = 60 - p
+    # the paper's alpha_m: closed form for m >= 128, tabulated below that
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    gcols = list(group_cols or [])
+    h = hash64(F.col(value_col).cast("string"))
+    reg = (h % m).alias("__reg")
+    # bit shift, not division: h exceeds 2^53, double arithmetic would
+    # corrupt the suffix (and the oracle's integer // would not)
+    suffix = F.shiftright(h, p)
+    rho = F.when(suffix == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.instr(F.lpad(F.bin(suffix), suffix_bits, "0"), "1")
+    )
+    regs = (
+        df.select(*gcols, reg, rho.alias("__rho"))
+        .groupBy(*gcols, "__reg")
+        .agg(F.max("__rho").alias("__mrho"))
+    )
+    # sum of 2^-M_j over PRESENT registers; absent registers contribute 2^0
+    sums = regs.groupBy(*gcols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("__mrho"))).alias("__s"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    zeros = F.lit(m) - F.col("__present")
+    raw = F.lit(alpha * m * m) / (F.col("__s") + zeros.cast("double"))
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return sums.select(*gcols, F.round(est, 6).alias("hll_estimate"))
+
+
 def cms_estimate(
     df: DataFrame,
     col: str,

@@ -1,0 +1,498 @@
+"""Query surface batch 10 (round 2): geospatial, retrieval fusion,
+deterministic HLL, time-series bars/smoothing, ML-prep encodings,
+robust outliers, and k-NN classification.
+
+- grid-blocked geo radius join (haversine, oracle brute-forces all pairs)
+- hybrid retrieval: reciprocal-rank fusion of BM25 and embedding cosine
+- HyperLogLog distinct (register-exact cross-engine) vs exact counts
+- OHLC resampling bars over the event stream
+- per-user EWMA (inherently sequential fold, applyInPandas)
+- smoothed target-mean encoding (leakage-safe global prior)
+- median-absolute-deviation outlier counts
+- k-NN majority-label prediction over the embedding table
+
+The reference has no analytics surface (pass-through ETL,
+ETLTask.java:261-283); these extend the training-data/analytics operators
+the brief requires. Every query carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.hashing import hash64_sql
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# geospatial radius join. Coordinates are derived deterministically from the
+# keys (the synthetic tables carry none): lat/lon on a 0.1-degree lattice in
+# [-10, 10)^2, so both engines compute identical doubles from integer
+# arithmetic. The Spark side runs the grid-blocked join (operators/geo.py);
+# the oracle brute-forces ALL pairs — hash equality therefore PROVES the
+# 3x3-cell blocking misses no qualifying pair, not merely that the distance
+# formula matches.
+# ---------------------------------------------------------------------------
+
+_GEO_RADIUS_KM = 70.0
+
+_GEO_ORACLE = f"""
+WITH c AS (SELECT c_custkey,
+                  ((c_custkey * 37) % 200) / 10.0 - 10.0 AS c_lat,
+                  ((c_custkey * 73) % 200) / 10.0 - 10.0 AS c_lon
+           FROM customer),
+s AS (SELECT s_suppkey,
+             ((s_suppkey * 41) % 200) / 10.0 - 10.0 AS s_lat,
+             ((s_suppkey * 97) % 200) / 10.0 - 10.0 AS s_lon
+      FROM supplier),
+p AS (SELECT s_suppkey, c_custkey,
+             round(2 * 6371.0 * asin(sqrt(
+                 sin((c_lat - s_lat) * 0.017453292519943295 / 2)
+                 * sin((c_lat - s_lat) * 0.017453292519943295 / 2)
+                 + cos(s_lat * 0.017453292519943295)
+                 * cos(c_lat * 0.017453292519943295)
+                 * sin((c_lon - s_lon) * 0.017453292519943295 / 2)
+                 * sin((c_lon - s_lon) * 0.017453292519943295 / 2)
+             )), 3) AS dist_km
+      FROM s CROSS JOIN c)
+SELECT s_suppkey, c_custkey, dist_km FROM p WHERE dist_km <= {_GEO_RADIUS_KM}
+"""
+
+
+@register("geo_radius_join", _GEO_ORACLE)
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (supplier, customer) pairs within 70 km: grid-cell equi-join
+    (:func:`operators.geo.radius_join`), never the O(N·M) cross product
+    the oracle runs — see operators/geo.py for the provable 3x3-cell
+    containment bound at |lat| <= 45, r <= 75 km."""
+    from kafka_etl_consumer_spark.operators.geo import radius_join
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 37) % 200) / 10.0 - 10.0).alias("c_lat"),
+        (((F.col("c_custkey") * 73) % 200) / 10.0 - 10.0).alias("c_lon"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (((F.col("s_suppkey") * 41) % 200) / 10.0 - 10.0).alias("s_lat"),
+        (((F.col("s_suppkey") * 97) % 200) / 10.0 - 10.0).alias("s_lon"),
+    )
+    pairs = radius_join(
+        supp, cust, _GEO_RADIUS_KM, lat_cols=("s_lat", "c_lat"), lon_cols=("s_lon", "c_lon")
+    )
+    return pairs.select("s_suppkey", "c_custkey", "dist_km")
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion (RRF, Cormack et al. 2009) of the
+# BM25 lexical ranking and the embedding-cosine ranking. Rank-based, so the
+# fused score is exact rational arithmetic — float noise in either scorer is
+# absorbed by its rank (ties broken by id in both engines).
+# ---------------------------------------------------------------------------
+
+_RRF_TERMS = ["vector", "hash", "join"]
+_RRF_DEPTH = 30  # per-system candidate depth
+_RRF_C = 60  # the paper's smoothing constant
+
+_RRF_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> len(t) > 0) AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS d FROM docs),
+corpus AS (SELECT count(*) AS n, avg(d) AS avgdl FROM dl),
+hits AS (
+  SELECT doc_id, t FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+  WHERE t IN ('vector', 'hash', 'join')
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY doc_id, t),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * d / avgdl))), 6) AS s
+  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+),
+br AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM bm
+       QUALIFY r <= {_RRF_DEPTH}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+cs AS (SELECT e.vec_id AS doc_id,
+              round(list_dot_product(q_emb, e.emb)
+                    / (sqrt(list_dot_product(q_emb, q_emb))
+                       * sqrt(list_dot_product(e.emb, e.emb))), 6) AS s
+       FROM q CROSS JOIN e WHERE e.vec_id <> 0),
+cr AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM cs
+       QUALIFY r <= {_RRF_DEPTH}),
+fused AS (
+  SELECT coalesce(br.doc_id, cr.doc_id) AS doc_id,
+         round(coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_C} + br.r), 0.0)
+               + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_C} + cr.r), 0.0), 6)
+             AS rrf_score
+  FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+)
+SELECT doc_id, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+"""
+
+
+@register("search_hybrid_rrf", _RRF_ORACLE)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 hybrid retrieval: BM25 (terms {vector, hash, join}) and
+    cosine-to-vec-0 candidate lists (depth 30 each), fused with
+    RRF = Σ 1/(60 + rank).
+
+    Scale shape: each ranker produces ≤ depth rows (TakeOrdered cuts), the
+    fusion is a full-outer join of two 30-row sets — broadcast trivially;
+    the heavy lifting stays inside the rankers, whose 100 TB stories live
+    with them (operators/nlp.py bm25_topk, operators/similarity.py
+    cosine_topk)."""
+    from kafka_etl_consumer_spark.operators.nlp import bm25_topk
+    from kafka_etl_consumer_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    bm = bm25_topk(docs, _RRF_TERMS, k=_RRF_DEPTH)
+    br = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("r"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    cs = cosine_topk(emb, q, k=_RRF_DEPTH)
+    cr = cs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("vec_id")))
+        .alias("r"),
+    )
+    fused = (
+        br.withColumnRenamed("r", "rb")
+        .join(cr.withColumnRenamed("r", "rc"), "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_C + F.col("rb")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_C + F.col("rc")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# deterministic HyperLogLog vs exact distinct (operators/sketch.py
+# hll_distinct — register layout and corrections documented there; the
+# oracle replays registers bit-for-bit via the same bin/lpad/instr rho)
+# ---------------------------------------------------------------------------
+
+_HLL_ORACLE = f"""
+WITH h AS (SELECT event_type,
+                  {hash64_sql("CAST(user_id AS VARCHAR)")} AS h
+           FROM events),
+r AS (SELECT event_type, h % 64 AS reg,
+             CASE WHEN h // 64 = 0 THEN 55
+                  ELSE instr(lpad(bin(h // 64), 54, '0'), '1') END AS rho
+      FROM h),
+m AS (SELECT event_type, reg, max(rho) AS mrho FROM r GROUP BY 1, 2),
+s AS (SELECT event_type, sum(power(2.0, -mrho)) AS s,
+             64 - count(*) AS zeros
+      FROM m GROUP BY 1),
+est AS (SELECT event_type,
+               CAST(0.709 AS DOUBLE) * 4096 / (s + zeros) AS raw, zeros
+        FROM s),
+hll AS (SELECT event_type,
+               round(CASE WHEN raw <= 160.0 AND zeros > 0
+                          THEN CAST(64 AS DOUBLE)
+                               * ln(CAST(64 AS DOUBLE) / zeros)
+                          ELSE raw END, 6) AS hll_estimate
+        FROM est)
+SELECT e.event_type, hll.hll_estimate, e.exact_distinct
+FROM (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type) e
+JOIN hll USING (event_type)
+"""
+
+
+@register("sketch_hll_distinct", _HLL_ORACLE)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL (m=64) distinct users per event type next to the exact count.
+    Register state is md5-derived, so this approximate algorithm is
+    hash-checked register-for-register against DuckDB — unlike
+    ``approx_count_distinct`` whose xxhash64 registers no other engine can
+    replay (that built-in remains the production default; see
+    operators/sketch.py for when determinism is contractual)."""
+    from kafka_etl_consumer_spark.operators.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", group_cols=["event_type"], m=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "hll_estimate", "exact_distinct"
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling (operators/timeseries.py resample_bars)
+# ---------------------------------------------------------------------------
+
+_OHLC_ORACLE = """
+SELECT event_type,
+       time_bucket(INTERVAL '6 hours', ts) AS bucket_ts,
+       arg_min(value, epoch_us(ts) * 1000 + event_id % 1000) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, epoch_us(ts) * 1000 + event_id % 1000) AS close,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(value), 6) AS mean_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("ts_resample_ohlc", _OHLC_ORACLE)
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour OHLC bars per event type over the event stream — ONE
+    hash-agg; open/close via min_by/max_by on the composite
+    (microsecond, event_id) order key (operators/timeseries.py
+    resample_bars, which documents why timestamps alone don't make a
+    deterministic bar)."""
+    from kafka_etl_consumer_spark.operators.timeseries import resample_bars
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_bars(ev, every="6 hours", group_cols=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# per-user EWMA (operators/timeseries.py ewma_last): the canonical
+# inherently sequential fold — applyInPandas on Spark, list_reduce in the
+# oracle, identical IEEE operation sequence (0.3*x + 0.7*acc) in both.
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> 0.3 * x + (CAST(1 AS DOUBLE) - 0.3) * acc),
+             6) AS ewma
+FROM events GROUP BY user_id
+"""
+
+
+@register("ewma_user_value", _EWMA_ORACLE)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EWMA (alpha=0.3) of ``value`` per user, ordered by
+    (ts, event_id). No DataFrame expression can express an unbounded
+    recursive fold, so this is the grouped-map slow path done right:
+    Arrow-batched applyInPandas, one shuffle on user_id, O(1) state per
+    key (operators/timeseries.py ewma_last)."""
+    from kafka_etl_consumer_spark.operators.timeseries import ewma_last
+
+    return ewma_last(_t(spark, sf_dir, "events"), alpha=0.3)
+
+
+# ---------------------------------------------------------------------------
+# smoothed target-mean encoding (the categorical-feature encoder every
+# tabular training pipeline ships): enc(seg) = (sum_y + prior*a) / (n + a)
+# ---------------------------------------------------------------------------
+
+_TENC_ALPHA = 10.0
+
+_TENC_ORACLE = f"""
+WITH joined AS (
+  SELECT c.c_mktsegment AS seg, o.o_totalprice AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+g AS (SELECT sum(y) / count(*) AS prior FROM joined),
+seg AS (SELECT seg, count(*) AS n_orders, sum(y) AS sum_y
+        FROM joined GROUP BY seg),
+nc AS (SELECT c_mktsegment AS seg, count(*) AS n_customers
+       FROM customer GROUP BY c_mktsegment)
+SELECT nc.seg AS c_mktsegment,
+       nc.n_customers,
+       CAST(coalesce(seg.n_orders, 0) AS BIGINT) AS n_orders,
+       round((coalesce(seg.sum_y, 0) + g.prior * {_TENC_ALPHA})
+             / (coalesce(seg.n_orders, 0) + {_TENC_ALPHA}), 4) AS target_enc
+FROM nc LEFT JOIN seg USING (seg) CROSS JOIN g
+"""
+
+
+@register("encode_target_mean", _TENC_ORACLE)
+def encode_target_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target-mean encoding of c_mktsegment against order value:
+    enc = (Σy + prior·α)/(n + α), α=10 — the global prior dominates rare
+    categories (the standard leakage-damping form).
+
+    Scale shape: orders⋈customer is the only real shuffle (fact-fact at
+    TPC-H shapes — AQE picks the strategy); the per-segment stats and the
+    one-row prior are tiny aggregates crossJoin/broadcast back. At 100 TB
+    the encoding MAP (|categories| rows) broadcasts to wherever the
+    feature column is applied."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("y")
+    )
+    g = joined.agg((F.sum("y") / F.count(F.lit(1))).alias("prior"))
+    seg = joined.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("y").alias("sum_y")
+    )
+    nc = c.groupBy(F.col("c_mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return (
+        nc.join(
+            F.broadcast(seg), nc.c_mktsegment == seg.seg, "left"
+        )
+        .crossJoin(F.broadcast(g))
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.coalesce("n_orders", F.lit(0)).cast("bigint").alias("n_orders"),
+            F.round(
+                (F.coalesce("sum_y", F.lit(0.0)) + F.col("prior") * _TENC_ALPHA)
+                / (F.coalesce("n_orders", F.lit(0)) + _TENC_ALPHA),
+                4,
+            ).alias("target_enc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# median-absolute-deviation outliers: the robust alternative to
+# anomaly_zscore (mean/stddev break down exactly when outliers are present)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type),
+dev AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       round(any_value(d.med), 6) AS median_value,
+       round(any_value(m.mad), 6) AS mad,
+       CAST(count(*) FILTER (WHERE d.ad > 4.4478 * m.mad) AS BIGINT)
+           AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register("anomaly_mad_outliers", _MAD_ORACLE)
+def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outliers per event type under the robust MAD rule
+    |x − median| > 3·1.4826·MAD (4.4478, the normal-consistency constant).
+
+    Two exact-percentile aggregations with the one-row-per-group results
+    broadcast back to the scan — the documented sf-scale exactness choice;
+    at 100 TB swap both medians for ``approx_percentile`` (or the
+    mergeable histogram sketch, operators/sketch.py) without touching the
+    outlier rule."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.first("med"), 6).alias("median_value"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.count(F.when(F.col("ad") > 4.4478 * F.col("mad"), 1))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN majority-label classification over the embedding table: the
+# similarity-search surface APPLIED (label transfer / weak supervision)
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+q AS (SELECT vec_id AS q_vec_id, emb AS q_emb, label AS true_label
+      FROM e WHERE vec_id < 20),
+c AS (SELECT vec_id, emb, label FROM e WHERE vec_id >= 20),
+s AS (SELECT q_vec_id, true_label, c.vec_id, c.label,
+             round(list_dot_product(q_emb, c.emb)
+                   / (sqrt(list_dot_product(q_emb, q_emb))
+                      * sqrt(list_dot_product(c.emb, c.emb))), 6) AS score
+      FROM q CROSS JOIN c),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY score DESC, vec_id) AS rn
+      FROM s),
+votes AS (SELECT q_vec_id, true_label, label, count(*) AS cnt
+          FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+pick AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                      ORDER BY cnt DESC, label) AS pr
+         FROM votes)
+SELECT q_vec_id AS vec_id, true_label, label AS pred_label,
+       true_label = label AS correct
+FROM pick WHERE pr = 1
+"""
+
+
+@register("knn_label_predict", _KNN_ORACLE)
+def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-vote label prediction for the first 20 vectors against
+    the rest of the corpus (ties → smallest label; neighbor order ties →
+    smallest id, both engines). The neighbor search is
+    :func:`operators.similarity.cosine_topk` (broadcast query side, one
+    corpus pass); votes and the argmax pick are |q|·k-row operations —
+    noise after the search. This is label transfer/weak supervision, the
+    standard k-NN application of the ANN surface."""
+    from kafka_etl_consumer_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = e.filter(F.col("vec_id") >= 20).select("vec_id", "embedding", "label")
+    top = cosine_topk(
+        corpus.select("vec_id", "embedding"), q.select("q_vec_id", "q_embedding"), k=5
+    )
+    votes = (
+        top.join(F.broadcast(corpus.select("vec_id", "label")), "vec_id")
+        .groupBy("q_vec_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cnt").desc(), F.col("label"))
+    pick = (
+        votes.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select("q_vec_id", F.col("label").alias("pred_label"))
+    )
+    return (
+        q.select("q_vec_id", "true_label")
+        .join(pick, "q_vec_id")
+        .select(
+            F.col("q_vec_id").alias("vec_id"),
+            "true_label",
+            "pred_label",
+            (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Unit tests for the batch-10 operators: geo radius join, deterministic
+HLL, OHLC resampling, EWMA. (Their end-to-end hash checks run in
+test_queries_oracle.py like every registered query; these cover the
+operator-level contracts the queries rely on.)"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.operators.geo import haversine_km, radius_join
+from kafka_etl_consumer_spark.operators.sketch import hll_distinct
+from kafka_etl_consumer_spark.operators.timeseries import ewma_last, resample_bars
+
+
+def test_haversine_known_distance(spark):
+    # one degree of latitude at the equator ~ 111.19 km
+    df = spark.range(1).select(
+        haversine_km(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0)).alias("d")
+    )
+    d = df.collect()[0].d
+    assert abs(d - 111.19) < 0.1
+
+
+def test_radius_join_matches_brute_force(spark):
+    # lattice points 0.05 deg apart around (0,0): brute-force vs grid join
+    pts = [
+        Row(pid=i, lat=(i % 13) * 0.05 - 0.3, lon=(i // 13) * 0.05 - 0.3)
+        for i in range(169)
+    ]
+    df = spark.createDataFrame(pts)
+    left = df.select(
+        F.col("pid").alias("a"), F.col("lat").alias("l_lat"), F.col("lon").alias("l_lon")
+    )
+    right = df.select(
+        F.col("pid").alias("b"), F.col("lat").alias("r_lat"), F.col("lon").alias("r_lon")
+    )
+    got = {
+        (r.a, r.b)
+        for r in radius_join(left, right, 10.0).select("a", "b").collect()
+    }
+
+    def hav(p, q):
+        rad = math.radians
+        dlat, dlon = rad(q.lat - p.lat), rad(q.lon - p.lon)
+        a = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(rad(p.lat)) * math.cos(rad(q.lat)) * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+    want = {
+        (p.pid, q.pid) for p in pts for q in pts if round(hav(p, q), 3) <= 10.0
+    }
+    assert got == want
+
+
+def test_radius_join_rejects_oversize_radius(spark):
+    df = spark.createDataFrame([Row(a=1, l_lat=0.0, l_lon=0.0)])
+    with pytest.raises(ValueError):
+        radius_join(df, df, 80.0)
+
+
+def test_hll_estimate_within_expected_error(spark):
+    # m=64 -> relative error ~ 1.04/8 = 13%; 1000 distinct values
+    df = spark.range(5000).select((F.col("id") % 1000).alias("v"))
+    est = hll_distinct(df, "v").collect()[0].hll_estimate
+    assert 700 < est < 1300
+
+
+def test_hll_merges_by_register_max(spark):
+    # union of two halves == whole: HLL state must merge by max, so the
+    # estimate over the union equals the estimate computed from all rows
+    whole = spark.range(2000).select((F.col("id") % 500).alias("v"))
+    a = whole.filter(F.col("id") % 2 == 0)
+    b = whole.filter(F.col("id") % 2 == 1)
+    e_whole = hll_distinct(whole, "v").collect()[0].hll_estimate
+    e_union = hll_distinct(a.union(b), "v").collect()[0].hll_estimate
+    assert e_whole == e_union
+
+
+def test_hll_rejects_bad_m(spark):
+    df = spark.range(10).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError):
+        hll_distinct(df, "v", m=48)
+
+
+def test_resample_bars_open_close_deterministic(spark):
+    rows = [
+        Row(ts="2024-01-01 00:00:01", value=10.0, event_id=2),
+        Row(ts="2024-01-01 00:00:01", value=20.0, event_id=1),  # same second!
+        Row(ts="2024-01-01 00:59:00", value=5.0, event_id=3),
+        Row(ts="2024-01-01 06:10:00", value=7.0, event_id=4),
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    bars = {
+        r.bucket_ts.hour: r
+        for r in resample_bars(df, every="6 hours").collect()
+    }
+    b0 = bars[0]
+    # open = event_id 1 (ties on the second broken by event_id), close = 3
+    assert (b0.open, b0.close, b0.high, b0.low, b0.n) == (20.0, 5.0, 20.0, 5.0, 3)
+    assert bars[6].n == 1
+
+
+def test_ewma_fold_matches_reference_recursion(spark):
+    rows = [
+        Row(user_id=1, ts="2024-01-01 00:00:0%d" % i, event_id=i, value=float(v))
+        for i, v in enumerate([1, 2, 4, 8])
+    ]
+    df = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = ewma_last(df, alpha=0.5).collect()[0]
+    s = 1.0
+    for v in [2.0, 4.0, 8.0]:
+        s = 0.5 * v + 0.5 * s
+    assert got.n_events == 4
+    assert got.ewma == round(s, 6)
