@@ -755,10 +755,13 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(probes)
         .distinct()
     )
+    # cached: referenced twice (bloom build + ground-truth join) — uncached
+    # the tokenize/shingle/explode/distinct pipeline runs twice end to end
     ctok = (
         d.filter(F.col("source") != "src0")
         .select(F.explode(grams).alias("token"))
         .distinct()
+        .cache()
     )
     bits = bloom_bits(ctok, "token", _BLOOM_M, _BLOOM_K)
     probed = bloom_might_contain(qtok, "token", bits, _BLOOM_M, _BLOOM_K)

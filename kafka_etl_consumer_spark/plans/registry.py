@@ -32,4 +32,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # otherwise every .cache() in an operator pins the full static shuffle
     # partition count (measured 2x wall-clock on dedup_minhash)
     spark.conf.set("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    # size the shuffle width to the machine, not Spark's static 200: the
+    # driver runs these queries on a VANILLA session, where 200-partition
+    # exchanges turn iterative plans (connected components, pagerank) into
+    # thousands of near-empty tasks. AQE coalesces most of it but not the
+    # per-stage scheduling floor (measured 2x on dedup_canonical_pick).
+    # Runtime conf only — a real cluster deployment sets its own width.
+    cores = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(8, cores)))
     return load_table(spark, sf_dir, name)
