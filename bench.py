@@ -130,6 +130,9 @@ HEADLINE = [
     "encode_target_mean",
     "anomaly_mad_outliers",
     "knn_label_predict",
+    "fuzzy_match_names",
+    "interval_union_coverage",
+    "weighted_median_value",
 ]
 
 

@@ -10,6 +10,9 @@ robust outliers, and k-NN classification.
 - smoothed target-mean encoding (leakage-safe global prior)
 - median-absolute-deviation outlier counts
 - k-NN majority-label prediction over the embedding table
+- trigram-blocked fuzzy name matching (entity resolution)
+- interval union coverage (gaps-and-islands merge)
+- weighted median (cumulative-weight window)
 
 The reference has no analytics surface (pass-through ETL,
 ETLTask.java:261-283); these extend the training-data/analytics operators
@@ -494,5 +497,268 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             "pred_label",
             (F.col("true_label") == F.col("pred_label")).alias("correct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity matching: trigram-blocked name resolution. Query names are
+# deterministic "typos" of catalog names (one char dropped at
+# key-mod-length); matching is character-trigram Jaccard with the candidate
+# set generated by a postings equi-join on shared trigrams — the pg_trgm /
+# entity-resolution blocking pattern, never an all-pairs edit-distance scan
+# (str_levenshtein_pairs covers the bounded-vocab exact-distance variant).
+# ---------------------------------------------------------------------------
+
+_FUZZY_THRESHOLD = 0.45
+
+_FUZZY_ORACLE = f"""
+WITH cat AS (SELECT DISTINCT p_name AS name FROM part),
+catg AS (
+  SELECT name,
+         list_distinct(list_transform(range(1, length(name) - 1),
+                                      i -> substr(name, CAST(i AS INT), 3))) AS tg
+  FROM cat
+),
+q0 AS (SELECT p_partkey AS qid, p_name,
+              CAST(p_partkey % length(p_name) AS INT) + 1 AS p
+       FROM part WHERE p_partkey % 37 = 0),
+q AS (SELECT qid,
+             concat(substr(p_name, 1, p - 1), substr(p_name, p + 1)) AS qname
+      FROM q0),
+qg AS (
+  SELECT qid, qname,
+         list_distinct(list_transform(range(1, length(qname) - 1),
+                                      i -> substr(qname, CAST(i AS INT), 3))) AS tg
+  FROM q
+),
+cpost AS (SELECT name, unnest(tg) AS t FROM catg),
+qpost AS (SELECT qid, unnest(tg) AS t FROM qg),
+shared AS (SELECT qid, name, count(*) AS both
+           FROM qpost JOIN cpost USING (t) GROUP BY qid, name),
+scored AS (
+  SELECT s.qid, qg.qname, s.name,
+         round(CAST(s.both AS DOUBLE)
+               / (len(qg.tg) + len(catg.tg) - s.both), 6) AS jac
+  FROM shared s JOIN qg USING (qid) JOIN catg USING (name)
+),
+best AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                      ORDER BY jac DESC, name) AS rn
+         FROM scored WHERE jac >= {_FUZZY_THRESHOLD})
+SELECT qid, qname, name AS matched_name, jac FROM best WHERE rn = 1
+"""
+
+
+@register("fuzzy_match_names", _FUZZY_ORACLE)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best catalog match per corrupted name via trigram-blocked Jaccard.
+
+    Scale shape: candidates come from ONE equi-join of trigram postings
+    (each side a narrow explode), so comparison count is bounded by shared
+    trigrams, not |queries|x|catalog|; per-pair scoring is a count + two
+    broadcast size lookups; the final pick is a WindowGroupLimit rank.
+    Common stopword-trigrams can hot-spot the postings join at 100 TB —
+    cap or df-filter them exactly as the inverted-index operator documents
+    (operators/nlp.py)."""
+    part = _t(spark, sf_dir, "part")
+
+    def trigrams(c):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(c) - 2),
+                lambda i: F.substring(c, i, F.lit(3)),
+            )
+        )
+
+    cat = part.select(F.col("p_name").alias("name")).distinct()
+    catg = cat.select("name", trigrams(F.col("name")).alias("tg"))
+    q0 = part.filter(F.col("p_partkey") % 37 == 0).select(
+        F.col("p_partkey").alias("qid"),
+        "p_name",
+        (F.col("p_partkey") % F.length("p_name") + 1).cast("int").alias("p"),
+    )
+    q = q0.select(
+        "qid",
+        F.concat(
+            F.expr("substr(p_name, 1, p - 1)"), F.expr("substr(p_name, p + 1)")
+        ).alias("qname"),
+    )
+    qg = q.select("qid", "qname", trigrams(F.col("qname")).alias("tg"))
+    cpost = catg.select("name", F.explode("tg").alias("t"))
+    qpost = qg.select("qid", F.explode("tg").alias("t"))
+    shared = qpost.join(cpost, "t").groupBy("qid", "name").agg(
+        F.count(F.lit(1)).alias("both")
+    )
+    scored = (
+        shared.join(F.broadcast(qg.select("qid", "qname", F.size("tg").alias("nq"))), "qid")
+        .join(F.broadcast(catg.select("name", F.size("tg").alias("nc"))), "name")
+        .select(
+            "qid",
+            "qname",
+            "name",
+            F.round(
+                F.col("both").cast("double")
+                / (F.col("nq") + F.col("nc") - F.col("both")),
+                6,
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= _FUZZY_THRESHOLD)
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("jac").desc(), F.col("name"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qname", F.col("name").alias("matched_name"), "jac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval union coverage (merge overlapping intervals): per-user total
+# covered time and island count — the classic gaps-and-islands reduction,
+# expressed identically in both engines (integer microsecond arithmetic,
+# so the result is exact)
+# ---------------------------------------------------------------------------
+
+_COVER_ORACLE = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, s, e,
+         sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island, max(e) - min(s) AS span_us
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       -- floor division: Spark's double->bigint cast truncates while
+       -- DuckDB's rounds, so make the floor explicit in both engines
+       CAST(sum(span_us) // 1000000 AS BIGINT) AS covered_seconds
+FROM merged GROUP BY user_id
+"""
+
+
+@register("interval_union_coverage", _COVER_ORACLE)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered wall-time per user after merging overlapping event
+    intervals ([ts, ts + (event_id%7 + 1) min]) — the gaps-and-islands
+    union: an interval opens a new island iff it starts after the running
+    max of all previous ends.
+
+    Scale shape: both windows (running-max-of-ends, running island sum)
+    and the two aggregations share ONE user-keyed sort/exchange — Spark
+    reuses the partitioning; nothing here is quadratic in events-per-user.
+    The island flag must compare against max(e), not lag(e): with nested
+    intervals the PREVIOUS end isn't the FURTHEST end (classic
+    gaps-islands bug, caught by the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        s.alias("s"),
+        (s + (F.col("event_id") % 7 + 1) * 60000000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("span_us")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.floor(F.sum("span_us") / 1000000).cast("bigint").alias("covered_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted median: cumulative-weight formulation (the lower weighted
+# median: first value whose running weight reaches half the total).
+# percentile() can't weight; this is the standard window reduction.
+# ---------------------------------------------------------------------------
+
+_WMED_ORACLE = """
+WITH wv AS (
+  SELECT event_type, value, event_id % 5 + 1 AS w FROM events
+),
+cum AS (
+  SELECT event_type, value, w,
+         sum(w) OVER (PARTITION BY event_type ORDER BY value, w
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS cw,
+         sum(w) OVER (PARTITION BY event_type) AS tw
+  FROM wv
+),
+hit AS (
+  SELECT event_type, min(value) AS weighted_median, any_value(tw) AS total_weight
+  FROM cum WHERE cw * 2 >= tw GROUP BY event_type
+)
+SELECT event_type, CAST(total_weight AS BIGINT) AS total_weight,
+       weighted_median
+FROM hit
+"""
+
+
+@register("weighted_median_value", _WMED_ORACLE)
+def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median of ``value`` per event type, weight =
+    event_id%5+1: order by value, take the first row whose cumulative
+    weight reaches half the total. ``cw*2 >= tw`` keeps the halfway test
+    in exact integer arithmetic — no float boundary to disagree on.
+
+    Scale shape: one event_type-keyed sort serves the running sum; the
+    per-group total rides the same exchange as an unbounded window; the
+    argmin collapses in the final hash-agg. At 100 TB prefer the mergeable
+    histogram sketch (operators/sketch.py) unless exactness is
+    contractual — same tradeoff stats_agg documents."""
+    ev = _t(spark, sf_dir, "events")
+    wv = ev.select(
+        "event_type", "value", (F.col("event_id") % 5 + 1).alias("w")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("value", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = wv.select(
+        "event_type",
+        "value",
+        F.sum("w").over(w_run).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(
+            F.first("tw").cast("bigint").alias("total_weight"),
+            F.min("value").alias("weighted_median"),
         )
     )
