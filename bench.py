@@ -133,6 +133,7 @@ HEADLINE = [
     "fuzzy_match_names",
     "interval_union_coverage",
     "weighted_median_value",
+    "ssjoin_prefix_tokens",
 ]
 
 

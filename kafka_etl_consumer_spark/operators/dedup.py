@@ -549,3 +549,101 @@ def remove_duplicate_spans(
         (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.md5(F.concat_ws(" ", kept)).alias("clean_fp"),
     )
+
+
+def set_similarity_join_prefix(
+    df: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard self-join over distinct-token sets via PREFIX
+    FILTERING (the PPJoin family, Xiao et al. 2008) — the scale path for
+    exact set-similarity joins, complementing the probabilistic MinHash
+    pipeline (:func:`minhash_lsh_pairs`) and the all-pairs verifier
+    (:func:`ngram_jaccard_pairs`).
+
+    Returns (id_a, id_b, jac) with jac rounded to 6, id_a < id_b,
+    jac >= threshold. The threshold is a RATIONAL (num/den) so the
+    prefix-length bound ``min_overlap = ceil(t*n)`` is computed in exact
+    integer arithmetic — ``ceil(0.5 * n)`` in doubles rounds 3.0000…04 up
+    and silently SHRINKS the prefix, which breaks the completeness
+    guarantee; ``(num*n + den - 1) div den`` cannot.
+
+    Why this scales where all-pairs doesn't: tokens are globally ordered
+    rarest-first (df asc, token asc); a document only emits postings for
+    its first ``n - ceil(t*n) + 1`` tokens, and the prefix-filtering lemma
+    guarantees every pair with jac >= t shares at least one PREFIX token
+    — so the candidate join touches the rare end of the vocabulary, and a
+    stopword shared by half the corpus generates no candidates at all
+    (it is never in anyone's prefix). Candidates then verify with ONE
+    codegen ``array_intersect`` against the full sorted token arrays.
+    Shuffles: token-df agg, per-doc rank window, prefix equi-join,
+    pair distinct — all key-bounded; nothing is |docs|² unless the data
+    genuinely is one near-dup class.
+    """
+    post = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+        .distinct()
+        .cache()
+    )
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    dfreq = post.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        post.join(dfreq, "__t")
+        .join(sizes, id_col)
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__df", "__t")
+            ),
+        )
+    )
+    # min_overlap = ceil(num*n/den), exact; prefix keeps pos <= n - min_ov + 1
+    min_ov = F.floor(
+        (F.lit(threshold_num) * F.col("__n") + (threshold_den - 1))
+        / threshold_den
+    )
+    prefix = ranked.filter(F.col("__pos") <= F.col("__n") - min_ov + 1).select(
+        F.col(id_col), F.col("__t")
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("id_a"), "__t")
+        .join(prefix.select(F.col(id_col).alias("id_b"), "__t"), "__t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    arrays = post.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("__t")).alias("__ts")
+    )
+    t = float(threshold_num) / float(threshold_den)
+    verified = (
+        cand.join(
+            arrays.select(F.col(id_col).alias("id_a"), F.col("__ts").alias("__ta")),
+            "id_a",
+        )
+        .join(
+            arrays.select(F.col(id_col).alias("id_b"), F.col("__ts").alias("__tb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__ta", "__tb")).alias("__o"),
+            F.size("__ta").alias("__na"),
+            F.size("__tb").alias("__nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__o").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__o")),
+                6,
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= t)
+    )
+    return verified

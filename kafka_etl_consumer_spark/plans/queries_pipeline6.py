@@ -762,3 +762,43 @@ def weighted_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("weighted_median"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join via prefix filtering (PPJoin family): the
+# deterministic complement to MinHash-LSH. The oracle BRUTE-FORCES all
+# pairs, so hash equality proves the prefix filter's completeness — every
+# qualifying pair survived the pruning — not just the Jaccard arithmetic.
+# ---------------------------------------------------------------------------
+
+_SSJ_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         list_sort(list_distinct(
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> len(t) > 0))) AS ts
+  FROM documents WHERE source = 'src0'
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.ts, b.ts)) AS o,
+         len(a.ts) AS na, len(b.ts) AS nb
+  FROM d a JOIN d b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(o AS DOUBLE) / (na + nb - o), 6) AS jac
+FROM p WHERE round(CAST(o AS DOUBLE) / (na + nb - o), 6) >= 0.5
+"""
+
+
+@register("ssjoin_prefix_tokens", _SSJ_ORACLE)
+def ssjoin_prefix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All src0 document pairs with EXACT token-set Jaccard >= 1/2, found
+    by prefix filtering (:func:`operators.dedup.set_similarity_join_prefix`
+    — rarest-first ordering, integer-exact prefix bound, array-intersect
+    verification; see its docstring for why stopwords generate zero
+    candidates and nothing goes |docs|²)."""
+    from kafka_etl_consumer_spark.operators.dedup import set_similarity_join_prefix
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0")
+    return set_similarity_join_prefix(docs, threshold_num=1, threshold_den=2)

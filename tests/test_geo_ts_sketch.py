@@ -118,3 +118,39 @@ def test_ewma_fold_matches_reference_recursion(spark):
         s = 0.5 * v + 0.5 * s
     assert got.n_events == 4
     assert got.ewma == round(s, 6)
+
+
+def test_ssjoin_prefix_matches_brute_force(spark):
+    # adversarial micro-corpus: shared stopwords, one near-dup pair, one
+    # exact dup, singletons; prefix filter must find exactly what
+    # brute-force Jaccard >= 1/2 finds
+    from itertools import combinations
+
+    from kafka_etl_consumer_spark.operators.dedup import (
+        set_similarity_join_prefix,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "the quick brown fox jumps over a lazy cat",
+        3: "the quick brown fox jumps over the lazy dog",
+        4: "completely different words entirely here now",
+        5: "the a of and or but",
+        6: "the a of and or but maybe",
+    }
+    df = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in texts.items()]
+    )
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in set_similarity_join_prefix(df, 1, 2).collect()
+    }
+    want = {}
+    sets = {k: set(v.split()) for k, v in texts.items()}
+    for a, b in combinations(sorted(sets), 2):
+        o = len(sets[a] & sets[b])
+        jac = round(o / (len(sets[a]) + len(sets[b]) - o), 6)
+        if jac >= 0.5:
+            want[(a, b)] = jac
+    assert got == want
+    assert (1, 3) in got and got[(1, 3)] == 1.0  # the exact dup survived
