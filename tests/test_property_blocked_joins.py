@@ -1,0 +1,108 @@
+"""Property tests for the two blocked joins whose correctness rests on a
+COMPLETENESS argument (the pruning must provably miss nothing):
+
+- ``set_similarity_join_prefix``: prefix filtering vs brute-force Jaccard
+  over randomized corpora drawn from a small vocabulary (small vocab →
+  dense overlap structure → the prefix bound is exercised at every size).
+- ``radius_join``: 3×3 grid-cell blocking vs brute-force haversine over
+  randomized points, including cell-boundary coordinates.
+
+Each compares against an independent Python implementation, not the
+operator's own formula rearranged.
+"""
+
+from __future__ import annotations
+
+import math
+from itertools import combinations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from kafka_etl_consumer_spark.operators.dedup import set_similarity_join_prefix
+from kafka_etl_consumer_spark.operators.geo import radius_join
+
+VOCAB = [f"w{i}" for i in range(12)]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=1, max_size=8),
+    min_size=2,
+    max_size=10,
+)
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    return spark
+
+
+@given(docs=docs_strategy, num_den=st.sampled_from([(1, 2), (3, 5), (7, 10)]))
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ssjoin_prefix_complete_and_sound(sess, docs, num_den):
+    num, den = num_den
+    t = num / den
+    df = sess.createDataFrame(
+        [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
+    )
+    got = {
+        (r.id_a, r.id_b): r.jac
+        for r in set_similarity_join_prefix(df, num, den).collect()
+    }
+    sets = {i: set(ws) for i, ws in enumerate(docs)}
+    want = {}
+    for a, b in combinations(sorted(sets), 2):
+        o = len(sets[a] & sets[b])
+        jac = round(o / (len(sets[a]) + len(sets[b]) - o), 6)
+        if jac >= t:
+            want[(a, b)] = jac
+    assert got == want
+
+
+coords = st.tuples(
+    st.floats(min_value=-5.0, max_value=5.0, allow_nan=False, width=32),
+    st.floats(min_value=-5.0, max_value=5.0, allow_nan=False, width=32),
+)
+# integers land exactly on cell boundaries — the adversarial case for
+# floor-based cell assignment
+boundary = st.tuples(
+    st.integers(-5, 5).map(float), st.integers(-5, 5).map(float)
+)
+
+
+@given(
+    pts=st.lists(st.one_of(coords, boundary), min_size=2, max_size=14),
+    radius=st.sampled_from([10.0, 45.0, 75.0]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_radius_join_complete_and_sound(sess, pts, radius):
+    rows = [Row(pid=i, lat=la, lon=lo) for i, (la, lo) in enumerate(pts)]
+    df = sess.createDataFrame(rows)
+    left = df.select(
+        df.pid.alias("a"), df.lat.alias("l_lat"), df.lon.alias("l_lon")
+    )
+    right = df.select(
+        df.pid.alias("b"), df.lat.alias("r_lat"), df.lon.alias("r_lon")
+    )
+    got = {
+        (r.a, r.b)
+        for r in radius_join(left, right, radius).select("a", "b").collect()
+    }
+
+    def hav(p, q):
+        rad = math.radians
+        dlat, dlon = rad(q[0] - p[0]), rad(q[1] - p[1])
+        a = (
+            math.sin(dlat / 2) ** 2
+            + math.cos(rad(p[0])) * math.cos(rad(q[0])) * math.sin(dlon / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(min(1.0, a)))
+
+    want = {
+        (i, j)
+        for i, p in enumerate(pts)
+        for j, q in enumerate(pts)
+        if round(hav(p, q), 3) <= radius
+    }
+    assert got == want
