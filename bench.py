@@ -134,6 +134,8 @@ HEADLINE = [
     "interval_union_coverage",
     "weighted_median_value",
     "ssjoin_prefix_tokens",
+    "skipgram_pairs_topk",
+    "rolling_median_value",
 ]
 
 
@@ -149,6 +151,11 @@ def main() -> None:
         return time.time() - t0
 
     def run_steady(name: str) -> float:
+        # each query benches against a clean cache: ~110 queries' worth of
+        # accumulated .cache() blocks otherwise thrash the 8g storage
+        # region and LRU-evict the CURRENT query's cache between its two
+        # runs (observed: graph_triangles 9.8s in-suite vs 2.4s isolated)
+        spark.catalog.clearCache()
         # min of 2: the first run pays one-time whole-stage-codegen JIT
         # compile (measured 0.3-4s/query, constant regardless of data
         # volume); the min reflects the per-data throughput that scales.

@@ -802,3 +802,129 @@ def ssjoin_prefix_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("source") == "src0")
     return set_similarity_join_prefix(docs, threshold_num=1, threshold_den=2)
+
+
+# ---------------------------------------------------------------------------
+# skip-gram co-occurrence counts: the (center, context) pair table that
+# word2vec-style embedding training consumes. Pair generation is PURE
+# ARRAY CODEGEN over each document's token array — transform over
+# positions x offsets, flatten, filter bounds — zero joins, zero shuffle
+# until the final count agg; the 100 TB cost is exactly one hash-agg over
+# ~2k x corpus-tokens pairs.
+# ---------------------------------------------------------------------------
+
+_SKIP_K = 2  # context window: offsets {-2,-1,+1,+2}
+
+_SKIP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> len(t) > 0) AS ts
+  FROM documents
+),
+pl AS (
+  SELECT flatten([
+      list_transform(range(1, len(ts)),     i -> {'center': ts[i],     'context': ts[i + 1]}),
+      list_transform(range(1, len(ts)),     i -> {'center': ts[i + 1], 'context': ts[i]}),
+      list_transform(range(1, len(ts) - 1), i -> {'center': ts[i],     'context': ts[i + 2]}),
+      list_transform(range(1, len(ts) - 1), i -> {'center': ts[i + 2], 'context': ts[i]})
+  ]) AS prs
+  FROM tok
+),
+pairs AS (SELECT u.center AS center, u.context AS context
+          FROM pl, unnest(prs) AS t(u)),
+counts AS (
+  SELECT center, context, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY center, context
+)
+SELECT center, context, n
+FROM counts
+ORDER BY n DESC, center, context
+LIMIT 50
+"""
+
+
+@register("skipgram_pairs_topk", _SKIP_ORACLE)
+def skipgram_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 skip-gram (center, context) pairs (window ±2) by corpus
+    count — the co-occurrence table behind word2vec/GloVe-style embedding
+    pretraining. Pair expansion is higher-order array functions inside
+    whole-stage codegen (no explode-join: each doc's pairs materialize
+    from its own token array); ONE hash-agg counts them; the cut is
+    TakeOrderedAndProject."""
+    from kafka_etl_consumer_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("__ts")
+    n = F.size(t)
+
+    def offset_pairs(o: int, swapped: bool) -> F.Column:
+        m = F.greatest(n - o, F.lit(0))
+        a, b = F.slice(t, 1, m), F.slice(t, 1 + o, m)
+        if swapped:
+            a, b = b, a
+        return F.zip_with(
+            a, b, lambda x, y: F.struct(x.alias("center"), y.alias("context"))
+        )
+
+    pairs = F.concat(
+        *[offset_pairs(o, sw) for o in range(1, _SKIP_K + 1) for sw in (False, True)]
+    )
+    return (
+        docs.select(tokens("text").alias("__ts"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.center").alias("center"), F.col("p.context").alias("context"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "center", "context")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling median: robust trailing-window smoothing (the order-statistic
+# counterpart to anomaly_zscore's trailing mean/stddev). The lower median
+# of the last 21 values — an ELEMENT PICK from the sorted frame, so the
+# result is a value both engines agree on exactly, with no interpolation
+# arithmetic to diverge.
+# ---------------------------------------------------------------------------
+
+_RMED_ORACLE = """
+WITH w AS (
+  SELECT user_id, event_id, value,
+         list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 20 PRECEDING AND CURRENT ROW))
+             AS fr
+  FROM events
+)
+SELECT user_id, event_id,
+       fr[(len(fr) + 1) // 2] AS rolling_median,
+       CAST(len(fr) AS INT) AS n_window
+FROM w
+"""
+
+
+@register("rolling_median_value", _RMED_ORACLE)
+def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-21-row lower median of ``value`` per user (ordered by
+    ts, event_id): collect_list over the frame, array_sort, pick element
+    ceil(n/2) — exact order statistic, no interpolation.
+
+    Scale shape: ONE user-keyed sort serves the frame; the frame copy is
+    bounded (21 doubles/row) — the documented window-buffer trade every
+    trailing-window operator in this repo makes (anomaly_zscore,
+    ts_motif_topk). Unbounded-history medians belong to the histogram
+    sketch instead (operators/sketch.py)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, 0)
+    )
+    fr = F.array_sort(F.collect_list("value").over(w))
+    idx = F.floor((F.size(fr) + 1) / 2).cast("int")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.element_at(fr, idx).alias("rolling_median"),
+        F.size(fr).alias("n_window"),
+    )
