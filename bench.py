@@ -136,6 +136,8 @@ HEADLINE = [
     "ssjoin_prefix_tokens",
     "skipgram_pairs_topk",
     "rolling_median_value",
+    "split_group_aware",
+    "stats_chi2_independence",
 ]
 
 

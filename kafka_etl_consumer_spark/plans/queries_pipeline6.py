@@ -928,3 +928,120 @@ def rolling_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(fr, idx).alias("rolling_median"),
         F.size(fr).alias("n_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# group-aware (leakage-free) split: hash the GROUP key, not the row. The
+# row-hash split (split_train_val_test) leaks when rows of one entity
+# correlate — a user's events must all land in ONE split or eval measures
+# memorization. Checked property: every user appears in exactly one split.
+# ---------------------------------------------------------------------------
+
+_GSPLIT_ORACLE = f"""
+WITH b AS (
+  SELECT user_id, event_id,
+         {hash64_sql("'gsplit-' || CAST(user_id AS VARCHAR)")} % 100 AS bucket
+  FROM events
+),
+s AS (SELECT user_id, event_id,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s GROUP BY split
+"""
+
+
+@register("split_group_aware", _GSPLIT_ORACLE)
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed on hash(user_id): all of a user's events share
+    a split — the leakage-free counterpart to the row-hash
+    `split_train_val_test` (same deterministic md5 bucket machinery, so
+    the assignment is stable across runs/engines/retries). A narrow map +
+    one hash-agg; assignment itself never shuffles."""
+    from kafka_etl_consumer_spark.functions.hashing import hash64
+
+    ev = _t(spark, sf_dir, "events")
+    bucket = hash64(F.concat(F.lit("gsplit-"), F.col("user_id").cast("string"))) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        ev.select("user_id", "event_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-square test of independence over a contingency table: is event_type
+# distribution independent of the user cohort? Exact integer observed
+# counts; expected counts and the statistic are the identical double
+# formula in both engines.
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH obs AS (
+  SELECT event_type, user_id % 4 AS cohort, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+margins AS (
+  SELECT o.event_type, o.cohort, o.o,
+         sum(o.o) OVER (PARTITION BY o.event_type) AS row_total,
+         sum(o.o) OVER (PARTITION BY o.cohort) AS col_total,
+         sum(o.o) OVER () AS grand
+  FROM obs o
+),
+cells AS (
+  SELECT event_type, cohort, o,
+         CAST(row_total AS DOUBLE) * col_total / grand AS e
+  FROM margins
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       CAST((count(DISTINCT event_type) - 1)
+            * (count(DISTINCT cohort) - 1) AS BIGINT) AS dof
+FROM cells
+"""
+
+
+@register("stats_chi2_independence", _CHI2_ORACLE)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for event_type x cohort(user_id%4)
+    independence: one contingency hash-agg (cells = |types|x|cohorts|,
+    bounded), margins via windows over the TINY cell table, one-row
+    result. All the data-sized work is the first aggregation; everything
+    after runs on ~20 rows no matter the corpus size."""
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 4).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    margins = obs.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("row_total"),
+        F.sum("o").over(Window.partitionBy("cohort")).alias("col_total"),
+        F.sum("o").over(Window.partitionBy()).alias("grand"),
+    )
+    cells = margins.withColumn(
+        "e", F.col("row_total").cast("double") * F.col("col_total") / F.col("grand")
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            6,
+        ).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("cohort") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+    )
