@@ -344,3 +344,64 @@ def test_bigram_lm_partial_agg_no_python(spark, sf_dir):
     assert "partial_count" in plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_geo_radius_join_is_equi_not_nested_loop(spark, sf_dir):
+    # the grid blocking must plan as a hash equi-join on the cell key —
+    # a raw dist<=r theta-join would appear as BroadcastNestedLoopJoin
+    plan = _plan(spark, sf_dir, "geo_radius_join", mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # it IS a join, on (__cy, __cx)
+    assert "EvalPython" not in plan
+
+
+def test_ssjoin_prefix_no_cartesian_no_python(spark, sf_dir):
+    # candidates come from the prefix-postings equi-join; verification is
+    # codegen array_intersect — never an all-pairs product or Python
+    plan = _plan(spark, sf_dir, "ssjoin_prefix_tokens", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_skipgram_no_join_take_ordered(spark, sf_dir):
+    # pair expansion is pure array codegen per document: the only plan
+    # nodes between scan and count are Generate/Project; the cut is
+    # per-partition heaps
+    plan = _plan(spark, sf_dir, "skipgram_pairs_topk", mode="simple")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_fuzzy_match_windowgrouplimit_broadcast(spark, sf_dir):
+    # best-match pick prunes map-side; size lookups broadcast
+    plan = _plan(spark, sf_dir, "fuzzy_match_names", mode="simple")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_union_single_user_exchange(spark, sf_dir):
+    # both windows and both rollups must reuse ONE user-keyed exchange
+    plan = _plan(spark, sf_dir, "interval_union_coverage", mode="simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "EvalPython" not in plan
+
+
+def test_hll_partial_final_agg(spark, sf_dir):
+    # register max must collapse map-side (partial_max before the exchange)
+    plan = _plan(spark, sf_dir, "sketch_hll_distinct", mode="simple")
+    assert "partial_max" in plan
+    assert "EvalPython" not in plan
+
+
+def test_triangles_no_wedge_join_rowset(spark, sf_dir):
+    # the adjacency-intersection form: closing happens via array_intersect
+    # in a projection; every data-sized join is an equi-join (the single
+    # BNLJ is the final one-row stats × one-row triangle-count crossJoin)
+    plan = _plan(spark, sf_dir, "graph_triangles", mode="simple")
+    assert "array_intersect" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
