@@ -18,6 +18,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topics: list[str],
+    starting_offsets: str = "earliest",
+    min_partitions: int | None = None,
+    max_offsets_per_trigger: int | None = None,
+    consumer_options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """The exact option map ``kafka_source`` passes to the Kafka reader —
+    split out so the reference-config translation (group id, prefixing,
+    backpressure, offset-range splitting) is unit-testable in a container
+    with no Kafka jar (the ``.load()`` call is the only part that needs
+    the classpath)."""
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "true",
+    }
+    if min_partitions is not None:
+        opts["minPartitions"] = str(min_partitions)
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    for k, v in (consumer_options or {}).items():
+        key = k if k.startswith("kafka.") else f"kafka.{k}"
+        opts[key] = v
+    return opts
+
+
 def kafka_source(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -40,18 +69,14 @@ def kafka_source(
     instead of one giant batch (the reference has no equivalent: its poll
     loop takes whatever poll() returns and write latency grows unbounded).
     """
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", ",".join(topics))
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "true")
-    )
-    if min_partitions is not None:
-        reader = reader.option("minPartitions", str(min_partitions))
-    if max_offsets_per_trigger is not None:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    for k, v in (consumer_options or {}).items():
-        key = k if k.startswith("kafka.") else f"kafka.{k}"
-        reader = reader.option(key, v)
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(
+        bootstrap_servers,
+        topics,
+        starting_offsets,
+        min_partitions,
+        max_offsets_per_trigger,
+        consumer_options,
+    ).items():
+        reader = reader.option(k, v)
     return reader.load()
