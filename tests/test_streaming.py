@@ -128,3 +128,48 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     finally:
         q.stop()
     assert (n.n, n.total) == (3, 3)
+
+
+def test_streaming_ohlc_bars_match_batch(spark, tmp_path):
+    """resample_bars runs unchanged on a stream (complete-mode windowed
+    agg with min_by/max_by state) and the final bars equal the batch
+    computation over the same rows — the streaming twin of
+    ts_resample_ohlc."""
+    from kafka_etl_consumer_spark.operators.timeseries import resample_bars
+
+    src = str(tmp_path / "src")
+    batch1 = _rows((1, 1, 1, 10.0), (2, 2, 1, 30.0), (3, 3, 2, 20.0))
+    batch2 = _rows((4, 4, 1, 5.0), (5, 370, 1, 7.0))  # second 6h bucket
+    _stage(spark, src, batch1)
+    _stage(spark, src, batch2)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    bars = resample_bars(stream, every="6 hours", group_cols=["user_id"])
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("ohlc_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, r.bucket_ts): (r.open, r.high, r.low, r.close, r.n)
+        for r in spark.sql("SELECT * FROM ohlc_stream").collect()
+    }
+    want = {
+        (r.user_id, r.bucket_ts): (r.open, r.high, r.low, r.close, r.n)
+        for r in resample_bars(
+            spark.createDataFrame(batch1 + batch2, SCHEMA),
+            every="6 hours",
+            group_cols=["user_id"],
+        ).collect()
+    }
+    assert got == want
+    # and the bar itself is right: user 1 bucket 1 opened at 10, closed at 5
+    u1 = [v for (u, _), v in want.items() if u == 1]
+    assert (10.0, 30.0, 5.0, 5.0, 3) in u1
