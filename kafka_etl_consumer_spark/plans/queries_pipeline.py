@@ -599,10 +599,11 @@ def multimodal_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     from kafka_etl_consumer_spark.session import ensure_min_parallelism
 
-    # NOTE: both branches re-run the generator stage; measured A/B, a
-    # localCheckpoint of the media is ~2x SLOWER here (serialization +
-    # inter-job barrier beat the cost of re-generating on idle cores)
-    media = ensure_min_parallelism(docs).mapInPandas(gen, gen_schema)
+    # cached: both stats branches consume the generated media. Earlier a
+    # localCheckpoint here measured 2x SLOWER (eager barrier + ser/deser);
+    # with canChangeCachedPlanOutputPartitioning on (registry._t) a lazy
+    # .cache() now wins the A/B at sf0.1: 1.8s vs 2.7s steady-state.
+    media = ensure_min_parallelism(docs).mapInPandas(gen, gen_schema).cache()
     px = M.image_channel_stats(M.decode_image_pixels(media)).select(
         "doc_id",
         F.col("mean_c0").alias("mean_r"),
