@@ -123,6 +123,7 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 24,
     use_arrow: bool = False,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_h = min over shingles of
     ((hash64(shingle) % P) * a_h + b_h) % P.
@@ -134,8 +135,16 @@ def minhash_signatures(
     the default per the UDFs-are-fallback rule). ``use_arrow=True`` runs
     the rehash as one (n_shingles × H) numpy broadcast per batch — for
     standalone signature jobs. No overflow either way: operands < P=2³¹-1
-    keep products < 2⁶². Narrow map — no explode, no shuffle."""
-    base = _with_hashed_shingles(shingle_arrays(df, text_col, id_col, k), mod_prime=True)
+    keep products < 2⁶². Narrow map — no explode, no shuffle.
+
+    ``arrays``: precomputed :func:`shingle_arrays` output to derive from —
+    pass a CACHED one when the caller also needs the arrays (LSH verify
+    stage), so the tokenize/shingle pipeline runs once, not per consumer.
+    """
+    base = _with_hashed_shingles(
+        arrays if arrays is not None else shingle_arrays(df, text_col, id_col, k),
+        mod_prime=True,
+    )
     coeffs = minhash_coeffs(num_hashes)
     if not use_arrow:
         sigs = [
@@ -222,10 +231,17 @@ def minhash_lsh_pairs(
     trade at 100 TB).
 
     Verification attaches the two shingle ARRAYS to each candidate pair and
-    intersects them in codegen (array_intersect) — no exploded join."""
+    intersects them in codegen (array_intersect) — no exploded join.
+
+    The shingle pipeline appears three times in the plan (signatures +
+    both verify sides) and is deliberately NOT cached: it is a pure narrow
+    map that the three branches recompute on otherwise-idle cores, and the
+    A/B at sf0.1 showed caching adds a 7s materialization for zero
+    steady-state win. Callers with a PERSISTED corpus index pass
+    ``arrays=`` to :func:`minhash_signatures` instead."""
     assert num_hashes == bands * rows_per_band
     sh = shingle_arrays(df, text_col, id_col, k)
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, arrays=sh)
     bk = band_keys(sig, id_col, bands, rows_per_band)
 
     grp = (
@@ -447,13 +463,17 @@ def minhash_lsh_matches_against(
     sides derive in-plan; the join/verify stages are identical either way.
     """
     assert num_hashes == bands * rows_per_band
+    # one shingle expression per side, shared by its signature and verify
+    # stages (uncached by the same A/B rationale as minhash_lsh_pairs)
+    sh_new = shingle_arrays(new, text_col, id_col, k)
+    sh_old = shingle_arrays(corpus, text_col, id_col, k)
     bk_new = band_keys(
-        minhash_signatures(new, text_col, id_col, k, num_hashes),
+        minhash_signatures(new, text_col, id_col, k, num_hashes, arrays=sh_new),
         id_col, bands, rows_per_band,
     ).select(F.col(id_col).alias("new_id"), "band_key")
     bk_old = (
         band_keys(
-            minhash_signatures(corpus, text_col, id_col, k, num_hashes),
+            minhash_signatures(corpus, text_col, id_col, k, num_hashes, arrays=sh_old),
             id_col, bands, rows_per_band,
         )
         .groupBy("band_key")
@@ -462,12 +482,8 @@ def minhash_lsh_matches_against(
     )
     cand = bk_new.join(bk_old, "band_key").select("new_id", "old_id").distinct()
 
-    sa = shingle_arrays(new, text_col, id_col, k).select(
-        F.col(id_col).alias("new_id"), F.col("sh").alias("__sa")
-    )
-    sb = shingle_arrays(corpus, text_col, id_col, k).select(
-        F.col(id_col).alias("old_id"), F.col("sh").alias("__sb")
-    )
+    sa = sh_new.select(F.col(id_col).alias("new_id"), F.col("sh").alias("__sa"))
+    sb = sh_old.select(F.col(id_col).alias("old_id"), F.col("sh").alias("__sb"))
     inter = F.size(F.array_intersect("__sa", "__sb"))
     union = F.size("__sa") + F.size("__sb") - inter
     return (
