@@ -138,6 +138,7 @@ HEADLINE = [
     "rolling_median_value",
     "split_group_aware",
     "stats_chi2_independence",
+    "embedding_pca_power",
 ]
 
 

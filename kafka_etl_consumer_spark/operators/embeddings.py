@@ -71,3 +71,74 @@ def quantize_int8(
             F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / n, 6
         ).alias("mae"),
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    dims: int,
+    iters: int = 3,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the (uncentered) embedding matrix via
+    POWER ITERATION, entirely in the plan — no driver-side loop, no
+    collect, no covariance matrix.
+
+    The trick that scales: C·v = Σₙ embₙ·(embₙ ⋅ v), so one data pass per
+    iteration computes the matvec WITHOUT materializing the d×d covariance
+    (which at d=4096 would be 16M doubles to shuffle): per row compute the
+    scalar dot, posexplode to (dim, emb[dim]·dot), hash-agg the d partial
+    sums (map-side collapse → d rows cross the wire), normalize, rebuild
+    the vector as ONE broadcastable row. ``iters`` unrolled iterations =
+    ``iters`` such passes; state between passes is a single d-length array.
+
+    Cross-engine determinism: after each normalization the vector is
+    ROUNDED to 9 decimals — float summation order differs between engines
+    (and between Spark partials), but the noise (~1e-13 relative) sits far
+    below the rounding grid, so both engines re-synchronize on identical
+    doubles before the next pass. The final sign is canonicalized
+    (first component >= 0): power iteration converges to ±v.
+
+    Returns ONE row: (explained_ratio, component: array<double> at the
+    iteration's 9-decimal grid — callers round for display), where
+    explained_ratio = Σ(emb⋅v)² / Σ‖emb‖² — the Rayleigh quotient over
+    the total variance.
+    """
+    from kafka_etl_consumer_spark.functions.vectors import as_double, dot
+
+    spark = df.sparkSession
+    e = df.select(as_double(vec_col).alias("__e"))
+
+    v_df = spark.range(1).select(
+        F.array(*([F.lit(1.0 / float(dims) ** 0.5)] * dims)).alias("__v")
+    )
+    for _ in range(iters):
+        joined = e.crossJoin(F.broadcast(v_df))
+        rows = joined.select(
+            F.posexplode("__e").alias("__d", "__val"),
+            dot("__e", "__v").alias("__dot"),
+        )
+        w = rows.groupBy("__d").agg(F.sum(F.col("__val") * F.col("__dot")).alias("__w"))
+        nrm = w.agg(F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n"))
+        v_df = (
+            w.crossJoin(F.broadcast(nrm))
+            .select("__d", F.round(F.col("__w") / F.col("__n"), 9).alias("__x"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__d", "__x"))),
+                    lambda s: s["__x"],
+                ).alias("__v")
+            )
+        )
+    sign = F.when(F.element_at("__v", 1) < 0, -1.0).otherwise(1.0)
+    v_df = v_df.select(
+        F.transform("__v", lambda x: x * sign).alias("__v")
+    )
+    lam = e.crossJoin(F.broadcast(v_df)).agg(
+        F.sum(F.pow(dot("__e", "__v"), 2)).alias("__num"),
+        F.sum(dot("__e", "__e")).alias("__den"),
+        F.first("__v").alias("__v"),
+    )
+    return lam.select(
+        F.round(F.col("__num") / F.col("__den"), 6).alias("explained_ratio"),
+        F.col("__v").alias("component"),
+    )

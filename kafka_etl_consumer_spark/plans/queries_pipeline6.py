@@ -1045,3 +1045,80 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dof"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component via in-plan power iteration: distributed linear algebra
+# without a covariance matrix — C·v folds to one data pass per iteration
+# (operators/embeddings.py pca_top_component, which documents the
+# per-iteration re-rounding that keeps both engines on identical doubles).
+# The component fingerprint hashes SCALED-INTEGER strings: float->string
+# formatting differs across engines (1.0E-7 vs 1e-07), integers don't.
+# ---------------------------------------------------------------------------
+
+_PCA_ORACLE = """
+WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS d),
+v0 AS (SELECT list_transform(range(1, 65), d -> 0.125) AS v),
+d1 AS (SELECT emb, list_dot_product(emb, v0.v) AS dot FROM e, v0),
+r1 AS (SELECT dims.d AS d, sum(d1.emb[dims.d] * d1.dot) AS w
+       FROM d1, dims GROUP BY dims.d),
+v1 AS (SELECT list(round(w / sqrt((SELECT sum(w * w) FROM r1)), 9)
+                   ORDER BY d) AS v FROM r1),
+d2 AS (SELECT emb, list_dot_product(emb, v1.v) AS dot FROM e, v1),
+r2 AS (SELECT dims.d AS d, sum(d2.emb[dims.d] * d2.dot) AS w
+       FROM d2, dims GROUP BY dims.d),
+v2 AS (SELECT list(round(w / sqrt((SELECT sum(w * w) FROM r2)), 9)
+                   ORDER BY d) AS v FROM r2),
+d3 AS (SELECT emb, list_dot_product(emb, v2.v) AS dot FROM e, v2),
+r3 AS (SELECT dims.d AS d, sum(d3.emb[dims.d] * d3.dot) AS w
+       FROM d3, dims GROUP BY dims.d),
+v3 AS (SELECT list(round(w / sqrt((SELECT sum(w * w) FROM r3)), 9)
+                   ORDER BY d) AS v FROM r3),
+vf AS (SELECT list_transform(v3.v,
+                             x -> x * (CASE WHEN v3.v[1] < 0
+                                            THEN -1.0 ELSE 1.0 END)) AS v
+       FROM v3),
+lam AS (SELECT sum(list_dot_product(e.emb, vf.v)
+                   * list_dot_product(e.emb, vf.v)) AS num,
+               sum(list_dot_product(e.emb, e.emb)) AS den
+        FROM e, vf)
+SELECT round(lam.num / lam.den, 6) AS explained_ratio,
+       round(vf.v[1], 6) AS c1,
+       round(vf.v[2], 6) AS c2,
+       round(vf.v[3], 6) AS c3,
+       md5(array_to_string(
+           list_transform(vf.v,
+               x -> CAST(CAST(round(x * 1000000, 0) AS BIGINT) AS VARCHAR)),
+           ',')) AS component_fp
+FROM lam, vf
+"""
+
+
+@register("embedding_pca_power", _PCA_ORACLE)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table (3 power-iteration
+    passes, in-plan, covariance never materialized) with its Rayleigh
+    explained-variance ratio. See operators/embeddings.py
+    pca_top_component for the matvec-as-one-pass shape and the
+    determinism-by-re-rounding argument."""
+    from kafka_etl_consumer_spark.operators.embeddings import pca_top_component
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = pca_top_component(e, dims=64, iters=3)
+    v = F.col("component")
+    fp = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                v, lambda x: F.round(x * 1000000, 0).cast("bigint").cast("string")
+            ),
+        )
+    )
+    return out.select(
+        "explained_ratio",
+        F.round(F.element_at(v, 1), 6).alias("c1"),
+        F.round(F.element_at(v, 2), 6).alias("c2"),
+        F.round(F.element_at(v, 3), 6).alias("c3"),
+        fp.alias("component_fp"),
+    )
