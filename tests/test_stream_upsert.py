@@ -1,0 +1,128 @@
+"""Streaming MERGE sink tests: a change stream continuously maintains a
+keyed snapshot table (streaming/upsert.py), including last-write-wins
+within a batch, deletes, and replay idempotence."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_etl_consumer_spark.streaming.upsert import (
+    current_snapshot,
+    stream_merge_upsert,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType()),
+        T.StructField("val", T.StringType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("deleted", T.BooleanType()),
+    ]
+)
+
+
+def _stage(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+def _snapshot_dict(spark, table):
+    snap = current_snapshot(spark, table)
+    return {r.k: (r.val, r.seq) for r in snap.collect()}
+
+
+def test_stream_merge_upsert_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: inserts, including two changes to k=2 (seq decides)
+    _stage(
+        spark,
+        src,
+        [
+            Row(k=1, val="a", seq=1, deleted=False),
+            Row(k=2, val="old", seq=2, deleted=False),
+            Row(k=2, val="new", seq=3, deleted=False),
+        ],
+    )
+    # batch 2: update k=1, delete k=2, insert k=3
+    _stage(
+        spark,
+        src,
+        [
+            Row(k=1, val="a2", seq=4, deleted=False),
+            Row(k=2, val="gone", seq=5, deleted=True),
+            Row(k=3, val="c", seq=6, deleted=False),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream_merge_upsert(
+        stream, table, ["k"], ckpt, delete_col="deleted", order_col="seq"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert _snapshot_dict(spark, table) == {1: ("a2", 4), 3: ("c", 6)}
+
+
+def test_stream_merge_upsert_restart_continues(spark, tmp_path):
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _stage(spark, src, [Row(k=1, val="a", seq=1, deleted=False)])
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = stream_merge_upsert(
+        stream, table, ["k"], ckpt, delete_col="deleted", order_col="seq"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _snapshot_dict(spark, table) == {1: ("a", 1)}
+
+    # restart against the same checkpoint with new data: the snapshot
+    # advances, it doesn't reset (state lives in the table + marker)
+    _stage(spark, src, [Row(k=1, val="b", seq=2, deleted=False)])
+    stream2 = spark.readStream.schema(SCHEMA).parquet(src)
+    q2 = stream_merge_upsert(
+        stream2, table, ["k"], ckpt, delete_col="deleted", order_col="seq"
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert _snapshot_dict(spark, table) == {1: ("b", 2)}
+
+
+def test_replayed_batch_converges(spark, tmp_path):
+    """A batch replay (same batch_id, same input) must rewrite the same
+    version directory and re-point the marker to identical state."""
+    table = str(tmp_path / "table")
+    df = spark.createDataFrame(
+        [Row(k=1, val="a", seq=1, deleted=False)], SCHEMA
+    )
+    from kafka_etl_consumer_spark.streaming import upsert as U
+
+    def run_once():
+        # simulate foreachBatch calling with batch_id=0 twice
+        cur = U.current_snapshot(spark, table)
+        merged = df.where(~F.col("deleted")).select("k", "val", "seq")
+        if cur is not None:
+            from kafka_etl_consumer_spark.operators.scd import merge_type1
+
+            merged = merge_type1(cur, df, ["k"], "deleted")
+        merged.write.mode("overwrite").parquet(table + "/_v0")
+        U._write_marker(spark, table, "_v0")
+
+    run_once()
+    first = _snapshot_dict(spark, table)
+    run_once()  # replay
+    assert _snapshot_dict(spark, table) == first == {1: ("a", 1)}
