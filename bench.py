@@ -139,6 +139,8 @@ HEADLINE = [
     "split_group_aware",
     "stats_chi2_independence",
     "embedding_pca_power",
+    "drift_psi_value",
+    "graph_label_propagation",
 ]
 
 

@@ -245,3 +245,56 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
             3.0 * F.col("n_triangles") / F.col("n_wedges").cast("double"), 6
         ).alias("global_clustering"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(vertex, community) after ``iterations`` rounds of SYNCHRONOUS
+    label propagation (Raghavan et al. 2007): every vertex simultaneously
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label — fully deterministic, unlike the randomized
+    asynchronous original, so the result carries an exact SQL oracle.
+
+    Where :func:`connected_components` answers "what is reachable",
+    label propagation answers "what is densely knit" — it splits a
+    connected graph into communities because a vertex's label follows its
+    LOCAL majority, not any path.
+
+    Scale shape per round: one edges⋈labels equi-join, one
+    (vertex, label) hash-agg with map-side collapse, one WindowGroupLimit
+    argmax pick (rank 1 per vertex prunes before its exchange). State is
+    ONE (vertex, label) row per endpoint; the edge list is
+    lazily materialized once; fixed rounds keep the DAG static (the same
+    loop hygiene connected_components documents).
+    """
+    from pyspark.sql import Window
+
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.localCheckpoint(eager=False)
+    labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
+    w = Window.partitionBy("u").orderBy(F.col("c").desc(), F.col("lbl"))
+    for i in range(iterations):
+        votes = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.u"))
+            .groupBy(F.col("e.u").alias("u"), F.col("l.lbl").alias("lbl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("u", "lbl")
+        )
+        labels = labels.localCheckpoint(eager=False)
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "lbl").select(
+        F.col("u").alias("vertex"),
+        F.col("lbl").alias("community"),
+        "community_size",
+    )

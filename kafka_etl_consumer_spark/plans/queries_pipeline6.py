@@ -1122,3 +1122,194 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(v, 3), 6).alias("c3"),
         fp.alias("component_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (PSI): the monitoring gate every production training
+# pipeline runs before trusting a new data slice. Reference window =
+# first half of the month, current = second half; buckets are the
+# reference's exact deciles, PSI = Σ (p−q)·ln(p/q) with +0.5 Laplace
+# smoothing so empty buckets stay finite. Both engines derive the SAME
+# cutpoint doubles (identical percentile interpolation over identical
+# values), so bucket assignment — a < comparison — cannot disagree.
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16"
+
+_PSI_ORACLE = f"""
+WITH ref AS (SELECT event_type, value FROM events
+             WHERE ts < TIMESTAMP '{_PSI_SPLIT}'),
+cur AS (SELECT event_type, value FROM events
+        WHERE ts >= TIMESTAMP '{_PSI_SPLIT}'),
+cuts AS (
+  SELECT event_type,
+         quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                               0.6, 0.7, 0.8, 0.9]) AS cut
+  FROM ref GROUP BY event_type
+),
+rb AS (SELECT r.event_type,
+              len(list_filter(c.cut, x -> r.value > x)) AS b
+       FROM ref r JOIN cuts c USING (event_type)),
+cb AS (SELECT r.event_type,
+              len(list_filter(c.cut, x -> r.value > x)) AS b
+       FROM cur r JOIN cuts c USING (event_type)),
+grid AS (SELECT DISTINCT event_type, unnest(range(0, 10)) AS b FROM cuts),
+rc AS (SELECT event_type, b, count(*) AS n FROM rb GROUP BY 1, 2),
+cc AS (SELECT event_type, b, count(*) AS n FROM cb GROUP BY 1, 2),
+tot AS (SELECT event_type,
+               sum(coalesce(rc.n, 0)) AS nr, sum(coalesce(cc.n, 0)) AS nc
+        FROM grid LEFT JOIN rc USING (event_type, b)
+                  LEFT JOIN cc USING (event_type, b)
+        GROUP BY event_type),
+cells AS (
+  SELECT g.event_type,
+         (coalesce(rc.n, 0) + 0.5) / (t.nr + 5.0) AS p,
+         (coalesce(cc.n, 0) + 0.5) / (t.nc + 5.0) AS q
+  FROM grid g
+  LEFT JOIN rc USING (event_type, b)
+  LEFT JOIN cc USING (event_type, b)
+  JOIN tot t ON t.event_type = g.event_type
+)
+SELECT c.event_type,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       CAST(any_value(t.nr) AS BIGINT) AS n_ref,
+       CAST(any_value(t.nc) AS BIGINT) AS n_cur
+FROM cells c JOIN tot t USING (event_type)
+GROUP BY c.event_type
+"""
+
+
+@register("drift_psi_value", _PSI_ORACLE)
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of ``value`` per event type between the
+    month's two halves, over the reference half's exact deciles.
+
+    Scale shape: ONE percentile agg over the reference (one row per
+    event_type, broadcast back as the 9-cut array), bucket assignment is
+    a codegen array fold (no join per bucket), two bounded
+    (event_type, bucket) count aggs, and the PSI fold runs on the
+    10·|types| cell grid. At 100 TB swap the exact decile agg for
+    ``approx_percentile``/the histogram sketch — the PSI algebra is
+    untouched (stats_agg's documented trade)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value", "ts")
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    ref = ev.filter(F.col("ts") < split)
+    cur = ev.filter(F.col("ts") >= split)
+    cuts = ref.groupBy("event_type").agg(
+        F.expr(
+            "percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
+        ).alias("cut")
+    )
+
+    def bucketed(df):
+        return (
+            df.join(F.broadcast(cuts), "event_type")
+            .select(
+                "event_type",
+                F.aggregate(
+                    "cut",
+                    F.lit(0),
+                    lambda acc, x: acc + F.when(F.col("value") > x, 1).otherwise(0),
+                ).alias("b"),
+            )
+            .groupBy("event_type", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    rc, cc = bucketed(ref), bucketed(cur)
+    grid = cuts.select("event_type").crossJoin(
+        spark.range(0, 10).select(F.col("id").cast("int").alias("b"))
+    )
+    cells = (
+        grid.join(rc.withColumnRenamed("n", "nr"), ["event_type", "b"], "left")
+        .join(cc.withColumnRenamed("n", "nc"), ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+        )
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("nr").alias("tnr"), F.sum("nc").alias("tnc")
+    )
+    scored = cells.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "nr",
+        "nc",
+        "tnr",
+        "tnc",
+        ((F.col("nr") + 0.5) / (F.col("tnr") + 5.0)).alias("p"),
+        ((F.col("nc") + 0.5) / (F.col("tnc") + 5.0)).alias("q"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi"),
+        F.first("tnr").cast("bigint").alias("n_ref"),
+        F.first("tnc").cast("bigint").alias("n_cur"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# community detection via deterministic synchronous label propagation over
+# the co-ordered-parts graph (orderkey%10 slice). Components answer
+# reachability; LPA answers density — the oracle unrolls all three
+# synchronous rounds, so the fixed-point arithmetic itself is hash-checked.
+# ---------------------------------------------------------------------------
+
+_LPA_ITER = """
+i{n} AS (
+  SELECT u, lbl FROM (
+    SELECT e.u AS u, l.lbl AS lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY count(*) DESC, l.lbl) AS rn
+    FROM sym e JOIN i{p} l ON e.v = l.u
+    GROUP BY e.u, l.lbl)
+  WHERE rn = 1)"""
+
+_LPA_ORACLE = (
+    """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0),
+e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT p1 AS u, p2 AS v FROM e0
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e0),
+i0 AS (SELECT DISTINCT u, u AS lbl FROM sym),"""
+    + _LPA_ITER.format(n=1, p=0)
+    + ","
+    + _LPA_ITER.format(n=2, p=1)
+    + ","
+    + _LPA_ITER.format(n=3, p=2)
+    + """,
+sizes AS (SELECT lbl, count(*) AS cs FROM i3 GROUP BY lbl)
+SELECT i3.u AS vertex, i3.lbl AS community, CAST(cs AS BIGINT) AS community_size
+FROM i3 JOIN sizes ON i3.lbl = sizes.lbl
+"""
+)
+
+
+@register("graph_label_propagation", _LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the co-ordered-parts graph (orderkey%10 slice) after
+    3 synchronous LPA rounds (operators/graph.py label_propagation —
+    deterministic smallest-label tie-break, WindowGroupLimit argmax per
+    round; see its docstring for the per-round shuffle inventory)."""
+    from kafka_etl_consumer_spark.operators.graph import label_propagation
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 10 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    e = (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+        .distinct()
+    )
+    out = label_propagation(e, iterations=3)
+    return out.withColumn(
+        "community_size", F.col("community_size").cast("bigint")
+    )
