@@ -141,6 +141,7 @@ HEADLINE = [
     "embedding_pca_power",
     "drift_psi_value",
     "graph_label_propagation",
+    "seq_event_trigrams",
 ]
 
 

@@ -1313,3 +1313,59 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "community_size", F.col("community_size").cast("bigint")
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern mining: most frequent consecutive event-type triples
+# per user timeline — the 3-gram generalization of the bigram
+# event_transition_matrix; behavioral "what path do users actually take".
+# ---------------------------------------------------------------------------
+
+_SEQ3_ORACLE = """
+WITH seq AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+),
+tri AS (
+  SELECT unnest(list_transform(range(1, len(s) - 1),
+                               i -> s[i] || '>' || s[i + 1] || '>' || s[i + 2]))
+             AS pattern
+  FROM seq
+)
+SELECT pattern, CAST(count(*) AS BIGINT) AS n
+FROM tri GROUP BY pattern
+ORDER BY n DESC, pattern LIMIT 25
+"""
+
+
+@register("seq_event_trigrams", _SEQ3_ORACLE)
+def seq_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 consecutive event-type triples across user timelines
+    (ordered by ts, event_id). ONE user-keyed collect, then the triple
+    expansion is slice+zip_with codegen over each user's sequence array
+    (same no-explode-join shape as skipgram_pairs_topk), one hash-agg,
+    TakeOrdered cut. Per-user state is the event-type sequence — the
+    standard sessionization memory assumption, bounded by timeline
+    length."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ).alias("s")
+    )
+    s = F.col("s")
+    n = F.size(s)
+    m = F.greatest(n - 2, F.lit(0))
+    t1, t2, t3 = F.slice(s, 1, m), F.slice(s, 2, m), F.slice(s, 3, m)
+    pair = F.zip_with(t1, t2, lambda a, b: F.concat(a, F.lit(">"), b))
+    tri = F.zip_with(pair, t3, lambda ab, c: F.concat(ab, F.lit(">"), c))
+    return (
+        seq.select(F.explode(tri).alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "pattern")
+        .limit(25)
+    )
