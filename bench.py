@@ -142,6 +142,7 @@ HEADLINE = [
     "drift_psi_value",
     "graph_label_propagation",
     "seq_event_trigrams",
+    "embedding_pq_codes",
 ]
 
 

@@ -142,3 +142,81 @@ def pca_top_component(
         F.round(F.col("__num") / F.col("__den"), 6).alias("explained_ratio"),
         F.col("__v").alias("component"),
     )
+
+
+def pq_assign(
+    df: DataFrame,
+    dims: int,
+    subspaces: int = 8,
+    codebook_size: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization code assignment: split each vector into
+    ``subspaces`` contiguous subvectors and replace each with the id of
+    its nearest codebook centroid — the compression layer vector stores
+    put UNDER an IVF index (`ivf_ann_topk`): memory per vector drops from
+    dims·4 bytes to ``subspaces`` code bytes, and distances against a
+    query become table lookups (ADC).
+
+    Codebooks here are SEEDED deterministically — centroid c of subspace
+    s is the s-th subvector of the vector with ``id_col == c`` — so the
+    assignment has an exact SQL oracle; production training would refine
+    them with :func:`operators.similarity.kmeans_refine`'s Lloyd pass,
+    which leaves this assignment plan untouched.
+
+    Returns (id, subspace, code, sqerr): per-subspace squared
+    reconstruction error, dist ROUNDED to 9 before the argmin in both
+    engines so float summation-order ulp can't flip a near-tie (ties then
+    break to the smallest code).
+
+    Scale shape: the codebook is subspaces·codebook_size rows (broadcast
+    always); assignment is a per-row codegen fold over each
+    (vector, centroid) pair — narrow, no shuffle; downstream aggregations
+    group on the bounded (subspace, code) key space.
+    """
+    from pyspark.sql import Window
+
+    sub = dims // subspaces
+    if sub * subspaces != dims:
+        raise ValueError(f"dims {dims} not divisible by {subspaces} subspaces")
+    from kafka_etl_consumer_spark.functions.vectors import as_double
+
+    e = df.select(F.col(id_col), as_double(vec_col).alias("__e"))
+    spark = df.sparkSession
+    sdf = spark.range(subspaces).select(F.col("id").cast("int").alias("__s"))
+    codebook = (
+        e.filter(F.col(id_col) < codebook_size)
+        .select(F.col(id_col).cast("int").alias("__code"), "__e")
+        .crossJoin(sdf)
+        .select(
+            "__s",
+            "__code",
+            F.slice("__e", F.col("__s") * sub + 1, sub).alias("__cent"),
+        )
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.slice("__e", F.col("__s") * sub + 1, sub),
+                F.col("__cent"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    w = Window.partitionBy(id_col, "__s").orderBy(F.col("__d"), F.col("__code"))
+    return (
+        e.crossJoin(F.broadcast(codebook))
+        .select(F.col(id_col), "__s", "__code", dist.alias("__d"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("__s").alias("subspace"),
+            F.col("__code").alias("code"),
+            F.col("__d").alias("sqerr"),
+        )
+    )

@@ -1369,3 +1369,49 @@ def seq_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pattern")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: the compression layer under an IVF index (the
+# vector-store stack this repo now covers end to end: brute force -> LSH
+# -> IVF -> PQ codes). Seeded codebooks keep the assignment SQL-exact;
+# operators/embeddings.py pq_assign documents the round-before-argmin rule.
+# ---------------------------------------------------------------------------
+
+_PQ_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS s),
+cb AS (SELECT subs.s, CAST(e.vec_id AS INT) AS code,
+              e.emb[subs.s * 8 + 1 : subs.s * 8 + 8] AS cent
+       FROM e, subs WHERE e.vec_id < 4),
+d AS (SELECT e.vec_id, cb.s, cb.code,
+             round(list_sum(list_transform(range(1, 9),
+                   i -> (e.emb[cb.s * 8 + i] - cb.cent[i])
+                        * (e.emb[cb.s * 8 + i] - cb.cent[i]))), 9) AS dist
+      FROM e, cb),
+pick AS (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, code) AS rn
+         FROM d)
+SELECT s AS subspace, code,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(dist), 6) AS mean_sqerr
+FROM pick WHERE rn = 1 GROUP BY s, code
+"""
+
+
+@register("embedding_pq_codes", _PQ_ORACLE)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ code occupancy and reconstruction error: assign every embedding
+    to its nearest seeded centroid per 8-dim subspace
+    (operators/embeddings.py pq_assign) and aggregate the bounded
+    (subspace, code) grid — occupancy skew tells you whether the codebook
+    needs a Lloyd refinement pass; mean_sqerr is the per-subspace
+    compression loss."""
+    from kafka_etl_consumer_spark.operators.embeddings import pq_assign
+
+    e = _t(spark, sf_dir, "embeddings")
+    codes = pq_assign(e, dims=64, subspaces=8, codebook_size=4)
+    return codes.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("sqerr"), 6).alias("mean_sqerr"),
+    )
