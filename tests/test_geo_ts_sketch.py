@@ -154,3 +154,43 @@ def test_ssjoin_prefix_matches_brute_force(spark):
             want[(a, b)] = jac
     assert got == want
     assert (1, 3) in got and got[(1, 3)] == 1.0  # the exact dup survived
+
+
+def test_pq_assign_rejects_indivisible_dims(spark):
+    from kafka_etl_consumer_spark.operators.embeddings import pq_assign
+
+    df = spark.createDataFrame([Row(vec_id=0, embedding=[1.0] * 10)])
+    with pytest.raises(ValueError):
+        pq_assign(df, dims=10, subspaces=8)
+
+
+def test_pq_assign_seed_vectors_code_themselves(spark):
+    # a codebook seed vector reconstructs itself exactly: code == vec_id,
+    # sqerr == 0 in every subspace
+    from kafka_etl_consumer_spark.operators.embeddings import pq_assign
+
+    rows = [
+        Row(vec_id=i, embedding=[float(i * 16 + d) for d in range(16)])
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    out = pq_assign(df, dims=16, subspaces=2, codebook_size=4)
+    for r in out.collect():
+        assert r.code == r.vec_id and r.sqerr == 0.0
+
+
+def test_pca_recovers_dominant_direction(spark):
+    # vectors concentrated along e1 with small e2 noise: the top component
+    # must be ~±e1 and explain almost all variance
+    from kafka_etl_consumer_spark.operators.embeddings import pca_top_component
+
+    rows = [
+        Row(vec_id=i, embedding=[float(i + 1), 0.01 * ((-1) ** i), 0.0, 0.0])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    got = pca_top_component(df, dims=4, iters=3).collect()[0]
+    comp = got.component
+    assert abs(comp[0]) > 0.999
+    assert got.explained_ratio > 0.999
+    assert comp[0] > 0  # sign canonicalized
