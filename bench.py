@@ -143,6 +143,7 @@ HEADLINE = [
     "graph_label_propagation",
     "seq_event_trigrams",
     "embedding_pq_codes",
+    "assoc_rules_parts",
 ]
 
 

@@ -1415,3 +1415,97 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.avg("sqerr"), 6).alias("mean_sqerr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# association rules (market-basket): support / confidence / lift for part
+# pairs co-occurring in orders — the rule-mining layer over the
+# co-occurrence edges the graph queries build. Rule metrics are exact
+# rationals over integer counts; only the final display values round.
+# ---------------------------------------------------------------------------
+
+_ASSOC_MIN_SUPPORT = 3
+
+_ASSOC_ORACLE = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM li),
+item AS (SELECT l_partkey, count(*) AS s FROM li GROUP BY l_partkey),
+pair AS (
+  SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS sxy
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING count(*) >= {_ASSOC_MIN_SUPPORT}
+),
+rules AS (
+  SELECT p.x AS antecedent, p.y AS consequent,
+         CAST(p.sxy AS BIGINT) AS support,
+         round(CAST(p.sxy AS DOUBLE) / ix.s, 6) AS confidence,
+         round(CAST(p.sxy AS DOUBLE) / ix.s / (iy.s / n.n_orders), 6) AS lift
+  FROM pair p
+  JOIN item ix ON ix.l_partkey = p.x
+  JOIN item iy ON iy.l_partkey = p.y
+  CROSS JOIN n
+)
+SELECT antecedent, consequent, support, confidence, lift
+FROM rules
+ORDER BY lift DESC, antecedent, consequent LIMIT 20
+"""
+
+
+@register("assoc_rules_parts", _ASSOC_ORACLE)
+def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part→part association rules by lift (support ≥ 3 orders):
+    support = co-order count, confidence = P(y|x), lift = confidence /
+    P(y).
+
+    Scale shape: the basket self-join is the standard co-occurrence
+    shuffle on l_orderkey (bounded per-order fan-out — baskets are small;
+    a pathological mega-basket is the skew-salt case, operators/skew.py);
+    the HAVING prunes the pair table BEFORE the metric joins; item
+    supports and the one-row order count broadcast. Directed pairs double
+    the A-Priori candidate space but keep both rule directions — the
+    display cut is TakeOrdered."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("s"))
+    pair = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("sxy"))
+        .filter(F.col("sxy") >= _ASSOC_MIN_SUPPORT)
+    )
+    rules = (
+        pair.join(
+            F.broadcast(item.select(F.col("l_partkey").alias("x"), F.col("s").alias("sx"))),
+            "x",
+        )
+        .join(
+            F.broadcast(item.select(F.col("l_partkey").alias("y"), F.col("s").alias("sy"))),
+            "y",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("sxy").cast("bigint").alias("support"),
+            F.round(F.col("sxy").cast("double") / F.col("sx"), 6).alias("confidence"),
+            F.round(
+                F.col("sxy").cast("double")
+                / F.col("sx")
+                / (F.col("sy") / F.col("n_orders")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return rules.orderBy(F.col("lift").desc(), "antecedent", "consequent").limit(20)
