@@ -144,6 +144,8 @@ HEADLINE = [
     "seq_event_trigrams",
     "embedding_pq_codes",
     "assoc_rules_parts",
+    "audit_benford_digits",
+    "corpus_jsd_sources",
 ]
 
 

@@ -1509,3 +1509,146 @@ def assoc_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rules.orderBy(F.col("lift").desc(), "antecedent", "consequent").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: the classic forensic data-quality check —
+# does a naturally-occurring amount column follow log10(1 + 1/d)? A
+# synthetic or tampered column fails it. Digit extraction avoids string
+# formatting entirely (floor-log arithmetic, identical in both engines).
+# ---------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(floor(o_totalprice
+               / power(10.0, floor(log10(o_totalprice)))) AS INT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM digits),
+obs AS (SELECT d, count(*) AS c FROM digits GROUP BY d),
+grid AS (SELECT CAST(unnest(range(1, 10)) AS INT) AS d)
+SELECT g.d AS digit,
+       CAST(coalesce(obs.c, 0) AS BIGINT) AS n,
+       round(coalesce(obs.c, 0) / n.total, 6) AS observed_freq,
+       round(log10(1.0 + CAST(1.0 AS DOUBLE) / g.d), 6) AS benford_freq,
+       round(power(coalesce(obs.c, 0) / n.total
+                   - log10(1.0 + CAST(1.0 AS DOUBLE) / g.d), 2)
+             / log10(1.0 + CAST(1.0 AS DOUBLE) / g.d), 6) AS chi2_term
+FROM grid g LEFT JOIN obs ON obs.d = g.d CROSS JOIN n
+"""
+
+
+@register("audit_benford_digits", _BENFORD_ORACLE)
+def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law, with per-digit chi-square terms. One narrow digit map
+    + one 9-key hash-agg; everything after runs on the 9-row grid."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = F.floor(
+        F.col("o_totalprice") / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    obs = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    n = o.agg(F.count(F.lit(1)).cast("double").alias("total"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    bf = F.log10(1.0 + F.lit(1.0) / F.col("digit"))
+    freq = F.coalesce("c", F.lit(0)) / F.col("total")
+    return (
+        grid.join(F.broadcast(obs.withColumnRenamed("d", "digit")), "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("n"),
+            F.round(freq, 6).alias("observed_freq"),
+            F.round(bf, 6).alias("benford_freq"),
+            F.round(F.pow(freq - bf, 2) / bf, 6).alias("chi2_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence between source vocabularies: which corpus
+# sources actually differ, and by how much — the symmetric, bounded
+# companion to drift_psi_value for TEXT distributions (corpus mixing and
+# contamination triage both start here).
+# ---------------------------------------------------------------------------
+
+_JSD_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(list_filter(
+             regexp_split_to_array(lower(trim(text)), '\\s+'),
+             t -> len(t) > 0)) AS token
+  FROM documents
+),
+counts AS (SELECT source, token, count(*) AS c FROM tok GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT token FROM counts),
+vsize AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+totals AS (SELECT source, sum(c) AS tot FROM counts GROUP BY source),
+grid AS (SELECT t.source, vb.token FROM totals t CROSS JOIN vocab vb),
+probs AS (
+  SELECT g.source, g.token,
+         (coalesce(c.c, 0) + 0.5) / (t.tot + 0.5 * vs.v) AS p
+  FROM grid g
+  LEFT JOIN counts c ON c.source = g.source AND c.token = g.token
+  JOIN totals t ON t.source = g.source
+  CROSS JOIN vsize vs
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, a.token,
+         a.p AS p, b.p AS q, (a.p + b.p) / 2 AS m
+  FROM probs a JOIN probs b
+    ON a.token = b.token AND a.source < b.source
+)
+SELECT source_a, source_b,
+       round(sum(0.5 * p * ln(p / m) + 0.5 * q * ln(q / m)), 6) AS jsd
+FROM pairs GROUP BY source_a, source_b
+"""
+
+
+@register("corpus_jsd_sources", _JSD_ORACLE)
+def corpus_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence of the unigram distributions of
+    every source pair (Laplace-smoothed over the union vocabulary).
+
+    Scale shape: one (source, token) hash-agg over the tokenized corpus;
+    everything after is vocab-bounded — the probability grid is
+    |sources|x|vocab| rows, the pair join shuffles on token, and the JSD
+    folds per pair. |sources| is small by construction; a huge vocabulary
+    would df-cut exactly like text_vocab_oov documents."""
+    d = _t(spark, sf_dir, "documents")
+    from kafka_etl_consumer_spark.functions.text import tokens
+
+    tok = d.select("source", F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.select("token").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    grid = totals.select("source", "tot").crossJoin(vocab)
+    probs = (
+        grid.join(counts, ["source", "token"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "source",
+            "token",
+            (
+                (F.coalesce("c", F.lit(0)) + 0.5)
+                / (F.col("tot") + 0.5 * F.col("v"))
+            ).alias("p"),
+        )
+    )
+    a = probs.select(
+        F.col("source").alias("source_a"), "token", F.col("p").alias("p")
+    )
+    b = probs.select(
+        F.col("source").alias("source_b"), "token", F.col("p").alias("q")
+    )
+    pairs = a.join(b, "token").filter(F.col("source_a") < F.col("source_b"))
+    m = (F.col("p") + F.col("q")) / 2
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.round(
+            F.sum(
+                0.5 * F.col("p") * F.log(F.col("p") / m)
+                + 0.5 * F.col("q") * F.log(F.col("q") / m)
+            ),
+            6,
+        ).alias("jsd")
+    )
