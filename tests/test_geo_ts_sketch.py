@@ -194,3 +194,31 @@ def test_pca_recovers_dominant_direction(spark):
     assert abs(comp[0]) > 0.999
     assert got.explained_ratio > 0.999
     assert comp[0] > 0  # sign canonicalized
+
+
+def test_new_operators_handle_empty_input(spark):
+    # empty inputs must yield empty results with the right schema — the
+    # first micro-batch of any streaming use hits exactly this
+    from kafka_etl_consumer_spark.operators.dedup import (
+        set_similarity_join_prefix,
+    )
+    from kafka_etl_consumer_spark.operators.timeseries import (
+        ewma_last,
+        resample_bars,
+    )
+
+    empty_ev = spark.createDataFrame(
+        [],
+        "user_id long, ts timestamp, value double, event_id long",
+    )
+    e = ewma_last(empty_ev, alpha=0.3)
+    assert e.count() == 0
+    assert e.columns == ["user_id", "n_events", "ewma"]
+
+    b = resample_bars(empty_ev.withColumn("event_type", F.lit("x")))
+    assert b.count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    s = set_similarity_join_prefix(empty_docs, 1, 2)
+    assert s.count() == 0
+    assert s.columns == ["id_a", "id_b", "jac"]
