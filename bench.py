@@ -146,6 +146,7 @@ HEADLINE = [
     "assoc_rules_parts",
     "audit_benford_digits",
     "corpus_jsd_sources",
+    "join_point_in_time",
 ]
 
 

@@ -1652,3 +1652,83 @@ def corpus_jsd_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jsd")
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time (temporal) join: facts against the dimension version VALID
+# AT the fact's timestamp — the read side of the SCD2 surface
+# (operators/scd.py writes these validity intervals; here a deterministic
+# two-version history is derived in-query so the oracle is self-contained).
+# Closed-open [from, to) semantics: an order ON the change boundary
+# belongs to the NEW version — the classic off-by-one this query pins.
+# ---------------------------------------------------------------------------
+
+_PIT_CHANGE = "1998-07-01"
+
+_PIT_ORACLE = f"""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         TIMESTAMP '1992-01-01' AS valid_from,
+         CASE WHEN c_custkey % 4 = 0 THEN TIMESTAMP '{_PIT_CHANGE}'
+              ELSE TIMESTAMP '9999-12-31' END AS valid_to
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_mktsegment || '_B' AS segment,
+         TIMESTAMP '{_PIT_CHANGE}' AS valid_from,
+         TIMESTAMP '9999-12-31' AS valid_to
+  FROM customer WHERE c_custkey % 4 = 0
+)
+SELECT d.segment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN dim d ON d.c_custkey = o.o_custkey
+          AND o.o_orderdate >= d.valid_from
+          AND o.o_orderdate < d.valid_to
+GROUP BY d.segment
+"""
+
+
+@register("join_point_in_time", _PIT_ORACLE)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per dimension version valid at each order's date, over a
+    two-version SCD2 history (customers with custkey%4==0 change segment
+    at the boundary; closed-open intervals so boundary orders take the
+    new version).
+
+    Scale shape: ONE equi-join on the customer key with the validity
+    predicates as join residuals — versions per key are bounded (SCD2
+    dimensions grow by change count, not fact count), so the residual
+    filter scans a handful of versions per fact row; never a range-join
+    explosion. This is the read pattern operators/scd.py scd2_merge
+    maintains tables for."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    far = F.lit("9999-12-31").cast("timestamp")
+    change = F.lit(_PIT_CHANGE).cast("timestamp")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.when(F.col("c_custkey") % 4 == 0, change).otherwise(far).alias("valid_to"),
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 4 == 0)
+        .select(
+            "c_custkey",
+            F.concat("c_mktsegment", F.lit("_B")).alias("segment"),
+            change.alias("valid_from"),
+            far.alias("valid_to"),
+        )
+    )
+    dim = v1.unionByName(v2)
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    joined = o.join(
+        dim,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    )
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
