@@ -13,6 +13,13 @@ robust outliers, and k-NN classification.
 - trigram-blocked fuzzy name matching (entity resolution)
 - interval union coverage (gaps-and-islands merge)
 - weighted median (cumulative-weight window)
+- prefix-filtered exact set-similarity join (PPJoin family)
+- skip-gram co-occurrence counts; rolling median
+- leakage-free group-aware split; chi-square independence
+- in-plan PCA power iteration; product-quantization codes
+- PSI drift; label-propagation communities; sequence mining
+- association rules; Benford digit audit; source JSD
+- point-in-time temporal join (SCD2 read side)
 
 The reference has no analytics surface (pass-through ETL,
 ETLTask.java:261-283); these extend the training-data/analytics operators
