@@ -222,3 +222,17 @@ def test_new_operators_handle_empty_input(spark):
     s = set_similarity_join_prefix(empty_docs, 1, 2)
     assert s.count() == 0
     assert s.columns == ["id_a", "id_b", "jac"]
+
+
+def test_pca_arrow_and_codegen_paths_agree(spark):
+    from kafka_etl_consumer_spark.operators.embeddings import pca_top_component
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7 + d * 3) % 11) for d in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    a = pca_top_component(df, dims=8, iters=3, use_arrow=True).collect()[0]
+    b = pca_top_component(df, dims=8, iters=3, use_arrow=False).collect()[0]
+    assert a.explained_ratio == b.explained_ratio
+    assert a.component == b.component  # re-rounding pins both paths bit-equal
