@@ -147,6 +147,7 @@ HEADLINE = [
     "audit_benford_digits",
     "corpus_jsd_sources",
     "join_point_in_time",
+    "multimodal_augment",
 ]
 
 

@@ -317,3 +317,56 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "offset": offs})
 
     return df.select(id_col, media_col).mapInPandas(sample, schema)
+
+
+def augment_images(
+    df: DataFrame,
+    crop_width: int,
+    crop_height: int,
+    hflip: bool = True,
+    media_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Training-data image augmentation through the REAL decode path:
+    decode → optional horizontal flip → CENTER crop → re-encode PPM. One
+    Arrow ``mapInPandas`` pass, no shuffle — the same contract shape as
+    :func:`resize_images`, and deliberately deterministic (fixed flip +
+    center crop, not random) so augmented corpora are reproducible across
+    runs/retries and the pipeline carries an exact oracle; randomized
+    policies derive the flip/offset from a hash of the id, not rand().
+
+    RGB only (the honest stub posture: `_parse_image` handles what a
+    numpy-only container can; grayscale raises here rather than silently
+    duplicating channels).
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def augment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, medias = [], []
+            for i, payload in zip(pdf[id_col], pdf[media_col]):
+                w, h, ch, data = _parse_image(payload)
+                if ch != 3:
+                    raise ValueError(f"augment_images needs RGB, got {ch} channel(s)")
+                if crop_width > w or crop_height > h:
+                    raise ValueError(
+                        f"crop {crop_width}x{crop_height} exceeds image {w}x{h}"
+                    )
+                img = np.asarray(data, dtype=np.uint8).reshape(h, w, 3)
+                if hflip:
+                    img = img[:, ::-1, :]
+                x0 = (w - crop_width) // 2
+                y0 = (h - crop_height) // 2
+                img = img[y0 : y0 + crop_height, x0 : x0 + crop_width, :]
+                ids.append(i)
+                medias.append(encode_ppm(img, crop_width, crop_height))
+            yield pd.DataFrame({"doc_id": ids, "media": medias})
+
+    return df.select(id_col, media_col).mapInPandas(augment, schema)

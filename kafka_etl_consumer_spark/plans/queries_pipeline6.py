@@ -28,8 +28,10 @@ the brief requires. Every query carries an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_etl_consumer_spark.functions.hashing import hash64_sql
 from kafka_etl_consumer_spark.plans.registry import _t, register
@@ -1738,4 +1740,69 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("segment").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# image augmentation through the real decode path: horizontal flip +
+# center crop re-encoded as PPM, then channel stats over the augmented
+# pixels. The oracle reproduces the flipped/cropped pixel values
+# arithmetically — so the flip index reversal, crop offsets, and
+# re-encode/decode round trip are all hash-checked (same posture as
+# multimodal_pixels).
+# ---------------------------------------------------------------------------
+
+_AUG_ORACLE = """
+WITH px AS (
+  SELECT d.doc_id,
+         avg((d.doc_id * 7
+              + 3 * ((t.j // 8 + 2) * 16 + (11 - t.j % 8))) % 256) AS mean_r,
+         avg((d.doc_id * 7
+              + 3 * ((t.j // 8 + 2) * 16 + (11 - t.j % 8)) + 1) % 256) AS mean_g,
+         avg((d.doc_id * 7
+              + 3 * ((t.j // 8 + 2) * 16 + (11 - t.j % 8)) + 2) % 256) AS mean_b
+  FROM documents d, (SELECT unnest(range(0, 40)) AS j) t
+  GROUP BY d.doc_id
+)
+SELECT doc_id, mean_r, mean_g, mean_b FROM px
+"""
+
+
+@register("multimodal_augment", _AUG_ORACLE)
+def multimodal_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic augmentation pipeline: synthesize the same 16x9 PPMs
+    as multimodal_pixels, horizontal-flip + center-crop to 8x5 through
+    the REAL parse/encode path (operators/multimodal.py augment_images),
+    decode again, and mean each channel. Narrow Arrow maps end to end;
+    the only shuffle-free-ness caveat is none — there is no shuffle."""
+    import numpy as np
+
+    from kafka_etl_consumer_spark.operators import multimodal as M
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    W, H, CW, CH = 16, 9, 8, 5
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("media", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, medias = [], []
+            for i in pdf["doc_id"]:
+                flat = (int(i) * 7 + np.arange(W * H * 3)) % 256
+                ids.append(i)
+                medias.append(M.encode_ppm(flat, W, H))
+            yield pd.DataFrame({"doc_id": ids, "media": medias})
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = ensure_min_parallelism(docs).mapInPandas(gen, gen_schema)
+    aug = M.augment_images(media, CW, CH, hflip=True)
+    return M.image_channel_stats(M.decode_image_pixels(aug)).select(
+        "doc_id",
+        F.col("mean_c0").alias("mean_r"),
+        F.col("mean_c1").alias("mean_g"),
+        F.col("mean_c2").alias("mean_b"),
     )
