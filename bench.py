@@ -148,6 +148,8 @@ HEADLINE = [
     "corpus_jsd_sources",
     "join_point_in_time",
     "multimodal_augment",
+    "winsorize_value",
+    "impute_missing_values",
 ]
 
 

@@ -1806,3 +1806,112 @@ def multimodal_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_c1").alias("mean_g"),
         F.col("mean_c2").alias("mean_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# winsorization: clip the tails at per-group exact percentiles — the
+# outlier-robust normalization step feature pipelines run before scaling
+# (the detection-side counterpart is anomaly_mad_outliers; this one fixes
+# rather than flags).
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type, e.value,
+         CASE WHEN e.value < c.lo THEN c.lo
+              WHEN e.value > c.hi THEN c.hi
+              ELSE e.value END AS w
+  FROM events e JOIN cuts c USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE w <> value) AS BIGINT) AS n_clipped,
+       round(avg(value), 6) AS mean_raw,
+       round(avg(w), 6) AS mean_winsorized
+FROM clipped GROUP BY event_type
+"""
+
+
+@register("winsorize_value", _WINSOR_ORACLE)
+def winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%/95% winsorization of ``value`` per event type: exact percentile
+    cutpoints broadcast back, clipping is a narrow CASE, one final
+    hash-agg reports clip counts and the mean shift. Same
+    exact-percentile-at-sf / approx-at-100TB trade stats_agg documents."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").withColumn(
+        "w",
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value")),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("w") != F.col("value"), 1))
+        .cast("bigint")
+        .alias("n_clipped"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg("w"), 6).alias("mean_winsorized"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# missing-value imputation: per-group mean fill over a deterministic
+# synthetic missingness mask (event_id%7==0 — the tables carry no real
+# nulls), accounting included. Imputation must use statistics of the
+# OBSERVED rows only — the classic bug is computing the mean over the
+# masked column after zero-filling; the oracle pins the right order.
+# ---------------------------------------------------------------------------
+
+_IMPUTE_ORACLE = """
+WITH masked AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events
+),
+stats AS (SELECT event_type, avg(v) AS fill FROM masked GROUP BY event_type),
+imputed AS (
+  SELECT m.event_type, m.v, coalesce(m.v, s.fill) AS iv
+  FROM masked m JOIN stats s USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_imputed,
+       round(any_value(
+           (SELECT fill FROM stats s WHERE s.event_type = imputed.event_type)
+       ), 6) AS fill_value,
+       round(avg(iv), 6) AS mean_after
+FROM imputed GROUP BY event_type
+"""
+
+
+@register("impute_missing_values", _IMPUTE_ORACLE)
+def impute_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type mean imputation over the synthetic event_id%7 missingness
+    mask: fill statistics come from OBSERVED rows only (avg skips nulls
+    in both engines — the property this query pins), the per-group fill
+    row broadcasts back, and the report is one hash-agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    stats = ev.groupBy("event_type").agg(F.avg("v").alias("fill"))
+    imputed = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "iv", F.coalesce("v", "fill")
+    )
+    return imputed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.when(F.col("v").isNull(), 1)).cast("bigint").alias("n_imputed"),
+        F.round(F.first("fill"), 6).alias("fill_value"),
+        F.round(F.avg("iv"), 6).alias("mean_after"),
+    )
