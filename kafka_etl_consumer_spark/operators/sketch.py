@@ -140,14 +140,30 @@ def hll_distinct(
     ``m``-row-per-group rollup. State is m·6 bits/group and registers
     MERGE by max, so the sketch maintains incrementally across batches.
     """
+    return hll_estimate_from_registers(
+        hll_registers(df, value_col, group_cols, m), group_cols, m
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    m: int = 64,
+) -> DataFrame:
+    """The HLL register STATE: (group cols..., __reg, __mrho) — one row
+    per present register. Exposed separately from the estimate because
+    registers are the MERGEABLE artifact: registers from disjoint batches
+    combine by ``max`` per register (see :func:`hll_merge_registers`), so
+    a table of them maintains incrementally — per micro-batch, per day,
+    per partition — and the estimate is recomputed from state in O(m)
+    whenever asked."""
     import math
 
     if m & (m - 1) or m < 16:
         raise ValueError(f"m must be a power of two >= 16, got {m}")
     p = int(math.log2(m))
     suffix_bits = 60 - p
-    # the paper's alpha_m: closed form for m >= 128, tabulated below that
-    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
     gcols = list(group_cols or [])
     h = hash64(F.col(value_col).cast("string"))
     reg = (h % m).alias("__reg")
@@ -157,12 +173,36 @@ def hll_distinct(
     rho = F.when(suffix == 0, F.lit(suffix_bits + 1)).otherwise(
         F.instr(F.lpad(F.bin(suffix), suffix_bits, "0"), "1")
     )
-    regs = (
+    return (
         df.select(*gcols, reg, rho.alias("__rho"))
         .groupBy(*gcols, "__reg")
         .agg(F.max("__rho").alias("__mrho"))
     )
-    # sum of 2^-M_j over PRESENT registers; absent registers contribute 2^0
+
+
+def hll_merge_registers(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Union two register tables into one: max per (group, register).
+    Associative and commutative — merge order never matters, which is
+    what makes incremental/streaming maintenance exact."""
+    gcols = list(group_cols or [])
+    return (
+        a.unionByName(b)
+        .groupBy(*gcols, "__reg")
+        .agg(F.max("__mrho").alias("__mrho"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str] | None = None, m: int = 64
+) -> DataFrame:
+    """(group cols..., hll_estimate) from a register table — the paper's
+    harmonic-mean estimate with the small-range linear-counting
+    correction; see :func:`hll_distinct` for the full algorithm notes."""
+    # the paper's alpha_m: closed form for m >= 128, tabulated below that
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    gcols = list(group_cols or [])
     sums = regs.groupBy(*gcols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("__mrho"))).alias("__s"),
         F.count(F.lit(1)).alias("__present"),
