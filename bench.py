@@ -150,6 +150,8 @@ HEADLINE = [
     "multimodal_augment",
     "winsorize_value",
     "impute_missing_values",
+    "division_all_months",
+    "attribution_last_touch",
 ]
 
 

@@ -1915,3 +1915,102 @@ def impute_missing_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("fill"), 6).alias("fill_value"),
         F.round(F.avg("iv"), 6).alias("mean_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# relational division ("for all"): customers with at least one order in
+# EVERY month of 1995 — the classic universal-quantifier query that trips
+# naive NOT EXISTS chains; expressed as the standard distinct-count ==
+# divisor-cardinality reduction.
+# ---------------------------------------------------------------------------
+
+_DIV_ORACLE = """
+WITH m AS (
+  SELECT o_custkey, CAST(month(o_orderdate) AS INT) AS mo
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1996-01-01'
+),
+cover AS (
+  SELECT o_custkey, count(DISTINCT mo) AS months_covered
+  FROM m GROUP BY o_custkey
+)
+SELECT CAST(months_covered AS INT) AS months_covered,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM cover GROUP BY months_covered
+"""
+
+
+@register("division_all_months", _DIV_ORACLE)
+def division_all_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-coverage distribution of 1995 buyers — the relational
+    division ("customers active in ALL 12 months") via the
+    count(DISTINCT month) reduction, reported as the full coverage
+    histogram so the universal-quantifier answer is the months_covered=12
+    row and the query is informative at any scale. ONE aggregate over the
+    pruned year instead of 12 chained semi-joins; the rollup runs on a
+    12-row-bounded key."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cover = (
+        o.select("o_custkey", F.month("o_orderdate").alias("mo"))
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("mo").alias("months_covered"))
+    )
+    return cover.groupBy(
+        F.col("months_covered").cast("int").alias("months_covered")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution: each purchase credits the user's most recent
+# PRIOR non-purchase event — the marketing-analytics pattern (and a
+# within-stream as-of join: the asof machinery applied to one table).
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type <> 'purchase'
+              THEN event_type END AS touch
+  FROM events
+),
+lv AS (
+  SELECT user_id, event_type, ts, event_id,
+         last_value(touch IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS attributed_to
+  FROM e
+)
+SELECT coalesce(attributed_to, '(none)') AS attributed_to,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM lv WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("attribution_last_touch", _ATTR_ORACLE)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases credited to the most recent prior non-purchase event of
+    the same user (first event purchases credit '(none)'). ONE user-keyed
+    window — the same last(ignorenulls)-over-preceding-frame shape the
+    merge-asof join uses (operators/joins.py), applied within a single
+    stream; the attribution rollup is a bounded hash-agg."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"), "event_id"
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lv = ev.withColumn("attributed_to", F.last(touch, ignorenulls=True).over(w))
+    return (
+        lv.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("attributed_to", F.lit("(none)")).alias("attributed_to"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
+    )
