@@ -106,3 +106,108 @@ def test_radius_join_complete_and_sound(sess, pts, radius):
         if round(hav(p, q), 3) <= radius
     }
     assert got == want
+
+
+intervals = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(1, 30)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(iv=intervals)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_interval_union_matches_brute_force(sess, iv):
+    """The running-max gaps-and-islands reduction must equal a brute-force
+    interval merge — including nested intervals, the classic lag-based
+    bug's failure case."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [Row(user_id=u, s=s, e=s + d) for (u, s, d) in iv]
+    df = sess.createDataFrame(rows)
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = df.withColumn(
+        "ni", F.when(F.col("s") > F.max("e").over(w_prev), 1).otherwise(0)
+    )
+    merged = (
+        flagged.withColumn("island", F.sum("ni").over(w_run))
+        .groupBy("user_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("span"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_islands"), F.sum("span").alias("covered"))
+    )
+    got = {r.user_id: (r.n_islands, r.covered) for r in merged.collect()}
+
+    want = {}
+    by_user: dict = {}
+    for u, s, d in iv:
+        by_user.setdefault(u, []).append((s, s + d))
+    for u, ivs in by_user.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        want[u] = (len(islands), sum(e - s for s, e in islands))
+    assert got == want
+
+
+weights = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(1, 5)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(wv=weights)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_weighted_median_matches_brute_force(sess, wv):
+    """Cumulative-weight lower weighted median == the brute-force scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [Row(g=g, v=float(v), w=w, i=i) for i, (g, v, w) in enumerate(wv)]
+    df = sess.createDataFrame(rows)
+    w_run = (
+        Window.partitionBy("g").orderBy("v", "i").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    w_all = Window.partitionBy("g")
+    cum = df.select(
+        "g", "v", F.sum("w").over(w_run).alias("cw"), F.sum("w").over(w_all).alias("tw")
+    )
+    got = {
+        r.g: r.wm
+        for r in cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("g")
+        .agg(F.min("v").alias("wm"))
+        .collect()
+    }
+
+    want = {}
+    by_g: dict = {}
+    for i, (g, v, w) in enumerate(wv):
+        by_g.setdefault(g, []).append((float(v), i, w))
+    for g, vals in by_g.items():
+        vals.sort()
+        total = sum(w for _, _, w in vals)
+        acc = 0
+        for v, _, w in vals:
+            acc += w
+            if acc * 2 >= total:
+                want[g] = v
+                break
+    assert got == want
