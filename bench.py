@@ -152,6 +152,8 @@ HEADLINE = [
     "impute_missing_values",
     "division_all_months",
     "attribution_last_touch",
+    "growth_month_over_month",
+    "streak_longest_monthly",
 ]
 
 

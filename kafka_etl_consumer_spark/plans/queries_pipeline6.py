@@ -2014,3 +2014,113 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("attributed_to", F.lit("(none)")).alias("attributed_to"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_purchases"))
     )
+
+
+# ---------------------------------------------------------------------------
+# period-over-period: monthly revenue with MoM growth — the lag-window BI
+# staple (and the shape every dashboard's "vs last period" tile compiles
+# to). Growth is NULL for each partition's first month, pinned by both
+# engines' lag semantics.
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         time_bucket(INTERVAL '1 month', o_orderdate) AS month,
+         round(sum(o_totalprice), 4) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    AND o_orderdate < TIMESTAMP '1999-01-01'
+  GROUP BY 1, 2
+)
+SELECT priority, month, revenue,
+       round(revenue / lag(revenue) OVER (PARTITION BY priority
+                                          ORDER BY month) - 1, 6)
+           AS mom_growth
+FROM m
+"""
+
+
+@register("growth_month_over_month", _MOM_ORACLE)
+def growth_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue and month-over-month growth per order priority
+    (1997-1998): one pruned-scan hash-agg to the bounded
+    (priority, month) grid, then a lag window over that tiny table —
+    growth math never touches fact-sized data. Growth is computed on the
+    ROUNDED revenue so the ratio is identical cross-engine."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    m = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+            "o_totalprice",
+        )
+        .groupBy("priority", "month")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    )
+    w = Window.partitionBy("priority").orderBy("month")
+    return m.select(
+        "priority",
+        "month",
+        "revenue",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1, 6).alias(
+            "mom_growth"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# longest streak: the consecutive-period run-length pattern (the
+# date-keyed cousin of gaps-and-islands — grouping key = date - rank is
+# constant exactly along a consecutive run).
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT o_custkey,
+         CAST(time_bucket(INTERVAL '1 month', o_orderdate) AS DATE) AS mo
+  FROM orders
+),
+r AS (
+  SELECT o_custkey, mo,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY mo) AS rn
+  FROM d
+),
+runs AS (
+  SELECT o_custkey,
+         count(*) AS len
+  FROM r
+  GROUP BY o_custkey, mo - to_months(CAST(rn AS INT))
+),
+best AS (SELECT o_custkey, max(len) AS longest_streak FROM runs
+         GROUP BY o_custkey)
+SELECT CAST(longest_streak AS INT) AS streak_months,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM best GROUP BY longest_streak
+"""
+
+
+@register("streak_longest_monthly", _STREAK_ORACLE)
+def streak_longest_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of each customer's longest consecutive-month order
+    streak: the date-minus-rank trick (constant along a consecutive run)
+    groups runs without self-joins — two hash-aggs and a window over the
+    per-customer distinct months, reported as a bounded histogram."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("mo")
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("mo")
+    r = d.withColumn("rn", F.row_number().over(w))
+    runs = (
+        r.withColumn("grp", F.add_months(F.col("mo"), -F.col("rn")))
+        .groupBy("o_custkey", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    best = runs.groupBy("o_custkey").agg(F.max("len").alias("longest_streak"))
+    return best.groupBy(
+        F.col("longest_streak").cast("int").alias("streak_months")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
