@@ -634,7 +634,6 @@ def set_similarity_join_prefix(
     arrays = post.groupBy(id_col).agg(
         F.array_sort(F.collect_list("__t")).alias("__ts")
     )
-    t = float(threshold_num) / float(threshold_den)
     verified = (
         cand.join(
             arrays.select(F.col(id_col).alias("id_a"), F.col("__ts").alias("__ta")),
@@ -651,6 +650,13 @@ def set_similarity_join_prefix(
             F.size("__ta").alias("__na"),
             F.size("__tb").alias("__nb"),
         )
+        # Threshold test in exact integers so thresholds not representable on
+        # the rounded-decimal grid (e.g. 1/3) never drop boundary pairs:
+        # o/(na+nb-o) >= num/den  <=>  o*(num+den) >= num*(na+nb).
+        .filter(
+            F.col("__o") * (threshold_num + threshold_den)
+            >= F.lit(threshold_num) * (F.col("__na") + F.col("__nb"))
+        )
         .select(
             "id_a",
             "id_b",
@@ -660,6 +666,5 @@ def set_similarity_join_prefix(
                 6,
             ).alias("jac"),
         )
-        .filter(F.col("jac") >= t)
     )
     return verified

@@ -63,22 +63,37 @@ def radius_join(
     Returns left.columns + right.columns + ``dist_km`` (rounded to 3 —
     metre precision — so downstream filters/hashes are ulp-stable across
     engines). Caller guarantees |lat| <= 45 and radius_km <= 75 (see
-    module docstring for the bound); violating either raises.
+    module docstring for the bound); violating either raises —
+    radius_km at plan-build time, latitudes at execution time via an
+    in-plan ``raise_error`` guard (a per-row comparison, no extra
+    action), because an out-of-range latitude would silently shrink the
+    1-degree-cell containment bound and drop qualifying pairs.
     """
     if radius_km > 75:
         raise ValueError(f"radius_km must be <= 75 for 1-degree cells, got {radius_km}")
     llat, rlat = lat_cols
     llon, rlon = lon_cols
+
+    def checked_lat(c: Column) -> Column:
+        return F.when(
+            F.abs(c) > 45,
+            F.raise_error(
+                F.concat(
+                    F.lit("radius_join: |lat| must be <= 45, got "),
+                    c.cast("string"),
+                )
+            ).cast("double"),
+        ).otherwise(c)
     # left explodes to its 3x3 cell neighborhood; right maps to one cell
     off = F.array([F.lit(i) for i in (-1, 0, 1)])
     lt = (
         left.withColumn("__dy", F.explode(off))
         .withColumn("__dx", F.explode(off))
-        .withColumn("__cy", F.floor(F.col(llat)) + F.col("__dy"))
+        .withColumn("__cy", F.floor(checked_lat(F.col(llat))) + F.col("__dy"))
         .withColumn("__cx", F.floor(F.col(llon)) + F.col("__dx"))
         .drop("__dy", "__dx")
     )
-    rt = right.withColumn("__cy", F.floor(F.col(rlat))).withColumn(
+    rt = right.withColumn("__cy", F.floor(checked_lat(F.col(rlat)))).withColumn(
         "__cx", F.floor(F.col(rlon))
     )
     dist = F.round(

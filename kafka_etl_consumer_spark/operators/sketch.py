@@ -165,6 +165,11 @@ def hll_registers(
     p = int(math.log2(m))
     suffix_bits = 60 - p
     gcols = list(group_cols or [])
+    # NULLs never count toward a distinct estimate (count(DISTINCT x)
+    # semantics); without this filter the NULL hash would become a phantom
+    # NULL-keyed register row inflating __present and skewing the
+    # linear-counting correction.
+    df = df.filter(F.col(value_col).isNotNull())
     h = hash64(F.col(value_col).cast("string"))
     reg = (h % m).alias("__reg")
     # bit shift, not division: h exceeds 2^53, double arithmetic would

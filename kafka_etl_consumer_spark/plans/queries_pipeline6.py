@@ -209,7 +209,7 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HLL_ORACLE = f"""
 WITH h AS (SELECT event_type,
                   {hash64_sql("CAST(user_id AS VARCHAR)")} AS h
-           FROM events),
+           FROM events WHERE user_id IS NOT NULL),
 r AS (SELECT event_type, h % 64 AS reg,
              CASE WHEN h // 64 = 0 THEN 55
                   ELSE instr(lpad(bin(h // 64), 54, '0'), '1') END AS rho

@@ -9,14 +9,17 @@ operator. Built on ``foreachBatch`` + the batch MERGE
 upserts share one implementation and one set of semantics.
 
 Crash/replay posture: each micro-batch rewrites the snapshot via
-WRITE-NEW-THEN-SWAP — the merged result lands in ``_v<batch_id>`` and a
-marker file records the active version, both steps idempotent per
-batch_id. A replayed batch (checkpoint says it ran, output didn't
-commit) simply rewrites the same version directory and re-points the
-marker — the merge itself is deterministic, so the replay converges to
-byte-identical state (exactly-once OBSERVABLE state, the same posture as
-ingest's idempotent reference layout). Readers resolve the marker, never
-a half-written directory.
+WRITE-NEW-THEN-SWAP — the merged result lands in a fresh
+``_v<batch_id>`` (or ``_v<batch_id>_r<attempt>`` on replay, so a
+re-run NEVER overwrites the directory the in-flight merge plan is
+reading) and a marker file records the active version. The merge
+itself is deterministic, so a replayed batch (checkpoint says it ran,
+output didn't commit) converges to byte-identical state (exactly-once
+OBSERVABLE state, the same posture as ingest's idempotent reference
+layout). Readers resolve the marker, never a half-written directory.
+After the marker is repointed, superseded ``_v*`` directories beyond
+``retain_versions`` are garbage-collected so storage stays
+O(retain_versions × table), not O(batches × table).
 
 Scale: the snapshot rewrite is O(table) per batch — the honest cost of a
 keyed snapshot on a format without transactional row-level merge. Bound
@@ -71,6 +74,47 @@ def _write_marker(spark: SparkSession, table_path: str, version: str) -> None:
         out.close()
 
 
+def _fs(spark: SparkSession, table_path: str):
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(table_path)
+    return jvm, path.getFileSystem(conf)
+
+
+def _fresh_version_name(spark: SparkSession, table_path: str, batch_id: int) -> str:
+    """``_v<batch_id>``, or ``_v<batch_id>_r<n>`` if a prior attempt already
+    created that directory (replay must not overwrite a directory the
+    concurrent merge plan may be reading)."""
+    jvm, fs = _fs(spark, table_path)
+    attempt = 0
+    while True:
+        name = f"_v{batch_id}" if attempt == 0 else f"_v{batch_id}_r{attempt}"
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(os.path.join(table_path, name))):
+            return name
+        attempt += 1
+
+
+def _gc_old_versions(
+    spark: SparkSession, table_path: str, active: str, retain_versions: int
+) -> None:
+    """Delete superseded ``_v*`` snapshot directories, keeping the active one
+    plus the ``retain_versions`` most recently modified others."""
+    jvm, fs = _fs(spark, table_path)
+    root = jvm.org.apache.hadoop.fs.Path(table_path)
+    if not fs.exists(root):
+        return
+    others = [
+        st
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("_v")
+        and st.getPath().getName() != active
+    ]
+    others.sort(key=lambda st: st.getModificationTime(), reverse=True)
+    for st in others[retain_versions:]:
+        fs.delete(st.getPath(), True)
+
+
 def stream_merge_upsert(
     changes: DataFrame,
     table_path: str,
@@ -79,6 +123,7 @@ def stream_merge_upsert(
     delete_col: str | None = None,
     order_col: str | None = None,
     trigger: dict | None = None,
+    retain_versions: int = 0,
 ) -> StreamingQuery:
     """Continuously MERGE a change stream into the snapshot at
     ``table_path``. Within one micro-batch, multiple changes to a key
@@ -110,9 +155,10 @@ def stream_merge_upsert(
         else:
             # merge_type1 filters deletes and projects to cur's columns
             merged = merge_type1(cur, batch_df, keys, delete_col)
-        version = f"_v{batch_id}"
+        version = _fresh_version_name(spark, table_path, batch_id)
         merged.write.mode("overwrite").parquet(os.path.join(table_path, version))
         _write_marker(spark, table_path, version)
+        _gc_old_versions(spark, table_path, version, retain_versions)
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

@@ -64,6 +64,34 @@ def test_radius_join_rejects_oversize_radius(spark):
         radius_join(df, df, 80.0)
 
 
+def test_radius_join_rejects_out_of_range_latitude(spark):
+    # |lat| > 45 silently shrinks the 1-degree-cell containment bound, so
+    # the in-plan guard must raise at execution rather than drop pairs
+    left = spark.createDataFrame(
+        [Row(a=1, l_lat=60.0, l_lon=0.0)]
+    )
+    right = spark.createDataFrame([Row(b=1, r_lat=0.0, r_lon=0.0)])
+    with pytest.raises(Exception, match="lat"):
+        radius_join(left, right, 10.0).collect()
+
+
+def test_hll_ignores_null_values(spark):
+    # distinct-count semantics: NULL contributes nothing. A NULL value
+    # must not create a phantom NULL register that inflates __present and
+    # skews the linear-counting correction.
+    from kafka_etl_consumer_spark.operators.sketch import hll_registers
+
+    base = spark.range(200).select((F.col("id") % 50).alias("v"))
+    with_nulls = base.union(
+        spark.range(30).select(F.lit(None).cast("long").alias("v"))
+    )
+    regs = hll_registers(with_nulls, "v")
+    assert regs.filter(F.col("__reg").isNull()).count() == 0
+    e_clean = hll_distinct(base, "v").collect()[0].hll_estimate
+    e_nulls = hll_distinct(with_nulls, "v").collect()[0].hll_estimate
+    assert e_clean == e_nulls
+
+
 def test_hll_estimate_within_expected_error(spark):
     # m=64 -> relative error ~ 1.04/8 = 13%; 1000 distinct values
     df = spark.range(5000).select((F.col("id") % 1000).alias("v"))

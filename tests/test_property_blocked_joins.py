@@ -38,11 +38,16 @@ def sess(spark):
     return spark
 
 
-@given(docs=docs_strategy, num_den=st.sampled_from([(1, 2), (3, 5), (7, 10)]))
+# (1, 3) and (2, 3) are NOT representable on the 6-decimal rounding grid —
+# they catch any float/rounded comparison creeping into the exact-rational
+# threshold contract (a pair with Jaccard exactly 1/3 must be kept).
+@given(
+    docs=docs_strategy,
+    num_den=st.sampled_from([(1, 2), (3, 5), (7, 10), (1, 3), (2, 3)]),
+)
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 def test_ssjoin_prefix_complete_and_sound(sess, docs, num_den):
     num, den = num_den
-    t = num / den
     df = sess.createDataFrame(
         [Row(doc_id=i, text=" ".join(ws)) for i, ws in enumerate(docs)]
     )
@@ -54,10 +59,22 @@ def test_ssjoin_prefix_complete_and_sound(sess, docs, num_den):
     want = {}
     for a, b in combinations(sorted(sets), 2):
         o = len(sets[a] & sets[b])
-        jac = round(o / (len(sets[a]) + len(sets[b]) - o), 6)
-        if jac >= t:
-            want[(a, b)] = jac
+        # exact-integer threshold, same rational contract as the operator:
+        # o/(na+nb-o) >= num/den  <=>  o*(num+den) >= num*(na+nb)
+        if o * (num + den) >= num * (len(sets[a]) + len(sets[b])):
+            want[(a, b)] = round(o / (len(sets[a]) + len(sets[b]) - o), 6)
     assert got == want
+
+
+def test_ssjoin_keeps_exact_one_third_boundary_pair(sess):
+    # {w0} vs {w0, w1, w2}: overlap 1, union 3 — Jaccard exactly 1/3.
+    # round(1/3, 6) = 0.333333 < 1/3, so a rounded-float comparison drops
+    # this pair; the exact-rational contract keeps it.
+    df = sess.createDataFrame(
+        [Row(doc_id=0, text="w0"), Row(doc_id=1, text="w0 w1 w2")]
+    )
+    got = {(r.id_a, r.id_b) for r in set_similarity_join_prefix(df, 1, 3).collect()}
+    assert got == {(0, 1)}
 
 
 coords = st.tuples(

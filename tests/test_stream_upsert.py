@@ -119,10 +119,41 @@ def test_replayed_batch_converges(spark, tmp_path):
             from kafka_etl_consumer_spark.operators.scd import merge_type1
 
             merged = merge_type1(cur, df, ["k"], "deleted")
-        merged.write.mode("overwrite").parquet(table + "/_v0")
-        U._write_marker(spark, table, "_v0")
+        version = U._fresh_version_name(spark, table, 0)
+        merged.write.mode("overwrite").parquet(table + "/" + version)
+        U._write_marker(spark, table, version)
+        return version
 
-    run_once()
+    assert run_once() == "_v0"
     first = _snapshot_dict(spark, table)
-    run_once()  # replay
+    # replay writes a FRESH directory — never the one a concurrent merge
+    # plan may still be reading — and converges to identical state
+    assert run_once() == "_v0_r1"
     assert _snapshot_dict(spark, table) == first == {1: ("a", 1)}
+
+
+def test_superseded_versions_garbage_collected(spark, tmp_path):
+    """Storage must not grow one table copy per batch: after each marker
+    repoint, older _v* directories beyond retain_versions are deleted."""
+    import os
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for seq in (1, 2, 3):
+        _stage(spark, src, [Row(k=1, val=f"v{seq}", seq=seq, deleted=False)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream_merge_upsert(
+        stream, table, ["k"], ckpt, delete_col="deleted", order_col="seq"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    versions = sorted(d for d in os.listdir(table) if d.startswith("_v"))
+    assert versions == ["_v2"], versions  # only the active snapshot remains
+    assert _snapshot_dict(spark, table) == {1: ("v3", 3)}
