@@ -425,3 +425,248 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded BFS hop distance from a single source on the co-ordered-parts
+# graph — "how far is everything from X" (3 hops). The oracle's recursive
+# CTE enumerates paths; the engine iterates frontier-min rounds, which is
+# the only shape that survives a big graph (paths explode, distances
+# don't).
+# ---------------------------------------------------------------------------
+
+_BFS_ORACLE = """
+WITH RECURSIVE
+li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+sym AS (SELECT p1 AS u, p2 AS v FROM e0
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e0),
+src AS (SELECT min(u) AS s FROM sym),
+walk(v, hop) AS (
+  SELECT s, 0 FROM src
+  UNION ALL
+  SELECT e.v, walk.hop + 1 FROM walk JOIN sym e ON e.u = walk.v
+  WHERE walk.hop < 3
+)
+SELECT v AS vertex, CAST(min(hop) AS INT) AS hops
+FROM walk GROUP BY v
+"""
+
+
+@register("graph_bfs_hops", _BFS_ORACLE)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distance (<= 3) from the smallest vertex of the co-ordered-
+    parts graph. Each round: frontier ⋈ edges (edge side partitioned
+    once, reused every round — the label_propagation trick), then a
+    min-dist hash-agg; state is one (vertex, dist) row per reached
+    vertex. The oracle's recursive CTE enumerates ALL bounded paths —
+    fine at sf0.01, combinatorial at scale — which is exactly why the
+    engine side iterates distances instead."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    e0 = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+    sym = e0.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        e0.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    sym = sym.repartition("u").localCheckpoint(eager=False)
+    src = sym.agg(F.min("u").alias("v")).select("v", F.lit(0).alias("hop"))
+    dist = src.localCheckpoint(eager=False)
+    for h in range(1, 4):
+        frontier = dist.filter(F.col("hop") == h - 1)
+        step = (
+            frontier.alias("f")
+            .join(sym.alias("e"), F.col("e.u") == F.col("f.v"))
+            .select(F.col("e.v").alias("v"), F.lit(h).alias("hop"))
+        )
+        dist = (
+            dist.unionByName(step)
+            .groupBy("v")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("v", "hop").select(
+        F.col("v").alias("vertex"), F.col("hop").cast("int").alias("hops")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered-set aggregates with deterministic semantics: per event type,
+# the modal hour-of-day (most frequent; smallest hour on ties) and the
+# discrete median of value (percentile_disc: an actual data value, the
+# lower-of-middle-two — NOT interpolated like percentile_cont).
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+WITH hr AS (
+  SELECT event_type, CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS h
+  FROM events
+),
+mode_h AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h, row_number() OVER (
+      PARTITION BY event_type ORDER BY count(*) DESC, h) AS rn
+    FROM hr GROUP BY event_type, h)
+  WHERE rn = 1
+),
+med AS (
+  SELECT event_type, v FROM (
+    SELECT event_type, value AS v,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM events)
+  WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+)
+SELECT m.event_type, m.h AS modal_hour, med.v AS median_disc
+FROM mode_h m JOIN med USING (event_type)
+"""
+
+
+@register("agg_mode_disc", _MODE_ORACLE)
+def agg_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + percentile_disc(0.5) per event type. The
+    built-in ``mode()`` is tie-nondeterministic in both engines, so the
+    mode is a count agg + min-struct argmax (hash-aggs only); the
+    discrete median picks the physical row at rank ceil(n/2) under a
+    TOTAL order (value, event_id) — tie-stable across engines, unlike
+    interpolating percentile_cont on duplicated values."""
+    ev = _t(spark, sf_dir, "events")
+    hr = ev.select(
+        "event_type", F.hour(F.col("ts")).cast("int").alias("h")
+    )
+    mode_h = (
+        hr.groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("h"))).alias("m"))
+        .select("event_type", F.col("m.h").alias("modal_hour"))
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        ev.select("event_type", "value", "event_id")
+        .withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0))
+        .select("event_type", F.col("value").alias("median_disc"))
+    )
+    return mode_h.join(med, "event_type").select(
+        "event_type", "modal_hour", "median_disc"
+    )
+
+
+# ---------------------------------------------------------------------------
+# decile binning under a TOTAL order — the feature-discretization step
+# (quantile binning) with cross-engine-identical bin edges. ntile over a
+# non-total order is nondeterministic in every engine; the (price, key)
+# tie-break makes the same rows land in the same bins everywhere.
+# ---------------------------------------------------------------------------
+
+_DECILE_ORACLE = """
+WITH b AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi
+FROM b GROUP BY decile
+"""
+
+
+@register("bin_quantile_deciles", _DECILE_ORACLE)
+def bin_quantile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bins of order totals: per-bin count and [lo, hi] edges.
+    The global ntile needs a total sort — the one operation that cannot
+    shard — so at 100 TB this becomes approx-quantile CUTS (computed on
+    a sample or sketch, applied as a broadcast width_bucket map, the
+    width_bucket_hist pattern); this query keeps the exact form the
+    oracle can verify and documents the swap."""
+    o = _t(spark, sf_dir, "orders")
+    b = o.select(
+        "o_totalprice",
+        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("decile"),
+    )
+    return b.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    ).select(F.col("decile").cast("int").alias("decile"), "n", "lo", "hi")
+
+
+# ---------------------------------------------------------------------------
+# hour-of-day seasonal strength: how much of the value variance does the
+# hourly profile explain (eta-squared / variance decomposition)? The
+# "does this metric have a daily rhythm" answer in one number per type.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH e AS (
+  SELECT event_type, value,
+         CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INT) AS h
+  FROM events
+),
+hourly AS (
+  SELECT event_type, h, avg(value) AS hm, count(*) AS hn
+  FROM e GROUP BY event_type, h
+),
+total AS (
+  SELECT event_type, avg(value) AS gm, var_pop(value) AS gv, count(*) AS n
+  FROM e GROUP BY event_type
+)
+SELECT t.event_type,
+       round(sum(h.hn * (h.hm - t.gm) * (h.hm - t.gm)) / (t.n * t.gv), 6)
+           AS seasonal_strength
+FROM hourly h JOIN total t USING (event_type)
+GROUP BY t.event_type, t.n, t.gv
+"""
+
+
+@register("ts_seasonal_strength", _SEASONAL_ORACLE)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eta-squared of value vs hour-of-day per event type: between-hour
+    variance over total variance. Two sibling hash-aggs off one scan
+    (per-(type,hour) moments, per-type moments), a 24-row-per-type join,
+    a final tiny agg — the decomposition never touches row-level data
+    twice."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", F.hour(F.col("ts")).cast("int").alias("h")
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.avg("value").alias("hm"), F.count(F.lit(1)).alias("hn")
+    )
+    total = ev.groupBy("event_type").agg(
+        F.avg("value").alias("gm"),
+        F.var_pop("value").alias("gv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        hourly.join(F.broadcast(total), "event_type")
+        .groupBy("event_type", "n", "gv")
+        .agg(
+            F.sum(
+                F.col("hn") * (F.col("hm") - F.col("gm")) * (F.col("hm") - F.col("gm"))
+            ).alias("bss")
+        )
+        .select(
+            "event_type",
+            F.round(F.col("bss") / (F.col("n") * F.col("gv")), 6).alias(
+                "seasonal_strength"
+            ),
+        )
+    )
