@@ -154,6 +154,21 @@ HEADLINE = [
     "attribution_last_touch",
     "growth_month_over_month",
     "streak_longest_monthly",
+    "ts_acf_lags",
+    "ts_cusum_changepoint",
+    "corr_matrix_lineitem",
+    "feature_hash_64",
+    "text_winnowing_fingerprints",
+    "graph_jaccard_linkpred",
+    "graph_bfs_hops",
+    "agg_mode_disc",
+    "bin_quantile_deciles",
+    "ts_seasonal_strength",
+    "mutual_info_buckets",
+    "corpus_ngram_novelty",
+    "text_readability",
+    "join_asof_nearest",
+    "win_cume_pct",
 ]
 
 
