@@ -169,6 +169,8 @@ HEADLINE = [
     "text_readability",
     "join_asof_nearest",
     "win_cume_pct",
+    "agg_bitmap_presence",
+    "embedding_random_projection",
 ]
 
 

@@ -997,3 +997,105 @@ def win_cume_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("event_id") % 17 == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# bitmap presence aggregation: pack hour-of-day activity into ONE int64
+# bitmap per (event_type, user cohort) via bit_or — the roaring-bitmap
+# idea at its smallest. Bitmaps OR-merge associatively, so per-partition
+# partials collapse map-side and daily bitmaps fold into monthly ones
+# without revisiting rows (same mergeable-state argument as HLL
+# registers).
+# ---------------------------------------------------------------------------
+
+_BITMAP_ORACLE = """
+WITH h AS (
+  SELECT event_type, user_id % 10 AS cohort,
+         CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr
+  FROM events
+)
+SELECT event_type, CAST(cohort AS INT) AS cohort,
+       CAST(bit_or(CAST(1 AS BIGINT) << hr) AS BIGINT) AS hour_bitmap,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << hr)) AS INT) AS n_active_hours
+FROM h GROUP BY event_type, cohort
+"""
+
+
+@register("agg_bitmap_presence", _BITMAP_ORACLE)
+def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day presence bitmap per (event_type, user cohort):
+    bit_or(1 << hour) plus its popcount. ONE hash-agg whose state is a
+    single int64 per group — the cheapest possible distinct-ish
+    aggregate for small discrete domains, and mergeable across
+    partitions/batches by construction."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        (F.col("user_id") % 10).alias("cohort"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    )
+    bm = F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), hr)"))
+    return h.groupBy("event_type", "cohort").agg(
+        bm.cast("bigint").alias("hour_bitmap"),
+        F.bit_count(bm).cast("int").alias("n_active_hours"),
+    ).select(
+        "event_type", F.col("cohort").cast("int").alias("cohort"),
+        "hour_bitmap", "n_active_hours",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: 64-dim embeddings down to 4
+# dims through a deterministic ±1 sign matrix (md5-derived, like every
+# random structure here) — the dimensionality-reduction preprocessing
+# step before cheap clustering/visualization. The sign matrix is
+# engine-independent Python; both engines then evaluate the IDENTICAL
+# fixed-order multiply-add tree, so the doubles match bit-for-bit with
+# no rounding anywhere.
+# ---------------------------------------------------------------------------
+
+_RP_IN_DIM = 64
+_RP_OUT_DIM = 4
+
+
+def _rp_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp_{i}_{j}".encode()).hexdigest(), 16) % 2 == 0 else -1
+            for i in range(_RP_IN_DIM)
+        ]
+        for j in range(_RP_OUT_DIM)
+    ]
+
+
+def _rp_oracle() -> str:
+    signs = _rp_signs()
+    cols = []
+    for j, row in enumerate(signs):
+        terms = " + ".join(
+            f"({s} * CAST(embedding[{i + 1}] AS DOUBLE))"
+            for i, s in enumerate(row)
+        )
+        cols.append(f"({terms}) AS p{j}")
+    return f"SELECT vec_id, {', '.join(cols)} FROM embeddings"
+
+
+@register("embedding_random_projection", _rp_oracle())
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-dim JL sketch of each embedding via a deterministic ±1 matrix.
+    Zero shuffle — a narrow per-row fold entirely in codegen; the
+    projection matrix lives in the plan (64x4 literals), never in data.
+    At 100 TB this is the cheap first stage before IVF/k-means, cutting
+    downstream distance math 16x."""
+    emb = _t(spark, sf_dir, "embeddings")
+    signs = _rp_signs()
+    proj = []
+    for j, row in enumerate(signs):
+        col = None
+        for i, s in enumerate(row):
+            term = F.lit(s) * F.col("embedding").getItem(i).cast("double")
+            col = term if col is None else col + term
+        proj.append(col.alias(f"p{j}"))
+    return emb.select("vec_id", *proj)
