@@ -405,3 +405,42 @@ def test_triangles_no_wedge_join_rowset(spark, sf_dir):
     assert "array_intersect" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_asof_nearest_plan_has_no_join(spark, sf_dir):
+    # the bidirectional nearest attach must be the merge shape — one
+    # window pass over the union — never an inequality candidate join
+    plan = _plan(spark, sf_dir, "join_asof_nearest", mode="simple")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_corr_matrix_is_one_scan_no_join(spark, sf_dir):
+    # all six correlations ride one aggregate over one scan
+    plan = _plan(spark, sf_dir, "corr_matrix_lineitem", mode="simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_winnowing_has_no_exchange(spark, sf_dir):
+    # pure per-row array codegen: zero shuffles
+    plan = _plan(spark, sf_dir, "text_winnowing_fingerprints", mode="simple")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_random_projection_has_no_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_random_projection", mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_readability_has_no_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_readability", mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_linkpred_broadcasts_degrees(spark, sf_dir):
+    # degree tables join via broadcast; the only SMJ-eligible shuffles are
+    # the two-hop self-join and the pair aggregate
+    plan = _plan(spark, sf_dir, "graph_jaccard_linkpred", mode="simple")
+    assert "BroadcastHashJoin" in plan
