@@ -1099,3 +1099,227 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             col = term if col is None else col + term
         proj.append(col.alias(f"p{j}"))
     return emb.select("vec_id", *proj)
+
+
+# ---------------------------------------------------------------------------
+# revenue concentration (Pareto): how many top customers cover 80% of
+# revenue, and what share the top decile holds — the 80/20 health check.
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+         sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(rev) OVER () AS total,
+         count(*) OVER () AS n
+  FROM cust
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       CAST(min(CASE WHEN cum >= 0.8 * total THEN rn END) AS BIGINT)
+           AS top_n_for_80pct,
+       round(sum(CASE WHEN rn <= ceil(n * 0.1) THEN rev ELSE 0 END)
+             / max(total), 6) AS share_top_10pct
+FROM ranked
+"""
+
+
+@register("pareto_revenue_8020", _PARETO_ORACLE)
+def pareto_revenue_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: total customers, how many top
+    customers reach 80% of revenue, and the top decile's share. One
+    hash-agg to the customer grain (sublinear), then windows over the
+    customer table under a total order (rev desc, key). At 100 TB the
+    customer grain is still the small side — the windows never see raw
+    orders."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    wr = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("rev").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("rev").over(Window.partitionBy()).alias("total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.min(F.when(F.col("cum") >= 0.8 * F.col("total"), F.col("rn")))
+        .cast("bigint")
+        .alias("top_n_for_80pct"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.ceil(F.col("n") * 0.1), F.col("rev")
+                ).otherwise(0.0)
+            )
+            / F.max("total"),
+            6,
+        ).alias("share_top_10pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands on a sparse key space: the missing o_orderkey ranges
+# (TPC-H orderkeys are deliberately sparse) — the data-integrity "which
+# IDs never arrived" report, top-20 widest gaps.
+# ---------------------------------------------------------------------------
+
+_GAPS_ORACLE = """
+WITH k AS (
+  SELECT o_orderkey AS k,
+         lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+  FROM orders WHERE o_orderstatus = 'F'
+)
+SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+       CAST(nxt - k - 1 AS BIGINT) AS gap_len
+FROM k WHERE nxt - k > 1
+ORDER BY gap_len DESC, gap_start LIMIT 20
+"""
+
+
+@register("gaps_missing_ranges", _GAPS_ORACLE)
+def gaps_missing_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 widest missing o_orderkey ranges within the finished
+    ('F') orders — "which finished-order IDs never arrived" — via ONE
+    lead() pass over the sorted key column; no generate-and-anti-join
+    against a dense sequence (which would materialize max(key) rows).
+    The global sort is on the single bigint column (the filter pushes
+    to the scan); range-partitioned sort at scale, then TakeOrdered
+    cuts the report."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    w = Window.orderBy("k")
+    g = o.select("k", F.lead("k").over(w).alias("nxt")).filter(
+        F.col("nxt") - F.col("k") > 1
+    )
+    return (
+        g.select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("gap_len"),
+        )
+        .orderBy(F.col("gap_len").desc(), "gap_start")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test between user cohorts per event type — the A/B-test
+# primitive: is mean(value) different between cohort A (even users) and
+# cohort B (odd users)? Statistic + Welch-Satterthwaite df, fully
+# deterministic from sibling aggregates.
+# ---------------------------------------------------------------------------
+
+_TTEST_ORACLE = """
+WITH g AS (
+  SELECT event_type, user_id % 2 AS grp,
+         avg(value) AS m, var_samp(value) AS v, count(*) AS n
+  FROM events GROUP BY event_type, user_id % 2
+),
+ab AS (
+  SELECT a.event_type,
+         a.m AS ma, a.v AS va, a.n AS na,
+         b.m AS mb, b.v AS vb, b.n AS nb
+  FROM g a JOIN g b USING (event_type)
+  WHERE a.grp = 0 AND b.grp = 1
+)
+SELECT event_type,
+       round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+       round(power(va / na + vb / nb, 2)
+             / (power(va / na, 2) / (na - 1)
+                + power(vb / nb, 2) / (nb - 1)), 4) AS welch_df,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+FROM ab
+"""
+
+
+@register("stats_ttest_welch", _TTEST_ORACLE)
+def stats_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between even/odd user cohorts per event
+    type. ONE hash-agg computes every cohort moment; the t algebra runs
+    on the 2x|types| grid. The same shape serves any A/B assignment
+    column at any scale — moments collapse map-side, the statistic
+    never touches rows."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", (F.col("user_id") % 2).alias("grp")).agg(
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = g.filter(F.col("grp") == 0).select(
+        "event_type",
+        F.col("m").alias("ma"), F.col("v").alias("va"), F.col("n").alias("na"),
+    )
+    b = g.filter(F.col("grp") == 1).select(
+        "event_type",
+        F.col("m").alias("mb"), F.col("v").alias("vb"), F.col("n").alias("nb"),
+    )
+    se2 = F.col("va") / F.col("na") + F.col("vb") / F.col("nb")
+    return a.join(b, "event_type").select(
+        "event_type",
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("va") / F.col("na"), 2) / (F.col("na") - 1)
+                + F.pow(F.col("vb") / F.col("nb"), 2) / (F.col("nb") - 1)
+            ),
+            4,
+        ).alias("welch_df"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# order inter-arrival statistics: per-priority mean/max days between a
+# customer's consecutive orders — the repeat-purchase cadence metric.
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH seq AS (
+  SELECT o_orderpriority, o_custkey,
+         date_diff('day',
+                   lag(CAST(o_orderdate AS DATE)) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(gap_days) AS BIGINT) AS n_gaps,
+       round(avg(gap_days), 4) AS mean_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+FROM seq WHERE gap_days IS NOT NULL
+GROUP BY o_orderpriority
+"""
+
+
+@register("orders_interarrival_stats", _INTERARRIVAL_ORACLE)
+def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days between consecutive orders of the same customer, aggregated
+    per priority. One customer-keyed window pass (lag under a total
+    order), one hash-agg — the sessionize-adjacent cadence shape; the
+    window partition key (customer) is the natural shard at scale."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return seq.groupBy("o_orderpriority").agg(
+        F.count("gap_days").cast("bigint").alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("mean_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+    )
