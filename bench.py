@@ -171,6 +171,10 @@ HEADLINE = [
     "win_cume_pct",
     "agg_bitmap_presence",
     "embedding_random_projection",
+    "pareto_revenue_8020",
+    "gaps_missing_ranges",
+    "stats_ttest_welch",
+    "orders_interarrival_stats",
 ]
 
 
