@@ -133,3 +133,86 @@ def ewma_last(
         .sortWithinPartitions(key_col, ts_col, order_col)
     )
     return part.mapInPandas(fold, schema)
+
+
+def holt_last(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Final Holt linear-trend state per key (double exponential
+    smoothing): l_0 = x_0, b_0 = 0, then
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    over rows ordered by (ts, order_col). Returns (key_col, n_events,
+    level, trend, forecast_1) with floats rounded to 6 — forecast_1 =
+    level + trend is the one-step-ahead prediction.
+
+    Same scan-fold shape as :func:`ewma_last` (ONE repartition+sort,
+    mapInPandas with O(1) carry state across Arrow batches), with a
+    two-double carry instead of one. The complements ``1 - alpha`` /
+    ``1 - beta`` are computed ONCE in Python and spelled as literals in
+    the oracle, so both engines fold the identical IEEE sequence — which
+    is what lets an inherently sequential operator keep a hash-exact
+    recursive-CTE oracle."""
+    schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("n_events", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast_1", T.DoubleType()),
+        ]
+    )
+    oma = 1.0 - alpha
+    omb = 1.0 - beta
+
+    def fold(batches):
+        last_key, lvl, trd, n = None, 0.0, 0.0, 0
+        out: dict[str, list] = {k: [] for k in (key_col, "n", "l", "b", "f")}
+
+        def emit():
+            out[key_col].append(last_key)
+            out["n"].append(n)
+            out["l"].append(round(lvl, 6))
+            out["b"].append(round(trd, 6))
+            out["f"].append(round(lvl + trd, 6))
+
+        for pdf in batches:
+            keys = pdf[key_col].to_numpy()
+            vals = pdf[value_col].to_numpy()
+            for k, x in zip(keys, vals):
+                if last_key is None or k != last_key:
+                    if last_key is not None:
+                        emit()
+                    last_key, lvl, trd, n = k, float(x), 0.0, 1
+                else:
+                    prev = lvl
+                    lvl = alpha * float(x) + oma * (lvl + trd)
+                    trd = beta * (lvl - prev) + omb * trd
+                    n += 1
+        if last_key is not None:
+            emit()
+        if out[key_col]:
+            yield pd.DataFrame(
+                {
+                    key_col: out[key_col],
+                    "n_events": out["n"],
+                    "level": out["l"],
+                    "trend": out["b"],
+                    "forecast_1": out["f"],
+                }
+            )
+
+    part = (
+        df.select(key_col, ts_col, value_col, order_col)
+        .repartition(key_col)
+        .sortWithinPartitions(key_col, ts_col, order_col)
+    )
+    return part.mapInPandas(fold, schema)

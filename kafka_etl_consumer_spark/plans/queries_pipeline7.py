@@ -1340,3 +1340,75 @@ def orders_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("gap_days"), 4).alias("mean_gap_days"),
         F.max("gap_days").cast("bigint").alias("max_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing (double EWMA) per user — level + trend +
+# one-step forecast. Inherently sequential like EWMA; the oracle unrolls
+# the recursion with a recursive CTE spelling the IDENTICAL IEEE op
+# sequence, so even a two-carry sequential fold stays hash-exact.
+# ---------------------------------------------------------------------------
+
+_HOLT_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, value AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+),
+f(user_id, rn, n, l, b) AS (
+  SELECT user_id, rn, n, x, CAST(0 AS DOUBLE) FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.n,
+         0.3 * s.x + (CAST(1 AS DOUBLE) - 0.3) * (f.l + f.b),
+         0.2 * ((0.3 * s.x + (CAST(1 AS DOUBLE) - 0.3) * (f.l + f.b)) - f.l)
+             + (CAST(1 AS DOUBLE) - 0.2) * f.b
+  FROM f JOIN seq s ON s.user_id = f.user_id AND s.rn = f.rn + 1
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + b, 6) AS forecast_1
+FROM f WHERE rn = n
+"""
+
+
+@register("ts_holt_linear", _HOLT_ORACLE)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear state (alpha=0.3, beta=0.2) of value per user — the
+    trend-aware big sibling of ewma_user_value. Same single-shuffle
+    scan-fold (operators/timeseries.py holt_last): repartition+sort once,
+    mapInPandas folds each partition with a two-double carry; the
+    recursive-CTE oracle replays the exact op order."""
+    from kafka_etl_consumer_spark.operators.timeseries import holt_last
+
+    return holt_last(_t(spark, sf_dir, "events"), alpha=0.3, beta=0.2)
+
+
+# ---------------------------------------------------------------------------
+# boolean aggregate battery: bool_and / bool_or / conditional counts per
+# event type — the assertion-style aggregates monitoring queries use.
+# ---------------------------------------------------------------------------
+
+_BOOLAGG_ORACLE = """
+SELECT event_type,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 90) AS any_gt90,
+       CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_gt50,
+       CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_null
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_bool_battery", _BOOLAGG_ORACLE)
+def agg_bool_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or / FILTERed counts per event type — one
+    hash-agg, four sibling aggregates, boolean state collapses
+    map-side (the monitoring-assertion shape validate_orders
+    generalizes)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 90).alias("any_gt90"),
+        F.count(F.when(F.col("value") > 50, 1)).cast("bigint").alias("n_gt50"),
+        F.count(F.when(F.col("value").isNull(), 1)).cast("bigint").alias("n_null"),
+    )
