@@ -175,6 +175,8 @@ HEADLINE = [
     "gaps_missing_ranges",
     "stats_ttest_welch",
     "orders_interarrival_stats",
+    "ts_holt_linear",
+    "agg_bool_battery",
 ]
 
 

@@ -264,3 +264,33 @@ def test_pca_arrow_and_codegen_paths_agree(spark):
     b = pca_top_component(df, dims=8, iters=3, use_arrow=False).collect()[0]
     assert a.explained_ratio == b.explained_ratio
     assert a.component == b.component  # re-rounding pins both paths bit-equal
+
+
+def test_holt_matches_python_recursion(spark):
+    import datetime as dt
+
+    from kafka_etl_consumer_spark.operators.timeseries import holt_last
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0]
+    rows = [
+        Row(user_id=1, ts=base + dt.timedelta(minutes=i), value=v, event_id=i)
+        for i, v in enumerate(vals)
+    ] + [Row(user_id=2, ts=base, value=7.0, event_id=99)]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_1)
+        for r in holt_last(df, alpha=0.3, beta=0.2).collect()
+    }
+    a, b = 0.3, 0.2
+    oma, omb = 1.0 - a, 1.0 - b
+    lvl, trd = vals[0], 0.0
+    for x in vals[1:]:
+        prev = lvl
+        lvl = a * x + oma * (lvl + trd)
+        trd = b * (lvl - prev) + omb * trd
+    assert got[1] == (
+        len(vals), round(lvl, 6), round(trd, 6), round(lvl + trd, 6)
+    )
+    # single-observation key: level = x, trend = 0
+    assert got[2] == (1, 7.0, 0.0, 7.0)
