@@ -177,6 +177,10 @@ HEADLINE = [
     "orders_interarrival_stats",
     "ts_holt_linear",
     "agg_bool_battery",
+    "corpus_dup_rate_by_source",
+    "context_length_histogram",
+    "embedding_norm_outliers",
+    "corpus_source_overlap_minhash",
 ]
 
 

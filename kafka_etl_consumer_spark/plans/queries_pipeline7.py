@@ -1412,3 +1412,209 @@ def agg_bool_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("value") > 50, 1)).cast("bigint").alias("n_gt50"),
         F.count(F.when(F.col("value").isNull(), 1)).cast("bigint").alias("n_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation accounting: exact-duplicate rate per source — the first
+# number a corpus report states. ONE scan, two sibling aggregates.
+# ---------------------------------------------------------------------------
+
+_DUPRATE_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       round(1 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 6)
+           AS dup_rate
+FROM documents GROUP BY source
+"""
+
+
+@register("corpus_dup_rate_by_source", _DUPRATE_ORACLE)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source (1 - distinct fingerprints /
+    docs). The fingerprint is md5 over the full text — computed in the
+    scan projection, so the distinct-agg shuffle carries 16-byte
+    fingerprints, never documents."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        F.round(
+            1
+            - F.countDistinct(F.md5("text"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# context-length histogram: token-count buckets per source — the "what
+# sequence lengths will training see" report behind every packing and
+# truncation decision (pack_sequences consumes exactly this).
+# ---------------------------------------------------------------------------
+
+_LENHIST_ORACLE = f"""
+WITH t AS (
+  SELECT source, len({tokens_sql("text")}) AS n_tok FROM documents
+)
+SELECT source,
+       CASE WHEN n_tok <= 32 THEN '0-32' WHEN n_tok <= 64 THEN '33-64'
+            WHEN n_tok <= 128 THEN '65-128' WHEN n_tok <= 256 THEN '129-256'
+            ELSE '257+' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM t GROUP BY 1, 2
+"""
+
+
+@register("context_length_histogram", _LENHIST_ORACLE)
+def context_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length buckets per source with token mass per bucket.
+    Tokenize-and-count is a narrow map; the agg collapses to
+    sources x 5 keys map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    bucket = (
+        F.when(n_tok <= 32, "0-32")
+        .when(n_tok <= 64, "33-64")
+        .when(n_tok <= 128, "65-128")
+        .when(n_tok <= 256, "129-256")
+        .otherwise("257+")
+    )
+    return (
+        docs.select("source", n_tok.alias("n_tok"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding hygiene: squared-norm distribution + 3-sigma outlier count —
+# catches the broken-encoder rows (zero vectors, exploded magnitudes)
+# before they poison cosine math downstream.
+# ---------------------------------------------------------------------------
+
+
+def _normsq_sql() -> str:
+    terms = " + ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE))"
+        for i in range(64)
+    )
+    return f"({terms})"
+
+
+_NORM_ORACLE = f"""
+WITH n AS (SELECT vec_id, {_normsq_sql()} AS ns FROM embeddings),
+s AS (SELECT avg(ns) AS m, stddev_samp(ns) AS sd,
+             count(*) AS cnt FROM n)
+SELECT CAST(s.cnt AS BIGINT) AS n_vecs,
+       round(s.m, 6) AS mean_normsq,
+       round(s.sd, 6) AS sd_normsq,
+       CAST(sum(CASE WHEN abs(n.ns - s.m) > 3 * s.sd THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM n CROSS JOIN s
+GROUP BY s.cnt, s.m, s.sd
+"""
+
+
+@register("embedding_norm_outliers", _NORM_ORACLE)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-L2 distribution of the embedding table and the 3-sigma
+    outlier count. The norm is a per-row codegen fold (identical
+    left-assoc order to the oracle's explicit sum, bit-exact); moments
+    are one aggregate; the outlier pass re-reads norms against the
+    broadcast 1-row stats."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ns = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    n = emb.select("vec_id", ns.alias("ns"))
+    s = n.agg(
+        F.avg("ns").alias("m"),
+        F.stddev_samp("ns").alias("sd"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        n.crossJoin(F.broadcast(s))
+        .groupBy("cnt", "m", "sd")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("ns") - F.col("m")) > 3 * F.col("sd"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            F.col("cnt").cast("bigint").alias("n_vecs"),
+            F.round("m", 6).alias("mean_normsq"),
+            F.round("sd", 6).alias("sd_normsq"),
+            "n_outliers",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-source near-duplication: which source pairs share near-dup
+# documents, and how similar — the contamination map between corpus
+# slices (reuses the MinHash-LSH pair stage and, on the oracle side,
+# the dedup_minhash oracle verbatim as a subquery so the pair semantics
+# can never drift between the two queries).
+# ---------------------------------------------------------------------------
+
+
+def _src_overlap_oracle() -> str:
+    from kafka_etl_consumer_spark.plans.registry import ORACLES
+
+    minhash_pairs = ORACLES["dedup_minhash"]
+    return f"""
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jaccard), 6) AS mean_jaccard
+FROM ({minhash_pairs}) p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+"""
+
+
+@register("corpus_source_overlap_minhash", _src_overlap_oracle())
+def corpus_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts and mean Jaccard per (unordered) source
+    pair. The pair stage is the bucketed LSH path (never all-pairs);
+    the source attach is two joins against the doc-grain (broadcastable)
+    source map; the final agg runs on the pair table."""
+    from kafka_etl_consumer_spark.operators import dedup as D
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, k=3, num_hashes=24, bands=8, rows_per_band=3, threshold=0.5
+    )
+    src = docs.select("doc_id", "source")
+    return (
+        pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_a"),
+                                   F.col("source").alias("sa"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("id_b"),
+                                   F.col("source").alias("sb"))),
+            "id_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
+        )
+    )
