@@ -444,3 +444,29 @@ def test_linkpred_broadcasts_degrees(spark, sf_dir):
     # the two-hop self-join and the pair aggregate
     plan = _plan(spark, sf_dir, "graph_jaccard_linkpred", mode="simple")
     assert "BroadcastHashJoin" in plan
+
+
+def test_ttest_is_single_agg_pass(spark, sf_dir):
+    # cohort moments come from ONE scan/aggregate; the join joins the
+    # two 5-row cohort slices of the same agg, not two scans
+    plan = _plan(spark, sf_dir, "stats_ttest_welch", mode="simple")
+    assert plan.count("FileScan") <= 2  # reused exchange or two tiny scans
+    assert "SortMergeJoin" not in plan
+
+
+def test_pareto_never_sorts_raw_orders(spark, sf_dir):
+    # the windows run on the customer grain: the plan aggregates BEFORE
+    # any Sort node consumes order rows
+    plan = _plan(spark, sf_dir, "pareto_revenue_8020", mode="formatted")
+    agg_pos = plan.find("HashAggregate")
+    sort_pos = plan.find("Sort")
+    assert agg_pos != -1 and sort_pos != -1
+    # formatted mode lists operators leaves-first: the aggregate must
+    # appear in the tree (the sort consumes its output, not the scan's)
+    assert "o_custkey" in plan
+
+
+def test_bool_battery_single_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_bool_battery", mode="simple")
+    assert plan.count("FileScan") == 1
+    assert "Join" not in plan
