@@ -127,3 +127,39 @@ class ConsulSchemaRegistry(SchemaRegistry):
             raise KeyError(f"empty Consul KV result for topic {topic!r} at {url}")
         value_b64 = entries[0]["Value"]
         return base64.b64decode(value_b64).decode("utf-8")
+
+
+class HttpSchemaRegistry(SchemaRegistry):
+    """topic → URL serving the raw avsc JSON document (a static schema
+    server, an object store, or any REST endpoint that returns the
+    schema body on GET).
+
+    Rounds out the SPI beyond the reference's classpath/Consul pair
+    (ConsulAvroDeserializeService.java:32-96 is the reference's only
+    networked registry): pass an explicit ``topic_to_url`` map, or
+    ``base_url`` to resolve ``<base_url>/<topic>.avsc``. Like every
+    registry here, resolution happens once at pipeline build and is
+    cached — no per-record network I/O ever. ``http_get`` is injectable
+    so tests never need a live server."""
+
+    def __init__(
+        self,
+        topic_to_url: dict[str, str] | None = None,
+        base_url: str | None = None,
+        http_get: Callable[[str], bytes] | None = None,
+    ) -> None:
+        super().__init__()
+        self._urls = dict(topic_to_url or {})
+        self._base = base_url.rstrip("/") if base_url else None
+        self._http_get = http_get or ConsulSchemaRegistry._default_http_get
+
+    def _load(self, topic: str) -> str:
+        if topic in self._urls:
+            url = self._urls[topic]
+        elif self._base is not None:
+            url = f"{self._base}/{topic}.avsc"
+        else:
+            raise KeyError(f"no schema URL registered for topic {topic!r}")
+        body = self._http_get(url).decode("utf-8")
+        json.loads(body)  # fail fast on non-JSON bodies (error pages)
+        return body

@@ -436,3 +436,67 @@ def _reference_layout_writer(sink_path: str, date_format: str, idempotent: bool 
         )
 
     return write_batch
+
+
+def strip_registry_framing(
+    df: DataFrame,
+    value_col: str = "value",
+    schema_id_col: str = "schema_id",
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """Unwrap the Confluent-style wire framing — 1 magic byte (0x00) +
+    4-byte big-endian schema id + Avro body — into (payload bytes,
+    schema id).
+
+    The reference consumes RAW Avro bytes with no envelope at all
+    (`binaryDecoder` over the whole payload,
+    AbstractAvroDeserializeService.java:50; README.md:51-52), which is
+    why :func:`decode_avro` takes the value column as-is. Real clusters
+    frequently carry the framed format instead; this pre-step makes the
+    same downstream pipeline consume either — call it before
+    :func:`decode_avro` and route on ``schema_id_col`` if topics carry
+    multiple schema versions.
+
+    Entirely JVM-side expressions (binary substring + big-endian
+    reassembly from unhex'd hex) — no Python in the hot path.
+
+    ``mode``: FAILFAST raises (in-plan ``raise_error``) on a payload
+    whose magic byte isn't 0x00 or that is shorter than the 5-byte
+    header; PERMISSIVE nulls payload and id for such rows so they can be
+    quarantined like decode_avro's dead-letter path.
+    """
+    v = F.col(value_col)
+    ok = (F.length(v) >= 6) & (F.substring(v, 1, 1) == F.lit(bytes([0])))
+    sid = F.conv(F.hex(F.substring(v, 2, 4)), 16, 10).cast("int")
+    body = F.expr(f"substring({value_col}, 6, length({value_col}) - 5)")
+    if mode.upper() == "FAILFAST":
+        err = F.raise_error(
+            F.concat(
+                F.lit("strip_registry_framing: bad magic byte or truncated "
+                      "header (len="),
+                F.length(v).cast("string"),
+                F.lit(")"),
+            )
+        )
+        sid_out = F.when(ok, sid).otherwise(err.cast("int"))
+        body_out = F.when(ok, body)
+    elif mode.upper() == "PERMISSIVE":
+        sid_out = F.when(ok, sid)
+        body_out = F.when(ok, body)
+    else:
+        raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
+    others = [c for c in df.columns if c != value_col]
+    return df.select(
+        *others, sid_out.alias(schema_id_col), body_out.alias(value_col)
+    )
+
+
+def add_registry_framing(
+    df: DataFrame, schema_id: int, value_col: str = "value"
+) -> DataFrame:
+    """Inverse of :func:`strip_registry_framing` (producer side): prefix
+    each Avro payload with the 0x00 magic byte + big-endian schema id."""
+    header = bytes([0]) + int(schema_id).to_bytes(4, "big")
+    return df.withColumn(
+        value_col, F.concat(F.lit(header), F.col(value_col))
+    )

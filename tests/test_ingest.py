@@ -599,3 +599,47 @@ def test_decode_avro_logical_types_and_union_struct(spark):
     assert got[2].amount == decimal.Decimal("-0.01")
     assert got[2].ref.member1 == 42
     assert got[3].day == dt.date(2030, 12, 31) and got[3].ref is None
+
+
+def test_registry_framing_roundtrip_and_decode(spark):
+    """Framed (magic + schema id) payloads unwrap JVM-side and decode
+    through the unchanged decode_avro path; bad magic rows dead-letter
+    in PERMISSIVE and raise in FAILFAST."""
+    import pytest
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_etl_consumer_spark.avro_codec import encode_record, parse_schema
+    from kafka_etl_consumer_spark.fixtures import (
+        ITEM_VIEW_EVENT_AVSC,
+        item_view_events,
+    )
+    from kafka_etl_consumer_spark.streaming.ingest import (
+        add_registry_framing,
+        decode_avro,
+        strip_registry_framing,
+    )
+
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    events = item_view_events(5)
+    payloads = [bytearray(encode_record(schema, e)) for e in events]
+    env = T.StructType([T.StructField("value", T.BinaryType())])
+    raw = spark.createDataFrame([Row(value=p) for p in payloads], env)
+
+    framed = add_registry_framing(raw, schema_id=42)
+    unwrapped = strip_registry_framing(framed)
+    assert unwrapped.select("schema_id").distinct().collect()[0].schema_id == 42
+    decoded = decode_avro(unwrapped, ITEM_VIEW_EVENT_AVSC)
+    got = sorted(r.baseProperties.uid for r in decoded.collect())
+    want = sorted(e["baseProperties"]["uid"] for e in events)
+    assert got == want
+
+    # corrupt framing: wrong magic byte
+    bad = spark.createDataFrame(
+        [Row(value=bytearray(b"\x07" + bytes(8)))], env
+    )
+    perm = strip_registry_framing(bad, mode="PERMISSIVE").collect()[0]
+    assert perm.schema_id is None and perm.value is None
+    with pytest.raises(Exception, match="magic"):
+        strip_registry_framing(bad, mode="FAILFAST").collect()

@@ -52,3 +52,39 @@ def test_consul_registry_http_mock():
     assert calls == ["http://consul.test:8500/v1/kv/schemas/item-view-event"]
     reg.avsc(ITEM_VIEW_EVENT_TOPIC)
     assert len(calls) == 1  # cached after first resolve (schema loaded once)
+
+
+def test_http_registry_resolves_and_caches():
+    from kafka_etl_consumer_spark.schema.registry import HttpSchemaRegistry
+
+    calls = []
+
+    def fake_get(url):
+        calls.append(url)
+        return b'{"type": "record", "name": "E", "fields": [{"name": "x", "type": "long"}]}'
+
+    reg = HttpSchemaRegistry(base_url="http://schemas.local/v1", http_get=fake_get)
+    s1 = reg.avsc("events")
+    s2 = reg.avsc("events")  # cached: no second fetch
+    assert '"name": "E"' in s1 and s1 == s2
+    assert calls == ["http://schemas.local/v1/events.avsc"]
+    assert reg.spark_schema("events").fieldNames() == ["x"]
+
+
+def test_http_registry_explicit_map_and_errors():
+    import pytest
+
+    from kafka_etl_consumer_spark.schema.registry import HttpSchemaRegistry
+
+    reg = HttpSchemaRegistry(
+        topic_to_url={"t": "http://x/t.avsc"},
+        http_get=lambda url: b'{"type": "record", "name": "T", "fields": []}',
+    )
+    assert "T" in reg.avsc("t")
+    with pytest.raises(KeyError):
+        reg.avsc("unknown")
+    bad = HttpSchemaRegistry(
+        topic_to_url={"t": "http://x/t"}, http_get=lambda url: b"<html>404</html>"
+    )
+    with pytest.raises(ValueError):
+        bad.avsc("t")  # non-JSON body fails fast
