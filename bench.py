@@ -181,6 +181,7 @@ HEADLINE = [
     "context_length_histogram",
     "embedding_norm_outliers",
     "corpus_source_overlap_minhash",
+    "ingest_framed_decode",
 ]
 
 

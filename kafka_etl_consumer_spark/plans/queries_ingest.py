@@ -77,3 +77,54 @@ def ingest_roundtrip_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").alias("price"),
         F.col("baseProperties.deviceType").alias("device_type"),
     )
+
+
+_FRAMED_ORACLE = f"""
+WITH idx AS (SELECT unnest(range(0, {_N})) AS i),
+h AS (SELECT i, lpad(lower(to_hex(i)), 32, '0') AS x FROM idx)
+SELECT
+  CAST(7 AS INT) AS schema_id,
+  concat(substr(x, 1, 8), '-', substr(x, 9, 4), '-', substr(x, 13, 4),
+         '-', substr(x, 17, 4), '-', substr(x, 21, 12)) AS uid,
+  'any-item-id' || CAST(i AS VARCHAR) AS item_id,
+  CAST(168000 + i AS BIGINT) AS price
+FROM h
+"""
+
+
+@register("ingest_framed_decode", _FRAMED_ORACLE)
+def ingest_framed_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The framed-wire variant of ingest_roundtrip_decode: payloads carry
+    the Confluent-style magic byte + big-endian schema id envelope,
+    `strip_registry_framing` unwraps it with JVM expressions, and the
+    UNCHANGED decode stage consumes the body — proving envelope and
+    codec compose. The oracle rebuilds the expected rows (including the
+    constant schema id) arithmetically."""
+    from kafka_etl_consumer_spark.avro_codec import encode_record, parse_schema
+    from kafka_etl_consumer_spark.fixtures import (
+        ITEM_VIEW_EVENT_AVSC,
+        item_view_events,
+    )
+    from kafka_etl_consumer_spark.streaming.ingest import (
+        add_registry_framing,
+        decode_avro,
+        strip_registry_framing,
+    )
+
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    payloads = [
+        (bytearray(encode_record(schema, r)),) for r in item_view_events(_N)
+    ]
+    env = T.StructType([T.StructField("value", T.BinaryType())])
+    df = spark.createDataFrame(payloads, env).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    framed = add_registry_framing(df, schema_id=7)
+    unwrapped = strip_registry_framing(framed)
+    dec = decode_avro(unwrapped, ITEM_VIEW_EVENT_AVSC, keep_cols=["schema_id"])
+    return dec.select(
+        F.col("schema_id").cast("int").alias("schema_id"),
+        F.col("baseProperties.uid").alias("uid"),
+        F.col("itemId").alias("item_id"),
+        F.col("price").alias("price"),
+    )
