@@ -182,6 +182,7 @@ HEADLINE = [
     "embedding_norm_outliers",
     "corpus_source_overlap_minhash",
     "ingest_framed_decode",
+    "graph_clustering_local",
 ]
 
 

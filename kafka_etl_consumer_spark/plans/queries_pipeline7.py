@@ -1618,3 +1618,113 @@ def corpus_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.avg("jaccard"), 6).alias("mean_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LOCAL clustering coefficient: per-vertex triangles / wedges — the
+# per-node "how clique-like is my neighborhood" score (triangle_stats
+# gives the global number; this attributes each triangle to its three
+# corners). Top-50 by coefficient among vertices with >= 2 neighbors.
+# ---------------------------------------------------------------------------
+
+_LOCAL_CC_ORACLE = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+deg AS (SELECT v, count(*) AS d FROM (
+          SELECT p1 AS v FROM e0 UNION ALL SELECT p2 AS v FROM e0) GROUP BY v),
+tri AS (SELECT a.p1 AS x, a.p2 AS y, b.p2 AS z
+        FROM e0 a JOIN e0 b ON b.p1 = a.p2 JOIN e0 c
+          ON c.p1 = a.p1 AND c.p2 = b.p2),
+per_v AS (SELECT v, count(*) AS t FROM (
+            SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) GROUP BY v)
+SELECT deg.v AS vertex, CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(per_v.t, 0) AS BIGINT) AS n_triangles,
+       round(coalesce(per_v.t, 0) / (deg.d * (deg.d - 1) / 2.0), 6)
+           AS local_clustering
+FROM deg LEFT JOIN per_v ON per_v.v = deg.v
+WHERE deg.d >= 2
+ORDER BY local_clustering DESC, vertex LIMIT 50
+"""
+
+
+@register("graph_clustering_local", _LOCAL_CC_ORACLE)
+def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vertices by local clustering coefficient on the
+    co-ordered-parts slice. Triangles enumerate once at their
+    degree-oriented lowest edge (the triangle_stats shape,
+    operators/graph.py) and explode to their three corners — 3T rows,
+    never wedge candidates; degrees broadcast into the final division.
+    The oracle triple-joins edges, proving the oriented intersection
+    finds exactly the same triangle set."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    e0 = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+        .cache()
+    )
+    ends = e0.select(F.col("p1").alias("v")).unionAll(
+        e0.select(F.col("p2").alias("v"))
+    )
+    deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    keyed = e0.join(
+        F.broadcast(deg.select(F.col("v").alias("p1"), F.col("d").alias("da"))), "p1"
+    ).join(
+        F.broadcast(deg.select(F.col("v").alias("p2"), F.col("d").alias("db"))), "p2"
+    )
+    lt = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("p1") < F.col("p2"))
+    )
+    o = keyed.select(
+        F.when(lt, F.col("p1")).otherwise(F.col("p2")).alias("s"),
+        F.when(lt, F.col("p2")).otherwise(F.col("p1")).alias("t"),
+    )
+    adj = o.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
+    empty = F.array().cast(adj.schema["nbrs"].dataType)
+    corners = (
+        o.join(adj.select("s", F.col("nbrs").alias("ns")), "s")
+        .join(
+            adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt")),
+            "t",
+            "left",
+        )
+        .select(
+            "s",
+            "t",
+            F.explode(
+                F.array_intersect("ns", F.coalesce("nt", empty))
+            ).alias("w"),
+        )
+    )
+    per_v = (
+        corners.select(F.explode(F.array("s", "t", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(per_v, "v", "left")
+        .select(
+            F.col("v").alias("vertex"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.round(
+                F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1) / 2.0),
+                6,
+            ).alias("local_clustering"),
+        )
+        .orderBy(F.col("local_clustering").desc(), "vertex")
+        .limit(50)
+    )
