@@ -169,6 +169,35 @@ def pagerank(
     return ranks.select(F.col("vid").alias(id_col), "rank")
 
 
+def oriented_adjacency(
+    e: DataFrame, deg: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Degree-oriented edge list and out-adjacency lists — the shared
+    core of :func:`triangle_stats` and the local-clustering query
+    (plans/queries_pipeline7.py graph_clustering_local), factored so the
+    orientation tie-break and intersection semantics live in ONE place.
+
+    Inputs: normalized distinct edges ``e(a, b)`` with ``a < b`` and
+    degrees ``deg(v, d)``. Returns ``(o, adj)`` where ``o(s, t)`` points
+    every edge from its lower-(degree, id) endpoint (compact-forward,
+    Latapy 2008 — bounds out-degree at O(√m) so hub wedges enumerate
+    from their LOW-degree neighbors) and ``adj(s, __nbrs)`` collects the
+    out-neighbor lists. The adj joins downstream are left unhinted: AQE
+    broadcasts the |V|-row list table when it fits."""
+    keyed = e.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("__da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("__db")), "b")
+    lt = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    o = keyed.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("t"),
+    )
+    adj = o.groupBy("s").agg(F.collect_list("t").alias("__nbrs"))
+    return o, adj
+
+
 def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact triangle count + global clustering coefficient for an
     undirected simple graph given as normalized distinct edges
@@ -209,17 +238,7 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         (F.sum(F.col("d")) / 2).cast("bigint").alias("n_edges"),
         F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
     )
-    keyed = e.join(
-        deg.select(F.col("v").alias("a"), F.col("d").alias("__da")), "a"
-    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("__db")), "b")
-    lt = (F.col("__da") < F.col("__db")) | (
-        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
-    )
-    o = keyed.select(
-        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("s"),
-        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("t"),
-    )
-    adj = o.groupBy("s").agg(F.collect_list("t").alias("__nbrs"))
+    o, adj = oriented_adjacency(e, deg)
     empty = F.array().cast(adj.schema["__nbrs"].dataType)
     tri = (
         o.join(adj.select("s", F.col("__nbrs").alias("__ns")), "s")

@@ -342,16 +342,45 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# co-ordered-parts graph slice (l_orderkey % 20): ONE edge definition
+# shared by link prediction, BFS, and local clustering — Spark helper +
+# oracle CTE pair so a change to the graph definition has exactly two
+# places to land (pointed out by review; previously three inline copies
+# of each).
+# ---------------------------------------------------------------------------
+
+_COORD_EDGE_CTE = """li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+       FROM li a JOIN li b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+
+
+def _coordered_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (p1 < p2) co-ordered part pairs of the % 20 order slice."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_partkey")
+    )
+    return (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # link prediction on the co-ordered-parts graph: common-neighbor Jaccard
 # between NON-adjacent vertices — "which parts are never co-ordered but
 # share co-order neighborhoods" (the recommendation primitive).
 # ---------------------------------------------------------------------------
 
-_LINKPRED_ORACLE = """
-WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
-e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-       FROM li a JOIN li b
-         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+_LINKPRED_ORACLE = f"""
+WITH {_COORD_EDGE_CTE},
 sym AS (SELECT p1 AS u, p2 AS v FROM e0
         UNION ALL SELECT p2 AS u, p1 AS v FROM e0),
 deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
@@ -379,20 +408,7 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists (the documented max_bucket pattern from dedup's LSH banding).
     Degrees broadcast; the adjacency anti-join prunes before the metric
     math; TakeOrdered cuts the display."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    e0 = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .distinct()
-    )
+    e0 = _coordered_edges(spark, sf_dir)
     sym = e0.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         e0.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     )
@@ -439,12 +455,9 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
 # don't).
 # ---------------------------------------------------------------------------
 
-_BFS_ORACLE = """
+_BFS_ORACLE = f"""
 WITH RECURSIVE
-li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
-e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-       FROM li a JOIN li b
-         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+{_COORD_EDGE_CTE},
 sym AS (SELECT p1 AS u, p2 AS v FROM e0
         UNION ALL SELECT p2 AS u, p1 AS v FROM e0),
 src AS (SELECT min(u) AS s FROM sym),
@@ -468,20 +481,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex. The oracle's recursive CTE enumerates ALL bounded paths —
     fine at sf0.01, combinatorial at scale — which is exactly why the
     engine side iterates distances instead."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    e0 = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .distinct()
-    )
+    e0 = _coordered_edges(spark, sf_dir)
     sym = e0.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         e0.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     )
@@ -1627,11 +1627,8 @@ def corpus_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame
 # corners). Top-50 by coefficient among vertices with >= 2 neighbors.
 # ---------------------------------------------------------------------------
 
-_LOCAL_CC_ORACLE = """
-WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
-e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
-       FROM li a JOIN li b
-         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+_LOCAL_CC_ORACLE = f"""
+WITH {_COORD_EDGE_CTE},
 deg AS (SELECT v, count(*) AS d FROM (
           SELECT p1 AS v FROM e0 UNION ALL SELECT p2 AS v FROM e0) GROUP BY v),
 tri AS (SELECT a.p1 AS x, a.p2 AS y, b.p2 AS z
@@ -1658,44 +1655,25 @@ def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/graph.py) and explode to their three corners — 3T rows,
     never wedge candidates; degrees broadcast into the final division.
     The oracle triple-joins edges, proving the oriented intersection
-    finds exactly the same triangle set."""
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 20 == 0)
-        .select("l_orderkey", "l_partkey")
-    )
-    e0 = (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .distinct()
-        .cache()
-    )
+    finds exactly the same triangle set. Orientation + adjacency build
+    are the SHARED operators/graph.py oriented_adjacency helper (one
+    place owns the tie-break); the edge list is cached (referenced by
+    degrees and the orientation join) and so are degrees (referenced
+    three times)."""
+    from kafka_etl_consumer_spark.operators.graph import oriented_adjacency
+
+    e0 = _coordered_edges(spark, sf_dir).cache()
+    e_ab = e0.select(F.col("p1").alias("a"), F.col("p2").alias("b"))
     ends = e0.select(F.col("p1").alias("v")).unionAll(
         e0.select(F.col("p2").alias("v"))
     )
-    deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-    keyed = e0.join(
-        F.broadcast(deg.select(F.col("v").alias("p1"), F.col("d").alias("da"))), "p1"
-    ).join(
-        F.broadcast(deg.select(F.col("v").alias("p2"), F.col("d").alias("db"))), "p2"
-    )
-    lt = (F.col("da") < F.col("db")) | (
-        (F.col("da") == F.col("db")) & (F.col("p1") < F.col("p2"))
-    )
-    o = keyed.select(
-        F.when(lt, F.col("p1")).otherwise(F.col("p2")).alias("s"),
-        F.when(lt, F.col("p2")).otherwise(F.col("p1")).alias("t"),
-    )
-    adj = o.groupBy("s").agg(F.collect_list("t").alias("nbrs"))
-    empty = F.array().cast(adj.schema["nbrs"].dataType)
+    deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("d")).cache()
+    o, adj = oriented_adjacency(e_ab, deg)
+    empty = F.array().cast(adj.schema["__nbrs"].dataType)
     corners = (
-        o.join(adj.select("s", F.col("nbrs").alias("ns")), "s")
+        o.join(adj.select("s", F.col("__nbrs").alias("ns")), "s")
         .join(
-            adj.select(F.col("s").alias("t"), F.col("nbrs").alias("nt")),
+            adj.select(F.col("s").alias("t"), F.col("__nbrs").alias("nt")),
             "t",
             "left",
         )
