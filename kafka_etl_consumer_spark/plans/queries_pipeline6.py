@@ -796,8 +796,11 @@ p AS (
 )
 SELECT id_a, id_b,
        round(CAST(o AS DOUBLE) / (na + nb - o), 6) AS jac
-FROM p WHERE round(CAST(o AS DOUBLE) / (na + nb - o), 6) >= 0.5
+FROM p WHERE o * 3 >= (na + nb)
 """
+# threshold filter o*(num+den) >= num*(na+nb) with num=1, den=2 — the same
+# exact-rational contract the operator enforces (rounding only for display),
+# so oracle and engine can never disagree at the rounding boundary
 
 
 @register("ssjoin_prefix_tokens", _SSJ_ORACLE)

@@ -92,10 +92,13 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(5, 1, a1, 2, a2, 3, a3, 4, a4, 5, a5) AS (lag, a)"
         ),
     )
+    # DuckDB's UNPIVOT drops NULL cells by definition; filter the stack
+    # the same way so a too-short or zero-variance series (NULL corr)
+    # yields identical row sets in both engines
     return stacked.select(
         "event_type", F.col("lag").cast("int").alias("lag"),
         F.round("a", 6).alias("acf"),
-    )
+    ).filter(F.col("acf").isNotNull())
 
 
 # ---------------------------------------------------------------------------
@@ -304,14 +307,12 @@ FROM wins
 
 @register("text_winnowing_fingerprints", _WINNOW_ORACLE)
 def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing fingerprint summary per document (k={k}, w={w}, first
-    {cap} chars): distinct fingerprint count plus min/max fingerprint
-    values (the values the dedup index would store). Narrow per-row
-    array transforms inside whole-stage codegen; the per-doc cost is
-    O(cap) hashes and O(cap) window minima, independent of corpus size —
-    the operator scales embarrassingly.""".format(
-        k=_WINNOW_K, w=_WINNOW_W, cap=_WINNOW_CAP
-    )
+    """Winnowing fingerprint summary per document (k=_WINNOW_K=8,
+    w=_WINNOW_W=4, first _WINNOW_CAP=200 chars): distinct fingerprint
+    count plus min/max fingerprint values (the values the dedup index
+    would store). Narrow per-row array transforms inside whole-stage
+    codegen; the per-doc cost is O(cap) hashes and O(cap) window minima,
+    independent of corpus size — the operator scales embarrassingly."""
     docs = _t(spark, sf_dir, "documents")
     t = F.substring(F.lower(F.col("text")), 1, _WINNOW_CAP)
     base = docs.select("doc_id", t.alias("t"))

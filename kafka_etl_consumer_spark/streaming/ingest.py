@@ -443,6 +443,7 @@ def strip_registry_framing(
     value_col: str = "value",
     schema_id_col: str = "schema_id",
     mode: str = "FAILFAST",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Unwrap the Confluent-style wire framing — 1 magic byte (0x00) +
     4-byte big-endian schema id + Avro body — into (payload bytes,
@@ -462,11 +463,18 @@ def strip_registry_framing(
 
     ``mode``: FAILFAST raises (in-plan ``raise_error``) on a payload
     whose magic byte isn't 0x00 or that is shorter than the 5-byte
-    header; PERMISSIVE nulls payload and id for such rows so they can be
-    quarantined like decode_avro's dead-letter path.
+    header (a zero-length Avro body after the header IS legal — an
+    all-defaulted record encodes to 0 bytes); PERMISSIVE nulls payload
+    and id for such rows. Pass ``corrupt_col`` (PERMISSIVE only) to
+    additionally carry the RAW bytes of bad rows — without it the bad
+    payloads are unrecoverable, which is NOT a dead-letter posture;
+    with it, filter ``corrupt_col IS NOT NULL`` to a quarantine table
+    for replay, exactly like decode_avro's ``corrupt_col``.
     """
+    if corrupt_col is not None and mode.upper() != "PERMISSIVE":
+        raise ValueError("corrupt_col requires mode='PERMISSIVE'")
     v = F.col(value_col)
-    ok = (F.length(v) >= 6) & (F.substring(v, 1, 1) == F.lit(bytes([0])))
+    ok = (F.length(v) >= 5) & (F.substring(v, 1, 1) == F.lit(bytes([0])))
     sid = F.conv(F.hex(F.substring(v, 2, 4)), 16, 10).cast("int")
     body = F.expr(f"substring({value_col}, 6, length({value_col}) - 5)")
     if mode.upper() == "FAILFAST":
@@ -486,9 +494,10 @@ def strip_registry_framing(
     else:
         raise ValueError(f"mode must be FAILFAST or PERMISSIVE, got {mode!r}")
     others = [c for c in df.columns if c != value_col]
-    return df.select(
-        *others, sid_out.alias(schema_id_col), body_out.alias(value_col)
-    )
+    out_cols = [*others, sid_out.alias(schema_id_col), body_out.alias(value_col)]
+    if corrupt_col is not None:
+        out_cols.append(F.when(~ok, v).alias(corrupt_col))
+    return df.select(*out_cols)
 
 
 def add_registry_framing(

@@ -19,7 +19,12 @@ OBSERVABLE state, the same posture as ingest's idempotent reference
 layout). Readers resolve the marker, never a half-written directory.
 After the marker is repointed, superseded ``_v*`` directories beyond
 ``retain_versions`` are garbage-collected so storage stays
-O(retain_versions × table), not O(batches × table).
+O(retain_versions × table), not O(batches × table). The default
+``retain_versions=1`` keeps the immediately superseded version as a
+grace window for readers that resolved the marker just before the
+swap — a reader's in-flight scan of version N survives the commit of
+N+1 and only becomes unsafe two commits later (set 0 only when no
+concurrent readers exist; raise it for slow readers).
 
 Scale: the snapshot rewrite is O(table) per batch — the honest cost of a
 keyed snapshot on a format without transactional row-level merge. Bound
@@ -123,7 +128,7 @@ def stream_merge_upsert(
     delete_col: str | None = None,
     order_col: str | None = None,
     trigger: dict | None = None,
-    retain_versions: int = 0,
+    retain_versions: int = 1,
 ) -> StreamingQuery:
     """Continuously MERGE a change stream into the snapshot at
     ``table_path``. Within one micro-batch, multiple changes to a key

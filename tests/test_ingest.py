@@ -643,3 +643,19 @@ def test_registry_framing_roundtrip_and_decode(spark):
     assert perm.schema_id is None and perm.value is None
     with pytest.raises(Exception, match="magic"):
         strip_registry_framing(bad, mode="FAILFAST").collect()
+
+    # dead-letter: corrupt_col preserves the RAW bytes for replay
+    dl = strip_registry_framing(
+        bad, mode="PERMISSIVE", corrupt_col="bad_raw"
+    ).collect()[0]
+    assert bytes(dl.bad_raw) == b"\x07" + bytes(8)
+    with pytest.raises(ValueError):
+        strip_registry_framing(bad, mode="FAILFAST", corrupt_col="bad_raw")
+
+    # a frame of exactly header + zero-length body is LEGAL (an
+    # all-defaulted record encodes to 0 bytes) — must not be rejected
+    empty_body = spark.createDataFrame(
+        [Row(value=bytearray(b"\x00" + (9).to_bytes(4, "big")))], env
+    )
+    r = strip_registry_framing(empty_body, mode="FAILFAST").collect()[0]
+    assert r.schema_id == 9 and bytes(r.value) == b""

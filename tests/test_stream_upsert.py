@@ -147,7 +147,8 @@ def test_superseded_versions_garbage_collected(spark, tmp_path):
         spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
     )
     q = stream_merge_upsert(
-        stream, table, ["k"], ckpt, delete_col="deleted", order_col="seq"
+        stream, table, ["k"], ckpt, delete_col="deleted", order_col="seq",
+        retain_versions=0,
     )
     try:
         q.processAllAvailable()
@@ -156,4 +157,32 @@ def test_superseded_versions_garbage_collected(spark, tmp_path):
 
     versions = sorted(d for d in os.listdir(table) if d.startswith("_v"))
     assert versions == ["_v2"], versions  # only the active snapshot remains
+    assert _snapshot_dict(spark, table) == {1: ("v3", 3)}
+
+
+def test_default_gc_keeps_reader_grace_version(spark, tmp_path):
+    """Default retain_versions=1: the immediately superseded snapshot
+    survives as a grace window for readers that resolved the marker just
+    before the swap (deleting it mid-read would FileNotFound them)."""
+    import os
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for seq in (1, 2, 3):
+        _stage(spark, src, [Row(k=1, val=f"v{seq}", seq=seq, deleted=False)])
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream_merge_upsert(
+        stream, table, ["k"], ckpt, delete_col="deleted", order_col="seq"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    versions = sorted(d for d in os.listdir(table) if d.startswith("_v"))
+    assert versions == ["_v1", "_v2"], versions  # active + one grace version
     assert _snapshot_dict(spark, table) == {1: ("v3", 3)}
