@@ -770,19 +770,23 @@ GROUP BY s.doc_id
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: fraction of its distinct 3-word shingles
     whose corpus-wide first occurrence (min doc_id) is this document.
-    Scale shape: shingling is narrow array codegen; ONE hash-agg builds
-    the first-seen index keyed by shingle, one equi-join (shingle key)
-    scores documents — both shuffles carry (shingle, doc_id) pairs
-    already deduplicated per doc. The min-doc_id convention makes
-    "earlier" well-defined and retry-stable.
+    Scale shape: shingling is narrow array codegen into an exploded
+    distinct; then ONE shingle-keyed agg computes min(doc_id) AND
+    collects the shingle's doc list together, and a narrow explode of
+    that list feeds the final doc-grain agg — no shingle-keyed JOIN
+    back against the pair table (the join form measured 11.8s cold /
+    4.6s warm vs 5.9s / 4.3s for this shape at sf0.1; the collect
+    replaces a whole shuffle with an in-row list). The min-doc_id
+    convention makes "earlier" well-defined and retry-stable.
 
-    Negative A/B (documented so nobody "fixes" this back): the
-    join-free variant — array_distinct in the row, ownership counts
-    collapsed to the doc grain, doc-grain join — measured 14.3s vs
-    4.6s warm at sf0.1. The per-row array_distinct + double
-    recomputation of the shingling chain on the counts branch costs
-    far more than the shingle-keyed join it removes; the exploded
-    distinct amortizes the shingle work into one shuffled pass."""
+    Two caveats, both documented from measurement:
+    - a viral shingle materializes its doc list in one aggregation
+      buffer; at 100 TB, cap hot shingles (df-cut like text_vocab_oov)
+      or route only ids above a length threshold through the join form.
+    - the join-free array_distinct variant (dedupe in the row, doc-grain
+      join) measured 14.3s warm — the per-row array_distinct plus
+      recomputing the shingle chain twice loses to the exploded
+      distinct; don't "fix" this back."""
     from kafka_etl_consumer_spark.functions.text import word_shingles
 
     docs = _t(spark, sf_dir, "documents")
@@ -793,10 +797,12 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    first_seen = s.groupBy("sh").agg(F.min("doc_id").alias("fs"))
+    per_sh = s.groupBy("sh").agg(
+        F.min("doc_id").alias("fs"), F.collect_list("doc_id").alias("ds")
+    )
+    ex = per_sh.select("fs", F.explode("ds").alias("doc_id"))
     return (
-        s.join(first_seen, "sh")
-        .groupBy("doc_id")
+        ex.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
             F.round(
