@@ -183,6 +183,8 @@ HEADLINE = [
     "corpus_source_overlap_minhash",
     "ingest_framed_decode",
     "graph_clustering_local",
+    "win_nth_value",
+    "sample_systematic_nth",
 ]
 
 

@@ -1713,3 +1713,90 @@ def graph_clustering_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("local_clustering").desc(), "vertex")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# remaining window-frame members: first_value / nth_value / last_value
+# with explicit frames — the "compare each row to its group's anchor
+# rows" pattern (the one ranking-family gap win_analytic left open).
+# ---------------------------------------------------------------------------
+
+_NTH_ORACLE = """
+SELECT event_id, event_type,
+       first_value(value) OVER w AS first_val,
+       nth_value(value, 3) OVER w AS third_val,
+       last_value(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_val
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+QUALIFY event_id % 31 = 0
+"""
+
+
+@register("win_nth_value", _NTH_ORACLE)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/nth(3)/last value per event type under a total order
+    (ts, event_id) — running frame for first/nth, full frame for last.
+    One shuffle; all three expressions share the partition sort; the
+    1-in-31 output sample filters AFTER the windows (as it must)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfull = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.first("value").over(w).alias("first_val"),
+            F.nth_value("value", 3).over(w).alias("third_val"),
+            F.last("value").over(wfull).alias("last_val"),
+        )
+        .filter(F.col("event_id") % 31 == 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# systematic (every-Nth) sampling under a total order — the
+# evenly-spaced complement to hash sampling: guarantees uniform coverage
+# across the ordered domain (hash sampling guarantees per-row
+# independence instead; both are deterministic and retry-stable).
+# ---------------------------------------------------------------------------
+
+_SYSTEMATIC_N = 37
+
+_SYSTEMATIC_ORACLE = f"""
+SELECT event_id, event_type, value FROM (
+  SELECT event_id, event_type, value,
+         row_number() OVER (ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn % {_SYSTEMATIC_N} = 1
+"""
+
+
+@register("sample_systematic_nth", _SYSTEMATIC_ORACLE)
+def sample_systematic_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 37th event under the total (ts, event_id) order. The global
+    row_number is the one global-sort op; at 100 TB swap to
+    per-partition systematic sampling (rank within sorted partitions,
+    same spacing guarantee within each shard) or the hash sample
+    (sample_hash_10pct) when global evenness isn't required —
+    documented, like bin_quantile_deciles' approx swap."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id", "event_type", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") % _SYSTEMATIC_N == 1)
+        .drop("rn")
+    )
