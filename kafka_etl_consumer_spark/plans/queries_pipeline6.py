@@ -487,8 +487,12 @@ def knn_label_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = cosine_topk(
         corpus.select("vec_id", "embedding"), q.select("q_vec_id", "q_embedding"), k=5
     )
+    # Broadcast the |q|*k top-neighbor table, NEVER the corpus label
+    # table: corpus is the full embedding table and would OOM the
+    # broadcast at scale, while top is bounded by queries*k rows.
     votes = (
-        top.join(F.broadcast(corpus.select("vec_id", "label")), "vec_id")
+        F.broadcast(top)
+        .join(corpus.select("vec_id", "label"), "vec_id")
         .groupBy("q_vec_id", "label")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -770,23 +770,27 @@ GROUP BY s.doc_id
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: fraction of its distinct 3-word shingles
     whose corpus-wide first occurrence (min doc_id) is this document.
-    Scale shape: shingling is narrow array codegen into an exploded
-    distinct; then ONE shingle-keyed agg computes min(doc_id) AND
-    collects the shingle's doc list together, and a narrow explode of
-    that list feeds the final doc-grain agg — no shingle-keyed JOIN
-    back against the pair table (the join form measured 11.8s cold /
-    4.6s warm vs 5.9s / 4.3s for this shape at sf0.1; the collect
-    replaces a whole shuffle with an in-row list). The min-doc_id
-    convention makes "earlier" well-defined and retry-stable.
+    Scale shape (round-4): novelty attribution goes ONLY to the min
+    doc of each shingle, so the per-doc novel count is just
+    ``first_seen.groupBy(fs).count()`` — a shingle-grain agg with a
+    CONSTANT-size buffer (min + count), then a tiny doc-grain agg.
+    Denominator ``n_shingles`` is a direct doc-grain count over the
+    exploded distinct. Two shuffles of the pair table total (one by
+    sh, one by doc_id) — the same exchange inventory as the earlier
+    collect_list shape, but with NO per-shingle doc-list buffer: a
+    viral shingle (license boilerplate present in every doc at 100 TB)
+    now costs one counter, not one list. The left join + coalesce(0)
+    keeps docs whose every shingle was seen earlier (novel_frac 0).
+    The min-doc_id convention makes "earlier" well-defined and
+    retry-stable.
 
-    Two caveats, both documented from measurement:
-    - a viral shingle materializes its doc list in one aggregation
-      buffer; at 100 TB, cap hot shingles (df-cut like text_vocab_oov)
-      or route only ids above a length threshold through the join form.
-    - the join-free array_distinct variant (dedupe in the row, doc-grain
-      join) measured 14.3s warm — the per-row array_distinct plus
-      recomputing the shingle chain twice loses to the exploded
-      distinct; don't "fix" this back."""
+    Shapes measured and rejected at sf0.1:
+    - shingle-keyed JOIN back against the pair table: 11.8s cold /
+      4.6s warm;
+    - collect_list of the doc list + explode (rounds 1-3): 4.3s warm
+      but an unbounded hot-key aggregation buffer;
+    - per-row array_distinct + doc-grain join: 14.3s warm (recomputes
+      the shingle chain twice); don't "fix" these back."""
     from kafka_etl_consumer_spark.functions.text import word_shingles
 
     docs = _t(spark, sf_dir, "documents")
@@ -797,17 +801,23 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    per_sh = s.groupBy("sh").agg(
-        F.min("doc_id").alias("fs"), F.collect_list("doc_id").alias("ds")
+    per_doc = s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
     )
-    ex = per_sh.select("fs", F.explode("ds").alias("doc_id"))
+    novel = (
+        s.groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("novel_cnt"))
+    )
     return (
-        ex.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
             F.round(
-                F.sum(F.when(F.col("fs") == F.col("doc_id"), 1).otherwise(0))
-                / F.count(F.lit(1)).cast("double"),
+                F.coalesce(F.col("novel_cnt"), F.lit(0))
+                / F.col("n_shingles").cast("double"),
                 6,
             ).alias("novel_frac"),
         )

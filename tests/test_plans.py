@@ -470,3 +470,32 @@ def test_bool_battery_single_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_bool_battery", mode="simple")
     assert plan.count("FileScan") == 1
     assert "Join" not in plan
+
+
+def test_knn_label_vote_broadcasts_top_not_corpus(spark, sf_dir):
+    # the vote join must broadcast the |q|*k top-neighbor side; the
+    # corpus label table is the full embedding table and would OOM a
+    # broadcast at scale. The formatted plan names the broadcast
+    # input's columns: q_vec_id (top side) must be built, label/
+    # embedding columns must only ever stream.
+    plan = _plan(spark, sf_dir, "knn_label_predict", mode="formatted")
+    import re
+
+    # formatted mode details every BroadcastExchange with its Input
+    # column list; the corpus's bare `label` column (as opposed to the
+    # 20-row query side's `true_label`) must never appear in one.
+    inputs = re.findall(r"BroadcastExchange\s*\nInput\s*(\[[^\]]*\])", plan)
+    assert inputs, "expected detailed BroadcastExchange nodes in plan"
+    for block in inputs:
+        assert not re.search(r"(?<!true_)label#", block), (
+            "corpus label table is being broadcast: " + block
+        )
+
+
+def test_novelty_no_collect_list_bounded_buffers(spark, sf_dir):
+    # hot-shingle safety: the per-shingle aggregation buffer must be
+    # constant-size (min + count), never a collected doc list a viral
+    # shingle could blow up.
+    plan = _plan(spark, sf_dir, "corpus_ngram_novelty", mode="formatted")
+    assert "collect_list" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,64 @@
+"""Round-4 regression tests: hot-key safety of corpus_ngram_novelty.
+
+The per-shingle aggregation buffer is now constant-size (min + count);
+a shingle present in EVERY document (license boilerplate at corpus
+scale) must neither blow up an aggregation buffer nor change results.
+Verified against a brute-force Python reference on crafted docs."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Row
+
+
+def _py_novelty(texts):
+    # mirror functions.text.tokens + 3-word shingles
+    toks = {i: re.findall(r"[a-z0-9]+", t.lower()) for i, t in enumerate(texts)}
+    shingles = {
+        i: {
+            " ".join(ts[j : j + 3])
+            for j in range(len(ts) - 2)
+        }
+        for i, ts in toks.items()
+    }
+    first = {}
+    for i in sorted(shingles):
+        for sh in shingles[i]:
+            first.setdefault(sh, i)
+    out = {}
+    for i, shs in shingles.items():
+        if not shs:
+            continue
+        novel = sum(1 for sh in shs if first[sh] == i)
+        out[i] = (len(shs), round(novel / len(shs), 6))
+    return out
+
+
+def test_novelty_viral_shingle_matches_bruteforce(spark, tmp_path):
+    # "common boiler plate" appears in EVERY doc — the hot-shingle case.
+    # doc 0 owns everything; doc 3 is a pure copy (novel_frac 0.0).
+    texts = [
+        "common boiler plate alpha beta gamma delta",
+        "common boiler plate epsilon zeta eta",
+        "common boiler plate alpha beta gamma theta",
+        "common boiler plate",
+        "totally fresh words appear only here common boiler plate",
+    ]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ]
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from kafka_etl_consumer_spark.plans.queries_pipeline7 import (
+        corpus_ngram_novelty,
+    )
+
+    got = {
+        r.doc_id: (r.n_shingles, r.novel_frac)
+        for r in corpus_ngram_novelty(spark, str(tmp_path)).collect()
+    }
+    assert got == _py_novelty(texts)
+    assert got[3][1] == 0.0  # pure-copy doc survives via the left join
