@@ -133,10 +133,27 @@ def _parse_image(b: bytes):
         if h > 0:
             rows = rows[::-1]  # bottom-up storage
         return w, abs(h), 3, rows[..., ::-1].reshape(-1).copy()  # BGR→RGB
-    raise ValueError(
-        f"unsupported image magic {b[:2]!r}: pure-numpy decode handles "
-        "PPM/PGM/24-bit BMP; compressed formats need PIL/pyvips"
-    )
+    # capability probe (mirrors the spark-avro jar pattern): compressed
+    # formats (JPEG/PNG/WebP/...) route through PIL when the container
+    # has it, with the SAME output contract as the numpy path — gray
+    # stays 1-channel, everything else lands as RGB. Without PIL the
+    # documented raise stands.
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError:
+        raise ValueError(
+            f"unsupported image magic {b[:2]!r}: pure-numpy decode handles "
+            "PPM/PGM/24-bit BMP; compressed formats need PIL/pyvips"
+        ) from None
+    import io
+
+    img = Image.open(io.BytesIO(b))
+    if img.mode != "L":
+        img = img.convert("RGB")
+    arr = np.asarray(img, dtype=np.uint8)
+    ch = 1 if img.mode == "L" else 3
+    h, w = arr.shape[0], arr.shape[1]
+    return w, h, ch, arr.reshape(-1)
 
 
 _PIXELS_SCHEMA = T.StructType(

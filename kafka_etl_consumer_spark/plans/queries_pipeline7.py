@@ -93,12 +93,14 @@ def ts_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # DuckDB's UNPIVOT drops NULL cells by definition; filter the stack
-    # the same way so a too-short or zero-variance series (NULL corr)
-    # yields identical row sets in both engines
+    # the same way so a degenerate series yields identical row sets in
+    # both engines. Spark's corr returns NaN (not NULL) for a
+    # zero-variance lag series with >=2 pairs where DuckDB returns NULL,
+    # so NaN must be dropped alongside NULL or the row sets diverge.
     return stacked.select(
         "event_type", F.col("lag").cast("int").alias("lag"),
         F.round("a", 6).alias("acf"),
-    ).filter(F.col("acf").isNotNull())
+    ).filter(F.col("acf").isNotNull() & ~F.isnan("acf"))
 
 
 # ---------------------------------------------------------------------------

@@ -487,7 +487,11 @@ def strip_registry_framing(
             )
         )
         sid_out = F.when(ok, sid).otherwise(err.cast("int"))
-        body_out = F.when(ok, body)
+        # the guard must live in BOTH output columns: a consumer that
+        # selects only the payload prunes schema_id away, and with it
+        # any raise_error embedded only there — FAILFAST would silently
+        # degrade to PERMISSIVE-null for bad rows
+        body_out = F.when(ok, body).otherwise(err.cast("binary"))
     elif mode.upper() == "PERMISSIVE":
         sid_out = F.when(ok, sid)
         body_out = F.when(ok, body)

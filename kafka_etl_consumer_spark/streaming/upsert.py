@@ -17,14 +17,20 @@ itself is deterministic, so a replayed batch (checkpoint says it ran,
 output didn't commit) converges to byte-identical state (exactly-once
 OBSERVABLE state, the same posture as ingest's idempotent reference
 layout). Readers resolve the marker, never a half-written directory.
-After the marker is repointed, superseded ``_v*`` directories beyond
-``retain_versions`` are garbage-collected so storage stays
-O(retain_versions × table), not O(batches × table). The default
-``retain_versions=1`` keeps the immediately superseded version as a
-grace window for readers that resolved the marker just before the
-swap — a reader's in-flight scan of version N survives the commit of
-N+1 and only becomes unsafe two commits later (set 0 only when no
-concurrent readers exist; raise it for slow readers).
+The marker stores the full committed LINEAGE (active version first,
+then the ``retain_versions`` previously committed ones); after each
+repoint, every ``_v*`` directory outside the lineage is
+garbage-collected so storage stays O(retain_versions × table), not
+O(batches × table). Retention is lineage-membership, never
+modification time: a half-written ``_v<N>`` left by a crash is the
+NEWEST directory but was never committed, so GC removes it first and
+keeps the previously-active snapshot a concurrent reader may still be
+scanning. The default ``retain_versions=1`` keeps the immediately
+superseded version as a grace window for readers that resolved the
+marker just before the swap — a reader's in-flight scan of version N
+survives the commit of N+1 and only becomes unsafe two commits later
+(set 0 only when no concurrent readers exist; raise it for slow
+readers).
 
 Scale: the snapshot rewrite is O(table) per batch — the honest cost of a
 keyed snapshot on a format without transactional row-level merge. Bound
@@ -50,31 +56,55 @@ def _marker_path(table_path: str) -> str:
     return os.path.join(table_path, "_CURRENT_VERSION")
 
 
-def current_snapshot(spark: SparkSession, table_path: str) -> DataFrame | None:
-    """The active snapshot per the version marker, or None before the
-    first batch commits."""
+def _read_lineage(spark: SparkSession, table_path: str) -> list[str]:
+    """The committed-version lineage from the marker: active version first,
+    then previously committed versions (newest first). Empty before the
+    first commit. Directories NOT in this list are either uncommitted
+    partial writes or GC backlog — never something a marker-following
+    reader can be scanning."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(_marker_path(table_path))
     fs = path.getFileSystem(conf)
     if not fs.exists(path):
-        return None
+        return []
     stream = fs.open(path)
+    out: list[str] = []
     try:
-        version = stream.readUTF()
+        while True:
+            try:
+                out.append(stream.readUTF())
+            except Exception:  # java.io.EOFException via py4j: end of list
+                break
     finally:
         stream.close()
-    return spark.read.parquet(os.path.join(table_path, version))
+    return out
 
 
-def _write_marker(spark: SparkSession, table_path: str, version: str) -> None:
+def current_snapshot(spark: SparkSession, table_path: str) -> DataFrame | None:
+    """The active snapshot per the version marker, or None before the
+    first batch commits."""
+    lineage = _read_lineage(spark, table_path)
+    if not lineage:
+        return None
+    return spark.read.parquet(os.path.join(table_path, lineage[0]))
+
+
+def _write_marker(
+    spark: SparkSession, table_path: str, versions: str | Sequence[str]
+) -> None:
+    """Repoint the marker. ``versions`` is the full committed lineage
+    (active first); a bare string means a single-entry lineage."""
+    if isinstance(versions, str):
+        versions = [versions]
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(_marker_path(table_path))
     fs = path.getFileSystem(conf)
     out = fs.create(path, True)  # overwrite — atomic enough: tiny + idempotent
     try:
-        out.writeUTF(version)
+        for v in versions:
+            out.writeUTF(v)
     finally:
         out.close()
 
@@ -100,24 +130,27 @@ def _fresh_version_name(spark: SparkSession, table_path: str, batch_id: int) -> 
 
 
 def _gc_old_versions(
-    spark: SparkSession, table_path: str, active: str, retain_versions: int
+    spark: SparkSession, table_path: str, lineage: Sequence[str]
 ) -> None:
-    """Delete superseded ``_v*`` snapshot directories, keeping the active one
-    plus the ``retain_versions`` most recently modified others."""
+    """Delete every ``_v*`` directory NOT in the committed lineage.
+
+    Retention is decided by lineage membership, never by modification
+    time: after a crash mid-write of ``_v<N>`` (marker still on the
+    previous version), the replay commits ``_v<N>_r1`` — an mtime
+    ranking would retain the half-written ``_v<N>`` (newest mtime) and
+    delete the previously-active snapshot concurrent readers may still
+    be scanning. Lineage membership deletes the uncommitted partial
+    first and keeps exactly the versions a marker-following reader can
+    have resolved."""
     jvm, fs = _fs(spark, table_path)
     root = jvm.org.apache.hadoop.fs.Path(table_path)
     if not fs.exists(root):
         return
-    others = [
-        st
-        for st in fs.listStatus(root)
-        if st.isDirectory()
-        and st.getPath().getName().startswith("_v")
-        and st.getPath().getName() != active
-    ]
-    others.sort(key=lambda st: st.getModificationTime(), reverse=True)
-    for st in others[retain_versions:]:
-        fs.delete(st.getPath(), True)
+    keep = set(lineage)
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_v") and name not in keep:
+            fs.delete(st.getPath(), True)
 
 
 def stream_merge_upsert(
@@ -160,10 +193,15 @@ def stream_merge_upsert(
         else:
             # merge_type1 filters deletes and projects to cur's columns
             merged = merge_type1(cur, batch_df, keys, delete_col)
+        prior = _read_lineage(spark, table_path)
         version = _fresh_version_name(spark, table_path, batch_id)
         merged.write.mode("overwrite").parquet(os.path.join(table_path, version))
-        _write_marker(spark, table_path, version)
-        _gc_old_versions(spark, table_path, version, retain_versions)
+        # new lineage: this commit + the retain_versions most recent
+        # previously COMMITTED versions (read from the marker BEFORE
+        # repointing) — the reader grace window survives crash/replay
+        lineage = [version] + [v for v in prior if v != version][:retain_versions]
+        _write_marker(spark, table_path, lineage)
+        _gc_old_versions(spark, table_path, lineage)
 
     writer = changes.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint

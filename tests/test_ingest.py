@@ -659,3 +659,9 @@ def test_registry_framing_roundtrip_and_decode(spark):
     )
     r = strip_registry_framing(empty_body, mode="FAILFAST").collect()[0]
     assert r.schema_id == 9 and bytes(r.value) == b""
+
+    # pruning-resistance: selecting ONLY the payload must still trip
+    # FAILFAST — if the guard lived only in schema_id, column pruning
+    # would eliminate it and bad rows would pass as NULL payloads
+    with pytest.raises(Exception, match="magic"):
+        strip_registry_framing(bad, mode="FAILFAST").select("value").collect()

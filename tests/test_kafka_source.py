@@ -66,3 +66,66 @@ def test_live_kafka_read(spark):
         os.environ.get("SPARK_GRAFT_KAFKA_TOPIC", "item-view-event").split(","),
     )
     assert set(["key", "value", "topic", "partition", "offset"]) <= set(df.columns)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP"),
+    reason="no live Kafka broker configured (set SPARK_GRAFT_KAFKA_BOOTSTRAP; "
+    "requires the spark-sql-kafka-0-10 package on the classpath)",
+)
+def test_live_kafka_ingest_roundtrip(spark, tmp_path):
+    """Full produce → ingest → read-back against a real broker: encode
+    fixture events to binary Avro, produce them to the topic via Spark's
+    Kafka sink, run the ingest pipeline (Kafka source → decode →
+    date-partitioned parquet), and read the parquet back. Activates when
+    SPARK_GRAFT_KAFKA_BOOTSTRAP names a broker (topic override:
+    SPARK_GRAFT_KAFKA_SMOKE_TOPIC, default spark-graft-smoke); skips
+    cleanly in containers with neither jar nor broker."""
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from kafka_etl_consumer_spark.avro_codec import encode_record, parse_schema
+    from kafka_etl_consumer_spark.fixtures import (
+        ITEM_VIEW_EVENT_AVSC,
+        item_view_events,
+    )
+    from kafka_etl_consumer_spark.schema.registry import DictSchemaRegistry
+    from kafka_etl_consumer_spark.streaming.ingest import ingest
+
+    bootstrap = os.environ["SPARK_GRAFT_KAFKA_BOOTSTRAP"]
+    topic = os.environ.get("SPARK_GRAFT_KAFKA_SMOKE_TOPIC", "spark-graft-smoke")
+
+    # produce: 20 binary-Avro payloads through Spark's Kafka batch sink
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    events = item_view_events(20)
+    env = T.StructType([T.StructField("value", T.BinaryType())])
+    (
+        spark.createDataFrame(
+            [Row(value=bytearray(encode_record(schema, e))) for e in events], env
+        )
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+
+    # ingest: Kafka source → decode → reference-layout parquet
+    src = kafka_source(spark, bootstrap, [topic], starting_offsets="earliest")
+    registry = DictSchemaRegistry({topic: ITEM_VIEW_EVENT_AVSC})
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    queries = ingest(
+        src, registry, out, [topic], ckpt, trigger="1 seconds"
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+
+    got = spark.read.parquet(f"{out}/{topic}/*/*/*")
+    uids = sorted(r.baseProperties.uid for r in got.collect())
+    want = sorted(e["baseProperties"]["uid"] for e in events)
+    # at-least-once on a shared topic: every produced uid must be present
+    assert set(want) <= set(uids)

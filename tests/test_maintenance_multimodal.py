@@ -90,8 +90,44 @@ def test_parse_image_ppm_pgm_bmp_and_rejects_compressed():
     assert (w, h, ch) == (2, 2, 3)
     np.testing.assert_array_equal(data.reshape(2, 2, 3), px)
 
-    with pytest.raises(ValueError, match="unsupported image magic"):
-        _parse_image(b"\x89PNG\r\n\x1a\n....")
+    # compressed formats: documented raise without PIL; decoded through
+    # the PIL capability probe when the container has it (env-gated, the
+    # spark-avro jar pattern — activates on a real cluster image)
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(ValueError, match="unsupported image magic"):
+            _parse_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_parse_image_compressed_via_pil_probe():
+    """When PIL is present, JPEG/PNG route through the probe with the same
+    output contract as the numpy path (RGB interleaved, gray 1-channel).
+    Skips cleanly in containers without an imaging lib."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    from kafka_etl_consumer_spark.operators.multimodal import _parse_image
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = io.BytesIO()
+    Image.fromarray(rgb, "RGB").save(buf, format="PNG")
+    w, h, ch, data = _parse_image(buf.getvalue())
+    assert (w, h, ch) == (3, 2, 3)
+    np.testing.assert_array_equal(data.reshape(2, 3, 3), rgb)
+
+    gray = np.arange(6, dtype=np.uint8).reshape(2, 3)
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, format="PNG")
+    w, h, ch, data = _parse_image(buf.getvalue())
+    assert (w, h, ch) == (3, 2, 1)
+    np.testing.assert_array_equal(data.reshape(2, 3), gray)
 
 
 def test_decode_and_resize_real_pixels(spark):

@@ -186,3 +186,51 @@ def test_default_gc_keeps_reader_grace_version(spark, tmp_path):
     versions = sorted(d for d in os.listdir(table) if d.startswith("_v"))
     assert versions == ["_v1", "_v2"], versions  # active + one grace version
     assert _snapshot_dict(spark, table) == {1: ("v3", 3)}
+
+
+def test_crash_replay_gc_keeps_committed_grace_not_partial(spark, tmp_path):
+    """The round-4 GC fix: after a crash mid-write of _v1 (marker still on
+    _v0), the replay commits _v1_r1. GC must delete the half-written _v1
+    (the NEWEST directory by mtime, but never committed) and retain _v0 —
+    the snapshot concurrent readers that followed the marker may still be
+    scanning. An mtime ranking got this exactly backwards."""
+    import os
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0 commits _v0 normally
+    _stage(spark, src, [Row(k=1, val="v1", seq=1, deleted=False)])
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = stream_merge_upsert(
+        stream, table, ["k"], ckpt, delete_col="deleted", order_col="seq"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(d for d in os.listdir(table) if d.startswith("_v")) == ["_v0"]
+
+    # simulate the crash: _v1 exists half-written, marker still on _v0
+    os.makedirs(os.path.join(table, "_v1"))
+    with open(os.path.join(table, "_v1", "part-garbage.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+
+    # replay of batch 1: a fresh run over the same checkpoint re-delivers
+    # the pending file as batch 1 and must commit to _v1_r1
+    _stage(spark, src, [Row(k=1, val="v2", seq=2, deleted=False)])
+    stream2 = spark.readStream.schema(SCHEMA).parquet(src)
+    q2 = stream_merge_upsert(
+        stream2, table, ["k"], ckpt, delete_col="deleted", order_col="seq"
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    versions = sorted(d for d in os.listdir(table) if d.startswith("_v"))
+    # retain_versions=1 default: active commit + the COMMITTED _v0 grace
+    # version; the uncommitted partial _v1 is gone
+    assert versions == ["_v0", "_v1_r1"], versions
+    assert _snapshot_dict(spark, table) == {1: ("v2", 2)}
