@@ -185,6 +185,17 @@ HEADLINE = [
     "graph_clustering_local",
     "win_nth_value",
     "sample_systematic_nth",
+    "split_kfold_counts",
+    "dedup_token_set",
+    "time_weighted_avg_value",
+    "events_consecutive_dedup",
+    "rfm_segments",
+    "text_char_entropy",
+    "embedding_label_centroids",
+    "ts_theilsen_trend",
+    "gini_source_concentration",
+    "audit_k_anonymity",
+    "user_growth_accounting",
 ]
 
 

@@ -11,6 +11,7 @@ from kafka_etl_consumer_spark.plans import queries_pipeline4 as _qp4  # noqa: F4
 from kafka_etl_consumer_spark.plans import queries_pipeline5 as _qp5  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline6 as _qp6  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline7 as _qp7  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline8 as _qp8  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_analytics2 as _qa2  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_tpch as _qt  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_tpch2 as _qt2  # noqa: F401,E402

@@ -1,0 +1,614 @@
+"""Query surface batch 12 (round 4): evaluation splits, set-level dedup,
+robust trends, distribution accounting, and privacy auditing.
+
+- deterministic k-fold assignment with per-fold balance stats
+- bag-of-words (token-SET) duplicate classes — catches word-order shuffles
+  exact dedup misses
+- time-weighted average value per event type (irregular sampling)
+- consecutive-duplicate event suppression accounting (at-least-once feeds)
+- RFM (recency/frequency/monetary) quintile segmentation of customers
+- per-document character-level Shannon entropy (quality signal)
+- per-label embedding centroids: norm + intra-class dispersion
+- Theil-Sen robust trend of the daily event series (median of pairwise
+  slopes — one outlier day cannot move it, unlike OLS)
+- Gini concentration of document length per source (corpus curation:
+  is one source's contribution dominated by a few giant docs?)
+- k-anonymity audit over quasi-identifier columns
+- cumulative-distinct-user growth accounting by day
+
+The reference has no analytics surface (pass-through ETL,
+ETLTask.java:261-283); these extend the training-data/analytics operators
+the brief requires. Every query carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.hashing import hash64, hash64_sql
+from kafka_etl_consumer_spark.functions.text import tokens, tokens_sql
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# deterministic k-fold assignment: fold = md5-hash(doc_id) mod K. The same
+# doc lands in the same fold on every run, engine, and retry — the property
+# TABLESAMPLE/rand()-based splitters lack — and the per-fold stats prove
+# the hash balances both counts and covariates (chars).
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+_KFOLD_ORACLE = f"""
+SELECT CAST({hash64_sql("'kfold|' || CAST(doc_id AS VARCHAR)")} % {_KFOLD_K} AS INT)
+         AS fold,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+FROM documents
+GROUP BY fold
+"""
+
+
+@register("split_kfold_counts", _KFOLD_ORACLE)
+def split_kfold_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold assignment by deterministic hash-mod with per-fold balance
+    stats. Scale: one narrow hash projection + one partial-combining
+    aggregate to K rows — no sort, no sampling pass, retry-stable
+    (SURVEY: the sampling/splits family; complements split_train_val_test
+    and split_group_aware with the cross-validation layout)."""
+    docs = _t(spark, sf_dir, "documents")
+    fold = (
+        hash64(F.concat(F.lit("kfold|"), F.col("doc_id").cast("string")))
+        % _KFOLD_K
+    ).cast("int")
+    return (
+        docs.select(fold.alias("fold"), "n_chars")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bag-of-words duplicate classes: documents whose DISTINCT-token SET is
+# identical are near-certain duplicates even when word order differs —
+# the class of rewrite/shuffle duplicate that exact text dedup misses and
+# MinHash only catches probabilistically. Key = md5 of the sorted distinct
+# token list; one hash-agg finds every class.
+# ---------------------------------------------------------------------------
+
+_TOKSET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct({tokens_sql("text")})), ' '))
+           AS set_key
+  FROM documents
+)
+SELECT set_key,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM t
+GROUP BY set_key
+HAVING count(*) > 1
+"""
+
+
+@register("dedup_token_set", _TOKSET_ORACLE)
+def dedup_token_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set (bag-of-words) duplicate classes with a deterministic
+    min-id keeper. Scale: the set key is a narrow in-row projection
+    (tokenize → distinct → sort → md5), so the whole operator is ONE
+    hash aggregate on a 32-byte key — same shuffle inventory as exact
+    dedup (operators/dedup.py), one rung up the sensitivity ladder
+    between exact-text and MinHash."""
+    docs = _t(spark, sf_dir, "documents")
+    set_key = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " ")
+    )
+    return (
+        docs.select("doc_id", set_key.alias("set_key"))
+        .groupBy("set_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average: each observation's value holds until the next
+# observation, so the mean weights each value by its holding time — THE
+# correct average for irregularly sampled series (sensor readings, account
+# balances, queue depths), where the arithmetic mean over-weights bursts.
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = """
+WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value, event_id
+           FROM events),
+d AS (SELECT event_type, value,
+             date_diff('microsecond', ts,
+                       lead(ts) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id)) AS dt_us
+      FROM e)
+SELECT event_type,
+       CAST(count(dt_us) AS BIGINT) AS n_intervals,
+       round(sum(value * dt_us) / sum(dt_us), 6) AS twa_value,
+       round(avg(value), 6) AS naive_mean
+FROM d WHERE dt_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("time_weighted_avg_value", _TWA_ORACLE)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event type (last-observation-
+    carried-forward weighting), with the naive mean alongside to expose
+    the sampling bias. Scale: ONE event-type-keyed shuffle feeds both the
+    lead() window and the final aggregate (same partitioning ⇒ one
+    Exchange); state per row is one lead lookahead."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("timestamp").alias("ts"), "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    dt = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        ev.withColumn("dt_us", dt)
+        .filter(F.col("dt_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("dt_us").cast("bigint").alias("n_intervals"),
+            F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6).alias(
+                "twa_value"
+            ),
+            F.round(F.avg("value"), 6).alias("naive_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# consecutive-duplicate suppression accounting: at-least-once event feeds
+# (and double-click UIs) emit runs of identical events; the standard
+# cleaning rule keeps a row only when its type differs from the user's
+# previous row. This reports what that rule would drop, per type.
+# ---------------------------------------------------------------------------
+
+_CONSEC_ORACLE = """
+WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+m AS (SELECT event_type,
+             CASE WHEN event_type = lag(event_type)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM e)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_dup) AS BIGINT) AS n_consecutive_dups,
+       round(sum(is_dup) / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM m GROUP BY event_type
+"""
+
+
+@register("events_consecutive_dedup", _CONSEC_ORACLE)
+def events_consecutive_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: how many rows are consecutive same-type repeats of
+    the user's previous event (the rows a keep-on-change compaction drops).
+    Scale: one user-keyed window shuffle, then a partial-combining rollup
+    to the type grain — the lag() state is one row per user."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_dup = F.when(
+        F.col("event_type") == F.lag("event_type").over(w), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("is_dup", is_dup)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("is_dup").cast("bigint").alias("n_consecutive_dups"),
+            F.round(
+                F.sum("is_dup") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: the classic customer-value grid. Recency (days since
+# last order, vs the corpus max date), Frequency (order count), Monetary
+# (total spend), each cut into quintiles with a deterministic custkey
+# tie-break, then counted per (r,f,m) cell.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH mx AS (SELECT max(o_orderdate) AS max_d FROM orders),
+c AS (SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT max_d FROM mx))
+               AS recency_days,
+             count(*) AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey),
+q AS (SELECT o_custkey,
+             ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_q,
+             ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_q
+      FROM c)
+SELECT CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+       CAST(m_q AS INT) AS m_q,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM q GROUP BY 1, 2, 3
+"""
+
+
+@register("rfm_segments", _RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile grid over ordering customers. Scale: one custkey
+    aggregate (the only data-sized shuffle), then three ntile windows over
+    the CUSTOMER-grain table — each a single-partition sort of customers,
+    the honest cost of global quantile ranks (swap ntile for
+    percent_rank-on-sampled-bounds when the customer table itself is
+    huge); the anchor date is a broadcast one-row aggregate, never a
+    driver collect."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("max_d"))
+    c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.datediff("max_d", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    q = c.select(
+        "o_custkey",
+        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_q"),
+    )
+    return q.groupBy("r_q", "f_q", "m_q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# character-level Shannon entropy per document — the cheap quality signal
+# that separates natural text (~4 bits/char) from padding, key-mashing,
+# base64 blobs, and single-char floods. Complements text_quality's
+# word-level ratios with a distributional measure.
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+f AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(n) AS total, count(*) AS n_distinct_chars FROM f
+        GROUP BY doc_id)
+SELECT f.doc_id,
+       CAST(any_value(tot.n_distinct_chars) AS BIGINT) AS n_distinct_chars,
+       round(-sum((n / CAST(total AS DOUBLE))
+                  * ln(n / CAST(total AS DOUBLE))) / ln(2), 6) AS char_entropy_bits
+FROM f JOIN tot USING (doc_id)
+GROUP BY f.doc_id
+"""
+
+
+@register("text_char_entropy", _ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's character distribution.
+    Scale shape: the char frequency map never leaves the row — explode to
+    (doc, char) pairs, ONE hash-agg to the bounded (doc × alphabet) grain,
+    and a same-key re-agg that AQE plans shuffle-free (the second groupBy
+    is a prefix of the first's partitioning); no per-row UDF, no python."""
+    docs = _t(spark, sf_dir, "documents")
+    f = (
+        docs.select("doc_id", F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(tot).cast("double")
+    return (
+        f.withColumn("p", p)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.round(
+                -F.sum(F.col("p") * F.log(F.col("p"))) / F.lit(float(__import__("math").log(2))),
+                6,
+            ).alias("char_entropy_bits"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids: class prototype norm + intra-class
+# dispersion — the first diagnostic on a labeled embedding table (are
+# classes tight? is one label's centroid collapsing to the origin?), and
+# the building block of nearest-centroid classification and clustering QA.
+# Centroid elements are rounded to 6dp in BOTH engines before the norm /
+# distance pass, making the downstream floats exactly comparable.
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+el AS (SELECT vec_id, label, ord, emb[ord] AS x
+       FROM e, (SELECT unnest(range(1, 65)) AS ord)),
+cen AS (SELECT label, ord, round(avg(x), 6) AS c FROM el GROUP BY label, ord),
+dist AS (SELECT el.vec_id, el.label,
+                sqrt(sum((el.x - cen.c) * (el.x - cen.c))) AS d
+         FROM el JOIN cen USING (label, ord)
+         GROUP BY el.vec_id, el.label)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round((SELECT sqrt(sum(c * c)) FROM cen WHERE cen.label = dist.label), 6)
+         AS centroid_norm,
+       round(avg(d), 6) AS avg_dist_to_centroid
+FROM dist GROUP BY label
+"""
+
+
+@register("embedding_label_centroids", _CENTROID_ORACLE)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid norm and mean distance-to-centroid. Scale: the
+    centroid aggregate partial-combines map-side, so the (label × dim)
+    exchange is tiny regardless of row count; centroids re-assemble into
+    ONE array per label and broadcast back, and each row's distance is an
+    in-row zip_with fold — the corpus is scanned twice but shuffled only
+    at label×dim grain (cites the fold pattern of operators/embeddings.py
+    that A/B-measured 6x over unrolled getItem sums)."""
+    e = _t(spark, sf_dir, "embeddings")
+    el = e.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"pos": "ord", "col": "x"})
+    cen = el.groupBy("label", "ord").agg(F.round(F.avg("x"), 6).alias("c"))
+    cen_arr = cen.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ord", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    joined = e.join(F.broadcast(cen_arr), "label")
+    d = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("cvec"),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    cnorm = F.round(
+        F.sqrt(
+            F.aggregate(F.col("cvec"), F.lit(0.0), lambda acc, v: acc + v * v)
+        ),
+        6,
+    )
+    return (
+        joined.withColumn("d", d)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.first(cnorm).alias("centroid_norm"),
+            F.round(F.avg("d"), 6).alias("avg_dist_to_centroid"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: the median of all pairwise slopes of the daily
+# event-count series. A single outlier day moves OLS arbitrarily but
+# cannot move the pairwise-slope median — the standard robust trend for
+# noisy operational metrics.
+# ---------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01',
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS d,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, (b.c - a.c) / (b.d - a.d) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND b.d > a.d
+)
+SELECT event_type,
+       CAST((SELECT count(*) FROM daily WHERE daily.event_type = pairs.event_type)
+            AS BIGINT) AS n_days,
+       round(quantile_cont(slope, 0.5), 6) AS theilsen_slope
+FROM pairs GROUP BY event_type
+"""
+
+
+@register("ts_theilsen_trend", _THEILSEN_ORACLE)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope (events/day drift) per event type. Scale: events
+    collapse to the DAY grain first (the only data-sized shuffle); the
+    O(days²) pair grid and its median run on the tiny per-type series —
+    ~90 days → ~4k pairs per type — so cost is independent of event
+    volume. The pair join is an equi-join on event_type with a range
+    predicate, never a cartesian."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            ).alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.c") - F.col("a.c")) / (F.col("b.d") - F.col("a.d"))).alias("slope"),
+    )
+    n_days = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    med = pairs.groupBy("event_type").agg(
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theilsen_slope")
+    )
+    return n_days.join(med, "event_type").select(
+        "event_type", "n_days", "theilsen_slope"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of document length within each source — corpus
+# curation accounting: a source whose token mass is concentrated in a few
+# giant documents behaves very differently under per-doc sampling than
+# its doc count suggests. G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over ascending x.
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(2.0 * sum(CAST(i AS DOUBLE) * n_chars)
+               / (count(*) * CAST(sum(n_chars) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM r GROUP BY source
+"""
+
+
+@register("gini_source_concentration", _GINI_ORACLE)
+def gini_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document length within each source (0 =
+    every doc equal, →1 = one doc carries everything). Scale: one
+    source-keyed window rank + the rollup on the SAME partitioning — one
+    Exchange total; the rank feeds the closed-form Gini sum, no pairwise
+    |x_i − x_j| grid."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    r = docs.select("source", "n_chars", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return r.groupBy("source").agg(
+        n.cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i").cast("double") * F.col("n_chars"))
+            / (n * F.sum("n_chars").cast("double"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: how identifiable are rows under the quasi-identifier
+# pair (market segment, nation)? For each k threshold: equivalence classes
+# smaller than k and the rows they expose — the first check before any
+# dataset release, and the shape generalizes to any QI column set.
+# ---------------------------------------------------------------------------
+
+_KANON_ORACLE = """
+WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n
+           FROM customer GROUP BY 1, 2),
+k AS (SELECT unnest([2, 5, 10]) AS k)
+SELECT CAST(k.k AS INT) AS k,
+       CAST(sum(CASE WHEN g.n < k.k THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(sum(CASE WHEN g.n < k.k THEN g.n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(count(*) AS BIGINT) AS n_classes
+FROM g CROSS JOIN k GROUP BY k.k
+"""
+
+
+@register("audit_k_anonymity", _KANON_ORACLE)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity report over (c_mktsegment, c_nationkey) at k ∈ {2,5,10}.
+    Scale: ONE hash-agg to the equivalence-class grain (the only
+    data-sized shuffle); the threshold sweep cross-joins the bounded class
+    table against 3 literal rows — adding thresholds costs nothing."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    ks = F.explode(F.array(F.lit(2), F.lit(5), F.lit(10))).alias("k")
+    return (
+        g.select("n", ks)
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("n") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_below_k"),
+            F.sum(F.when(F.col("n") < F.col("k"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        )
+        .select(F.col("k").cast("int").alias("k"), "classes_below_k",
+                "rows_at_risk", "n_classes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# growth accounting: cumulative distinct users by day — the "total users
+# ever" curve every product dashboard opens with, computed the scalable
+# way (first-seen day per user, then a running sum over the tiny day
+# series) rather than a count(DISTINCT) per day over growing prefixes.
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id,
+         CAST(min(date_trunc('day', CAST(ts AS TIMESTAMP))) AS DATE) AS d0
+  FROM events GROUP BY user_id
+),
+daily AS (SELECT d0, count(*) AS new_users FROM first_seen GROUP BY d0)
+SELECT strftime(d0, '%Y-%m-%d') AS day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY d0
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+FROM daily
+"""
+
+
+@register("user_growth_accounting", _GROWTH_ORACLE)
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New and cumulative distinct users per day. Scale: one user-grain
+    min-aggregate (partial-combining — each user's first timestamp folds
+    map-side), one day-grain count, and the running sum runs over the
+    DAY series (bounded), never a per-day count(DISTINCT) over an
+    ever-growing prefix of raw events."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = (
+        ev.select("user_id", F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").cast("date").alias("d0"))
+    )
+    daily = first_seen.groupBy("d0").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("d0", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

@@ -499,3 +499,27 @@ def test_novelty_no_collect_list_bounded_buffers(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_ngram_novelty", mode="formatted")
     assert "collect_list" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_theilsen_pairs_equi_join_day_grain(spark, sf_dir):
+    # the O(days^2) pair grid must build from an equi-join on event_type
+    # over the DAY-grain aggregate — never a cartesian over raw events
+    plan = _plan(spark, sf_dir, "ts_theilsen_trend", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_label_centroids_broadcast_and_no_python(spark, sf_dir):
+    # centroids re-join as a BROADCAST of the tiny label-grain array
+    # table; the distance is an in-row fold, no Python stage anywhere
+    plan = _plan(spark, sf_dir, "embedding_label_centroids", mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_growth_accounting_aggregates_before_running_sum(spark, sf_dir):
+    # the running sum must consume the DAY-grain aggregate, not raw
+    # events: two HashAggregates feed a single-partition window
+    plan = _plan(spark, sf_dir, "user_growth_accounting", mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
