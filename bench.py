@@ -196,6 +196,7 @@ HEADLINE = [
     "gini_source_concentration",
     "audit_k_anonymity",
     "user_growth_accounting",
+    "graph_kcore",
 ]
 
 

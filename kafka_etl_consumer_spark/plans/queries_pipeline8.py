@@ -612,3 +612,60 @@ def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core extraction: the maximal subgraph where every vertex keeps ≥ k
+# neighbors — the dense-part extractor of graph curation (spam/bot rings
+# and template boilerplate survive high-k cores; organic long tail peels
+# away). Spark iterates the Batagelj-Zaveršnik peeling to a TRUE
+# fixpoint (operators/graph.py kcore); the oracle unrolls 16 peeling
+# rounds — ≥2x the deepest convergence observed on this data (8 rounds
+# at sf0.01, 6 at sf0.1, 2 at sf0.001), so both sides reach the same
+# fixpoint and convergence itself is hash-checked.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 16
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    from kafka_etl_consumer_spark.plans.queries_pipeline7 import _COORD_EDGE_CTE
+
+    # every symN / keepN is AS MATERIALIZED: each round references the
+    # previous one 3x, so DuckDB's default CTE inlining would expand the
+    # unroll to 3^rounds scans of lineitem
+    parts = [
+        f"WITH {_COORD_EDGE_CTE},",
+        "sym0 AS MATERIALIZED (SELECT p1 AS u, p2 AS v FROM e0"
+        " UNION ALL SELECT p2, p1 FROM e0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f", keep{i} AS MATERIALIZED (SELECT u FROM sym{i} GROUP BY u"
+            f" HAVING count(*) >= {k})"
+            f", sym{i + 1} AS MATERIALIZED (SELECT s.u, s.v FROM sym{i} s"
+            f" JOIN keep{i} a ON s.u = a.u JOIN keep{i} b ON s.v = b.u)"
+        )
+    parts.append(
+        f" SELECT u AS part_id, CAST(count(*) AS BIGINT) AS core_degree"
+        f" FROM sym{rounds} GROUP BY u"
+    )
+    return "\n".join(parts)
+
+
+@register("graph_kcore", _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the co-ordered-parts graph: (part_id, degree within the
+    core). Scale: operators/graph.py kcore — per round one map-side-
+    combining degree agg + two semi-joins against the shrinking keep
+    set, state is the surviving edge list only, lineage truncated per
+    round; the round count is data-dependent (stop-on-fixpoint), which
+    is why this is the module's one EAGER loop."""
+    from kafka_etl_consumer_spark.operators.graph import kcore
+    from kafka_etl_consumer_spark.plans.queries_pipeline7 import _coordered_edges
+
+    e0 = _coordered_edges(spark, sf_dir)
+    return kcore(e0, _KCORE_K, src="p1", dst="p2").select(
+        F.col("u").alias("part_id"), "core_degree"
+    )

@@ -62,3 +62,42 @@ def test_novelty_viral_shingle_matches_bruteforce(spark, tmp_path):
     }
     assert got == _py_novelty(texts)
     assert got[3][1] == 0.0  # pure-copy doc survives via the left join
+
+
+def _kcore_py(edges, k):
+    # reference peeling: iteratively drop vertices with degree < k
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for n in adj[v]:
+                    adj[n].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+def test_kcore_matches_bruteforce(spark):
+    """Chain (peels away), 4-cycle (2-core, dies at k=3), 4-clique
+    (3-core), and a pendant hanging off the clique (peels at k>=2 and
+    must trigger a SECOND peel round for its neighbor's degree)."""
+    from kafka_etl_consumer_spark.operators.graph import kcore
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),              # chain
+        (10, 11), (11, 12), (12, 13), (13, 10),  # 4-cycle
+        (20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23),  # clique
+        (23, 30),                             # pendant off the clique
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    for k in (2, 3):
+        got = {r.u: r.core_degree for r in kcore(df, k).collect()}
+        assert got == _kcore_py(edges, k), f"k={k}"
+    assert kcore(df, 5).count() == 0  # whole graph peels away
