@@ -219,3 +219,56 @@ def running_totals_tws(
             timeMode="None",
         )
     )
+
+
+def streaming_first_seen(
+    df: DataFrame,
+    sink_path: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Continuously maintain a FIRST-SEEN table from a stream: one row
+    per key, stamped with the day of its first appearance — the
+    streaming half of growth accounting (the batch twin is the
+    ``user_growth_accounting`` query; :func:`growth_curve` turns the
+    sink into the same curve).
+
+    Stateful exact dedup on the key keeps only each key's first row
+    (unbounded dropDuplicates — first-seen is by definition a lifetime
+    property, so the state is one row per key forever; that is the SAME
+    O(#keys) footprint the batch job's user-grain aggregate carries).
+    Append-mode parquet sink + checkpoint give exactly-once rows.
+    Assumes the feed delivers a key's first event before its later ones
+    (true for time-ordered ingest like the reference's Kafka topics);
+    out-of-order feeds should min-merge the sink afterwards.
+
+    Returns the started StreamingQuery.
+    """
+    first = df.dropDuplicates([key_col]).select(
+        F.col(key_col),
+        F.date_trunc("day", F.col(ts_col).cast("timestamp")).cast("date").alias("d0"),
+    )
+    return (
+        first.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )
+
+
+def growth_curve(spark, sink_path: str) -> DataFrame:
+    """(day, new_users, cumulative_users) from a first-seen sink — the
+    identical day-grain rollup the batch ``user_growth_accounting`` query
+    computes, so streaming state and batch agree row-for-row."""
+    from pyspark.sql import Window
+
+    first_seen = spark.read.parquet(sink_path)
+    daily = first_seen.groupBy("d0").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.date_format("d0", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

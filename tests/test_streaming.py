@@ -173,3 +173,62 @@ def test_streaming_ohlc_bars_match_batch(spark, tmp_path):
     # and the bar itself is right: user 1 bucket 1 opened at 10, closed at 5
     u1 = [v for (u, _), v in want.items() if u == 1]
     assert (10.0, 30.0, 5.0, 5.0, 3) in u1
+
+
+def test_streaming_growth_accounting_matches_batch(spark, tmp_path):
+    """The streaming first-seen table, accumulated across 3 micro-batches
+    with repeat users, must yield the same (day, new, cumulative) curve
+    as the batch user_growth_accounting rollup over the full feed."""
+    from kafka_etl_consumer_spark.streaming.windows import (
+        growth_curve,
+        streaming_first_seen,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    day = 24 * 60
+    batches = [
+        _rows((0, 0, 1, 1), (1, 5, 2, 1)),                      # day 0: users 1,2
+        _rows((2, 10, 1, 1), (3, day + 5, 3, 1)),               # repeat 1; day 1: user 3
+        _rows((4, day + 10, 2, 1), (5, 2 * day + 1, 4, 1)),     # repeat 2; day 2: user 4
+    ]
+    for b in batches:
+        _stage(spark, src, b)
+
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = streaming_first_seen(stream, sink, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.day: (r.new_users, r.cumulative_users)
+        for r in growth_curve(spark, sink).collect()
+    }
+    assert got == {
+        "2024-01-01": (2, 2),
+        "2024-01-02": (1, 3),
+        "2024-01-03": (1, 4),
+    }
+
+    # restart with a NEW batch over the same checkpoint: state survives —
+    # user 1 stays first-seen on day 0, only genuinely new user 5 lands
+    _stage(spark, src, _rows((6, 3 * day + 2, 1, 1), (7, 3 * day + 3, 5, 1)))
+    stream2 = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q2 = streaming_first_seen(stream2, sink, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got2 = {
+        r.day: (r.new_users, r.cumulative_users)
+        for r in growth_curve(spark, sink).collect()
+    }
+    assert got2["2024-01-04"] == (1, 5)
+    assert got2["2024-01-01"] == (2, 2)
