@@ -93,14 +93,17 @@ def parse_schema(avsc: str | dict) -> dict:
             named[full] = out
             named.setdefault(node["name"], out)
             for f in node["fields"]:
-                out["fields"].append(
-                    {"name": f["name"], "type": resolve(f["type"], ns)}
-                )
+                rf = {"name": f["name"], "type": resolve(f["type"], ns)}
+                if "default" in f:  # kept for reader-side schema resolution
+                    rf["default"] = f["default"]
+                out["fields"].append(rf)
             return out
         if t == "enum":
             ns = node.get("namespace", namespace)
             full = f"{ns}.{node['name']}" if ns else node["name"]
             out = {"type": "enum", "name": full, "symbols": list(node["symbols"])}
+            if "default" in node:  # Avro 1.9+ enum fallback symbol
+                out["default"] = node["default"]
             named[full] = out
             named.setdefault(node["name"], out)
             return out
@@ -437,6 +440,196 @@ def decode_record(schema: Any, payload: bytes) -> dict:
     """Decode one binary-Avro payload (whole message, no magic byte) —
     the reference's ``deserializeAvro`` semantics."""
     return _decode(schema, _Reader(payload))
+
+
+# ---------------------------------------------------------------------------
+# Schema resolution (Avro spec §"Schema Resolution"): decode a payload
+# written with WRITER schema W under READER schema R — the rolling-upgrade
+# contract. The reference pins one schema per topic forever
+# (AbstractAvroDeserializeService.java:28-34) and crashes on any change;
+# this implements the spec rules: match record fields by name (writer
+# order drives the byte stream), skip writer-only fields, fill
+# reader-only fields from their defaults, apply the promotion lattice
+# (int→long/float/double, long→float/double, float→double,
+# string⇄bytes), resolve union branches writer-side then match the
+# reader union, and accept enum symbols present in the reader (falling
+# back to the reader's enum ``default`` per Avro 1.9+).
+# ---------------------------------------------------------------------------
+
+_PROMOTABLE = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+    "null": {"null"},
+}
+
+
+def _promote(v: Any, w_t: str, r_t: str) -> Any:
+    if w_t == r_t or v is None:
+        return v
+    if r_t in ("float", "double"):
+        return float(v)
+    if r_t == "long":
+        return int(v)
+    if r_t == "bytes":
+        return v.encode("utf-8") if isinstance(v, str) else v
+    if r_t == "string":
+        return v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else v
+    return v
+
+
+def _match(w: Any, rd: Any) -> bool:
+    """Can a writer-branch value resolve against reader node ``rd``?"""
+    wt, rt = _type_name(w), _type_name(rd)
+    if wt in _PROMOTABLE:
+        return rt in _PROMOTABLE[wt]
+    if wt in ("record", "enum", "fixed"):
+        return rt == wt and (
+            not (isinstance(w, dict) and isinstance(rd, dict))
+            or w.get("name") == rd.get("name")
+        )
+    return wt == rt  # array/map/union by shape
+
+
+def _default_value(rd: Any, d: Any) -> Any:
+    """A reader field's JSON default → the decoded-value representation."""
+    if isinstance(rd, list):  # union default applies to the FIRST branch
+        return _default_value(rd[0], d)
+    if isinstance(rd, str):
+        if rd == "null":
+            return None
+        if rd in ("float", "double"):
+            return float(d)
+        if rd in ("int", "long"):
+            return int(d)
+        if rd == "bytes":
+            return d.encode("latin-1") if isinstance(d, str) else d
+        return d
+    t = rd["type"]
+    if t == "record":
+        return {
+            f["name"]: _default_value(
+                f["type"], (d or {}).get(f["name"], f.get("default"))
+            )
+            for f in rd["fields"]
+        }
+    if t == "array":
+        return [_default_value(rd["items"], x) for x in (d or [])]
+    if t == "map":
+        return {k: _default_value(rd["values"], x) for k, x in (d or {}).items()}
+    if t == "fixed":
+        return d.encode("latin-1") if isinstance(d, str) else d
+    if t in _PRIMITIVES:  # logical-typed primitive: defaults are base-typed
+        return _from_logical(rd, _default_value(t, d))
+    return d  # enum: the symbol string
+
+
+def _decode_resolved(w: Any, rd: Any, r: _Reader) -> Any:
+    # unions first: the writer union picks the branch from the byte
+    # stream; the branch then resolves against the reader node
+    if isinstance(w, list):
+        branch = w[r.read_long()]
+        return _resolve_value(branch, rd, r)
+    return _resolve_value(w, rd, r)
+
+
+def _resolve_value(w: Any, rd: Any, r: _Reader) -> Any:
+    if isinstance(rd, list):  # reader union: first matching branch wins
+        for b in rd:
+            if _match(w, b):
+                return _resolve_value(w, b, r)
+        raise ValueError(
+            f"schema resolution: writer {_type_name(w)!r} matches no reader "
+            f"union branch {[_type_name(b) for b in rd]!r}"
+        )
+    wt, rt = _type_name(w), _type_name(rd)
+    if wt in _PROMOTABLE:
+        if rt not in _PROMOTABLE[wt]:
+            raise ValueError(f"schema resolution: cannot promote {wt!r} to {rt!r}")
+        v = _decode(w, r)
+        base = _promote(v, wt, rt)
+        # the reader's logical annotation applies only when the writer had
+        # none — a logical writer node already converted inside _decode,
+        # and converting twice would corrupt the value
+        if isinstance(rd, dict) and not isinstance(w, dict):
+            return _from_logical(rd, base)
+        return base
+    if wt == "record":
+        if rt != "record" or w.get("name") != rd.get("name"):
+            raise ValueError(
+                f"schema resolution: record {w.get('name')!r} vs reader {rt!r}"
+            )
+        r_fields = {f["name"]: f for f in rd["fields"]}
+        out: dict = {}
+        for f in w["fields"]:
+            if f["name"] in r_fields:
+                out[f["name"]] = _decode_resolved(
+                    f["type"], r_fields[f["name"]]["type"], r
+                )
+            else:
+                _decode(f["type"], r)  # writer-only: decode and discard
+        for f in rd["fields"]:
+            if f["name"] not in out:
+                if "default" not in f and not (
+                    isinstance(f["type"], list) and f["type"][0] == "null"
+                ):
+                    raise ValueError(
+                        f"schema resolution: reader field {f['name']!r} absent "
+                        "from writer and has no default"
+                    )
+                out[f["name"]] = _default_value(f["type"], f.get("default"))
+        return out
+    if wt == "enum":
+        sym = w["symbols"][r.read_long()]
+        if sym in rd["symbols"]:
+            return sym
+        if "default" in rd:
+            return rd["default"]
+        raise ValueError(f"schema resolution: enum symbol {sym!r} not in reader")
+    if wt == "array":
+        if rt != "array":
+            raise ValueError("schema resolution: array vs non-array reader")
+        out_l: list = []
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                r.read_long()
+            for _ in range(n):
+                out_l.append(_decode_resolved(w["items"], rd["items"], r))
+        return out_l
+    if wt == "map":
+        if rt != "map":
+            raise ValueError("schema resolution: map vs non-map reader")
+        out_m: dict = {}
+        while True:
+            n = r.read_long()
+            if n == 0:
+                break
+            if n < 0:
+                n = -n
+                r.read_long()
+            for _ in range(n):
+                k = r.read_bytes().decode("utf-8")
+                out_m[k] = _decode_resolved(w["values"], rd["values"], r)
+        return out_m
+    if wt == "fixed":
+        if rt != "fixed" or w["size"] != rd["size"]:
+            raise ValueError("schema resolution: fixed name/size mismatch")
+        return _decode(rd, r)  # reader's logical annotation applies
+    raise ValueError(f"schema resolution: unsupported writer type {wt!r}")
+
+
+def decode_record_resolved(writer: Any, reader: Any, payload: bytes) -> dict:
+    """Decode one binary payload written with ``writer`` under ``reader``
+    (both parse_schema trees) per Avro schema resolution."""
+    return _decode_resolved(writer, reader, _Reader(payload))
 
 
 # ---------------------------------------------------------------------------

@@ -43,6 +43,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from kafka_etl_consumer_spark.avro_codec import (
     decode_record,
+    decode_record_resolved,
     encode_record,
     parse_schema,
     to_spark_struct,
@@ -121,14 +122,20 @@ def decode_avro(
     ``corrupt_col IS NOT NULL`` to a quarantine table for replay after a
     schema fix, instead of losing the bytes or the pipeline.
 
-    ``reader_avsc``: Avro schema-resolution-style evolution (the reference
-    pins one schema per topic forever, AbstractAvroDeserializeService.java:28-34
-    of the reference — a schema change breaks it). Payloads decode with the
-    WRITER schema ``avsc``; the output then projects to the reader schema:
-    fields the reader adds get their declared ``default`` (null-union fields
-    default to null), fields the reader dropped disappear. This covers the
-    add-with-default / drop evolution pair — the rolling-upgrade pattern;
-    type promotions are not attempted (fail loudly at analysis).
+    ``reader_avsc``: full Avro schema resolution (the spec's rolling-upgrade
+    contract; the reference pins one schema per topic forever,
+    AbstractAvroDeserializeService.java:28-34 of the reference — a schema
+    change breaks it). Payloads decode with the WRITER schema ``avsc``
+    under the reader schema at the CODEC level
+    (avro_codec.decode_record_resolved): reader-added fields take their
+    declared ``default`` (null-union fields default to null), writer-only
+    fields are decoded and discarded, the promotion lattice applies
+    (int→long/float/double, long→float/double, float→double,
+    string⇄bytes), union branches re-match against the reader union, and
+    enum symbols fall back to the reader's enum ``default``. Output
+    columns and types come from the reader schema. Always the Python
+    decoder path — JVM ``from_avro`` takes one schema with no
+    reader/writer split.
 
     Prefers the JVM ``from_avro`` (whole-stage codegen, zero Python) when
     spark-avro is loaded; otherwise decodes with the pure-Python codec in
@@ -140,14 +147,17 @@ def decode_avro(
     all-null record).
     """
     keep = list(keep_cols)
-    struct_schema = to_spark_struct(avsc)
+    struct_schema = to_spark_struct(reader_avsc if reader_avsc is not None else avsc)
     if corrupt_col is not None and mode.upper() != "PERMISSIVE":
         raise ValueError("corrupt_col requires mode='PERMISSIVE'")
-    if reader_avsc is not None:
-        decoded = decode_avro(df, avsc, value_col, keep_cols, mode, corrupt_col)
-        return _resolve_to_reader(decoded, reader_avsc, keep, corrupt_col)
 
-    if corrupt_col is None and _jvm_from_avro_available(df, value_col, avsc):
+    # reader_avsc always takes the Python decoder: JVM from_avro has no
+    # reader/writer split — the one schema it takes is both.
+    if (
+        corrupt_col is None
+        and reader_avsc is None
+        and _jvm_from_avro_available(df, value_col, avsc)
+    ):
         from pyspark.sql.avro.functions import from_avro
 
         rec = from_avro(F.col(value_col), avsc, {"mode": mode})
@@ -155,6 +165,16 @@ def decode_avro(
         return base.select(*keep, "__r.*")
 
     schema_tree = parse_schema(avsc)
+    if reader_avsc is not None:
+        reader_tree = parse_schema(reader_avsc)
+
+        def _dec(payload: bytes) -> dict:
+            return decode_record_resolved(schema_tree, reader_tree, payload)
+    else:
+
+        def _dec(payload: bytes) -> dict:
+            return decode_record(schema_tree, payload)
+
     field_names = [f.name for f in struct_schema.fields]
     permissive = mode.upper() == "PERMISSIVE"
     if permissive:
@@ -174,7 +194,7 @@ def decode_avro(
             records, bad = [], []
             for payload in pdf[value_col]:
                 try:
-                    records.append(decode_record(schema_tree, bytes(payload)))
+                    records.append(_dec(bytes(payload)))
                     bad.append(None)
                 except Exception:
                     if not permissive:
@@ -190,30 +210,6 @@ def decode_avro(
 
     return df.mapInPandas(decode_batches, out_schema)
 
-
-def _resolve_to_reader(
-    decoded: DataFrame, reader_avsc: str, keep: list, corrupt_col: str | None
-) -> DataFrame:
-    """Project writer-decoded columns to the reader schema: keep passthrough
-    cols, add reader-only fields with their Avro defaults, drop writer-only
-    fields, preserve reader field order."""
-    import json as _json
-
-    reader_struct = to_spark_struct(reader_avsc)
-    # defaults come from the RAW schema JSON — parse_schema normalizes
-    # fields down to name/type and drops the "default" attribute
-    raw = _json.loads(reader_avsc) if isinstance(reader_avsc, str) else reader_avsc
-    defaults = {f["name"]: f.get("default") for f in raw["fields"]}
-    have = set(decoded.columns)
-    cols = [F.col(c) for c in keep] + ([F.col(corrupt_col)] if corrupt_col else [])
-    for f in reader_struct.fields:
-        if f.name in have:
-            cols.append(F.col(f.name))
-        else:
-            d = defaults.get(f.name)
-            lit = F.lit(None) if d is None else F.lit(d)
-            cols.append(lit.cast(f.dataType).alias(f.name))
-    return decoded.select(*cols)
 
 
 def encode_avro(df: DataFrame, avsc: str, value_col: str = "value") -> DataFrame:

@@ -218,3 +218,81 @@ def test_spark_to_avro_roundtrip():
     ])
     avsc = from_spark_struct(st)
     assert to_spark_struct(json.dumps(avsc)) == st
+
+
+def test_schema_resolution_promotions_unions_enums_skip():
+    """Codec-level Avro schema resolution (round 4): promotions
+    (int->long, int->double-in-union, string->bytes, bytes->string),
+    writer-only field skip (including a nested record), reader defaults
+    (primitive, record, array), union branch re-matching, and enum
+    fallback to the reader's default symbol."""
+    from kafka_etl_consumer_spark.avro_codec import (
+        decode_record_resolved,
+        encode_record,
+        parse_schema,
+    )
+
+    writer = parse_schema("""{
+      "type": "record", "name": "Evt", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "price", "type": "int"},
+        {"name": "name", "type": "string"},
+        {"name": "blob", "type": "bytes"},
+        {"name": "tag", "type": {"type": "enum", "name": "Tag",
+                                 "symbols": ["A", "B", "LEGACY"]}},
+        {"name": "nested", "type": {"type": "record", "name": "Sub",
+          "fields": [{"name": "x", "type": "long"},
+                     {"name": "ys", "type": {"type": "array", "items": "int"}}]}},
+        {"name": "maybe", "type": ["null", "int"]}]}""")
+    reader = parse_schema("""{
+      "type": "record", "name": "Evt", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "price", "type": ["null", "double"]},
+        {"name": "name", "type": "bytes"},
+        {"name": "blob", "type": "string"},
+        {"name": "tag", "type": {"type": "enum", "name": "Tag",
+                                 "symbols": ["A", "B", "C"], "default": "C"}},
+        {"name": "maybe", "type": ["null", "long"]},
+        {"name": "channel", "type": "string", "default": "web"},
+        {"name": "weights", "type": {"type": "array", "items": "double"},
+         "default": [1.0, 2.0]},
+        {"name": "meta", "type": {"type": "record", "name": "Meta",
+          "fields": [{"name": "v", "type": "int", "default": 7}]},
+         "default": {}}]}""")
+
+    payload = encode_record(writer, {
+        "id": 5, "price": 42, "name": "abc", "blob": b"\x01\x02",
+        "tag": "LEGACY",
+        "nested": {"x": 9, "ys": [1, 2, 3]},   # dropped by the reader
+        "maybe": 17,
+    })
+    got = decode_record_resolved(writer, reader, payload)
+    assert got == {
+        "id": 5,                      # int -> long
+        "price": 42.0,                # int -> double via reader union
+        "name": b"abc",               # string -> bytes
+        "blob": "\x01\x02",           # bytes -> string (utf-8)
+        "tag": "C",                   # unknown symbol -> reader default
+        "maybe": 17,                  # union int branch -> reader long
+        "channel": "web",             # reader-added primitive default
+        "weights": [1.0, 2.0],        # reader-added array default
+        "meta": {"v": 7},             # reader-added record: field defaults
+    }
+    assert isinstance(got["price"], float) and isinstance(got["id"], int)
+
+    # a reader field with neither writer presence nor a default is an error
+    import pytest as _pytest
+
+    bad_reader = parse_schema("""{
+      "type": "record", "name": "Evt", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "missing", "type": "string"}]}""")
+    with _pytest.raises(ValueError, match="no default"):
+        decode_record_resolved(writer, bad_reader, payload)
+
+    # illegal promotion (string -> int) is an error, not a silent null
+    bad_promo = parse_schema("""{
+      "type": "record", "name": "Evt", "fields": [
+        {"name": "name", "type": "int"}]}""")
+    with _pytest.raises(ValueError, match="promote"):
+        decode_record_resolved(writer, bad_promo, payload)

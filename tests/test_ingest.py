@@ -665,3 +665,29 @@ def test_registry_framing_roundtrip_and_decode(spark):
     # would eliminate it and bad rows would pass as NULL payloads
     with pytest.raises(Exception, match="magic"):
         strip_registry_framing(bad, mode="FAILFAST").select("value").collect()
+
+
+def test_reader_schema_promotion_through_dataframe(spark):
+    """Promotions flow through decode_avro's reader path end-to-end: an
+    int-written field lands as LongType/DoubleType columns typed by the
+    READER schema."""
+    v1 = """{
+      "type": "record", "name": "Evt", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "amount", "type": "int"}]}"""
+    v2 = """{
+      "type": "record", "name": "Evt", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "amount", "type": "double"}]}"""
+    schema_v1 = parse_schema(v1)
+    rows = [
+        Row(topic="t", value=bytearray(encode_record(schema_v1, {"id": i, "amount": 10 + i})))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ENVELOPE)
+    out = decode_avro(df, v1, reader_avsc=v2)
+    types = dict(out.dtypes)
+    assert types == {"id": "bigint", "amount": "double"}
+    assert sorted((r.id, r.amount) for r in out.collect()) == [
+        (0, 10.0), (1, 11.0), (2, 12.0)
+    ]
