@@ -294,6 +294,7 @@ def ingest(
     mode: str = "FAILFAST",
     event_time_col: str | Column | None = None,
     idempotent: bool = False,
+    reader_registry: SchemaRegistry | None = None,
 ) -> list[StreamingQuery]:
     """Start one streaming query per topic: filter → Avro-decode →
     date-partitioned Snappy Parquet under ``<output_path>/<topic>/...``.
@@ -317,6 +318,13 @@ def ingest(
       EVENT time instead of processing time — late rows land in their
       correct partition (partition_columns docstring has the trade-off).
 
+    ``reader_registry``: per-topic READER schemas for rolling upgrades —
+    payloads decode with the writer schema from ``registry`` under the
+    reader schema via full Avro schema resolution (see
+    :func:`decode_avro` ``reader_avsc``); the landed parquet carries the
+    reader's columns and types, so a consumer fleet upgrades schemas
+    without stopping producers (the reference pins one schema forever).
+
     One query per topic (not one query demuxing to N sinks): each topic has
     its own schema, checkpoint, and backpressure, and Spark schedules the
     queries concurrently — same isolation the reference gets from one
@@ -329,8 +337,11 @@ def ingest(
     queries: list[StreamingQuery] = []
     for topic in topics:
         avsc = registry.avsc(topic)
+        reader = reader_registry.avsc(topic) if reader_registry else None
         branch = source_df.filter(F.col("topic") == topic)
-        decoded = decode_avro(branch, avsc, value_col="value", mode=mode)
+        decoded = decode_avro(
+            branch, avsc, value_col="value", mode=mode, reader_avsc=reader
+        )
         sink_path = f"{output_path}/{topic}"
         ckpt = f"{checkpoint_path}/{topic}"
 

@@ -691,3 +691,63 @@ def test_reader_schema_promotion_through_dataframe(spark):
     assert sorted((r.id, r.amount) for r in out.collect()) == [
         (0, 10.0), (1, 11.0), (2, 12.0)
     ]
+
+
+def test_ingest_with_reader_registry_evolves_schema(spark, tmp_path):
+    """End-to-end rolling upgrade through the ingest pipeline: producers
+    keep writing schema v1 payloads while the landed parquet carries the
+    v2 reader columns/types — a defaulted new field, a dropped field,
+    and an int->long promotion."""
+    import glob as _glob
+    import time as _time
+
+    v1 = """{
+      "type": "record", "name": "Evt", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "legacy", "type": "string"},
+        {"name": "amount", "type": "int"}]}"""
+    v2 = """{
+      "type": "record", "name": "Evt", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "amount", "type": "long"},
+        {"name": "channel", "type": "string", "default": "web"}]}"""
+    topic = "evt"
+    schema_v1 = parse_schema(v1)
+    rows = [
+        Row(topic=topic, value=bytearray(
+            encode_record(schema_v1, {"id": i, "legacy": "x", "amount": 10 + i})))
+        for i in range(4)
+    ]
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt_dir = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows, ENVELOPE).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(ENVELOPE).parquet(src_dir)
+    queries = ingest(
+        stream,
+        DictSchemaRegistry({topic: v1}),
+        out_dir,
+        topics=[topic],
+        checkpoint_path=ckpt_dir,
+        trigger=rolling_trigger(IntervalUnit.MINUTE, 1),
+        reader_registry=DictSchemaRegistry({topic: v2}),
+    )
+    try:
+        deadline = _time.time() + 60
+        target = f"{out_dir}/{topic}"
+        while _time.time() < deadline:
+            for q in queries:
+                q.processAllAvailable()
+            if _glob.glob(f"{target}/**/*.parquet", recursive=True):
+                break
+            _time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+
+    got = spark.read.option("recursiveFileLookup", "true").parquet(target)
+    assert dict(got.dtypes) == {"id": "bigint", "amount": "bigint", "channel": "string"}
+    assert sorted((r.id, r.amount, r.channel) for r in got.collect()) == [
+        (i, 10 + i, "web") for i in range(4)
+    ]
