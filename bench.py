@@ -197,6 +197,8 @@ HEADLINE = [
     "audit_k_anonymity",
     "user_growth_accounting",
     "graph_kcore",
+    "stickiness_dau_wau",
+    "skew_key_report",
 ]
 
 

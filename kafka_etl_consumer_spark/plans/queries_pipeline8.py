@@ -669,3 +669,123 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(e0, _KCORE_K, src="p1", dst="p2").select(
         F.col("u").alias("part_id"), "core_degree"
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU/WAU stickiness: for every observed day, distinct users that day and
+# distinct users in the trailing 7-day window — the engagement ratio every
+# growth dashboard tracks. Scalable via the CONTRIBUTION trick: each
+# (user, day) activity row fans out to the ≤7 anchor days it can serve,
+# and one distinct+count replaces a per-day COUNT(DISTINCT) over sliding
+# raw-event windows (count-distinct cannot ride a window frame).
+# ---------------------------------------------------------------------------
+
+_STICKINESS_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+            FROM events),
+dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d),
+contrib AS (SELECT DISTINCT user_id,
+                   CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                               INTERVAL 1 DAY)) AS DATE) AS anchor
+            FROM ud),
+wau AS (SELECT anchor, count(*) AS wau FROM contrib GROUP BY anchor)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON wau.anchor = dau.d
+"""
+
+
+@register("stickiness_dau_wau", _STICKINESS_ORACLE)
+def stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU, trailing-7-day WAU, and their ratio per observed day. Scale:
+    events collapse to the (user, day) grain first (the only data-sized
+    shuffle); the ×7 anchor fan-out happens on that bounded grain, and
+    the WAU distinct+count partial-combines — never a per-day
+    count(DISTINCT) over a sliding window of raw events. Anchors join
+    back to observed days only (inner join on dau)."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("anchor"),
+        )
+        .distinct()
+    )
+    wau = contrib.groupBy("anchor").agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    return (
+        dau.join(wau, dau.d == wau.anchor)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau").cast("double"), 6).alias("stickiness"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join-key skew report: the pre-flight check before any big keyed join or
+# aggregation — how concentrated is the key distribution, and will one
+# reducer eat the job? Feeds the decision between a plain shuffle join,
+# AQE skew handling, and explicit salting (join_salted_skew /
+# agg_salted_hot_key are the remedies this report justifies).
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH f AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             CAST(max(cnt) AS BIGINT) AS max_key_rows,
+             quantile_cont(CAST(cnt AS DOUBLE), 0.5) AS p50,
+             quantile_cont(CAST(cnt AS DOUBLE), 0.99) AS p99
+      FROM f)
+SELECT n_keys, n_rows, max_key_rows,
+       round(max_key_rows / CAST(n_rows AS DOUBLE), 6) AS max_key_share,
+       round(p50, 6) AS p50_rows_per_key,
+       round(p99, 6) AS p99_rows_per_key,
+       round(p99 / p50, 6) AS skew_ratio_p99_p50
+FROM t
+"""
+
+
+@register("skew_key_report", _SKEW_ORACLE)
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution skew profile of lineitem.l_partkey (one row:
+    cardinality, hottest-key share, p50/p99 rows-per-key and their
+    ratio). Scale: ONE partial-combining count per key (the only
+    data-sized shuffle); the percentile pass runs on the KEY-grain
+    count table — swap percentile for approx_percentile at 100 TB if
+    the key table itself outgrows a stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        f.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.max("cnt").cast("bigint").alias("max_key_rows"),
+            F.expr("percentile(CAST(cnt AS DOUBLE), 0.5)").alias("p50"),
+            F.expr("percentile(CAST(cnt AS DOUBLE), 0.99)").alias("p99"),
+        )
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.round(F.col("max_key_rows") / F.col("n_rows").cast("double"), 6).alias(
+                "max_key_share"
+            ),
+            F.round("p50", 6).alias("p50_rows_per_key"),
+            F.round("p99", 6).alias("p99_rows_per_key"),
+            F.round(F.col("p99") / F.col("p50"), 6).alias("skew_ratio_p99_p50"),
+        )
+    )
