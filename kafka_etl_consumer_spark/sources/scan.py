@@ -17,6 +17,7 @@ streaming/ingest.decode_avro via the pure-Python codec.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -89,6 +90,8 @@ def write_parquet(
     mode: str = "error",
     max_records_per_file: int | None = None,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_files: int | None = None,
 ) -> None:
     """Snappy Parquet writer (the reference's sink posture: Snappy,
     dictionary encoding — ETLTask.java:146,197 of the reference; sizes via
@@ -102,7 +105,28 @@ def write_parquet(
     min/max stats per column; sorted data makes those ranges narrow and
     disjoint, so later filtered scans skip whole row groups. The cheap 80%
     of Z-ordering for the single-column-predicate case — sort by your most
-    filtered column at write time."""
+    filtered column at write time.
+
+    ``zorder_by``: full multi-dimensional clustering — interleave the bits
+    of 2-3 (min/max-normalized) columns into a Morton code and range-
+    repartition + sort on it before writing, so EVERY participating
+    column's per-file/row-group range stays narrow and a 2-d box filter
+    skips most of the table (Delta OPTIMIZE ZORDER BY semantics,
+    functions/zorder.py — all JVM bit expressions). ``zorder_files``
+    sets the output file count (default: current partitioning).
+    Mutually exclusive with ``sort_by``."""
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        from kafka_etl_consumer_spark.functions.zorder import with_zorder
+
+        zdf = with_zorder(df, zorder_by)
+        parts = [F.col("__zorder")]
+        if zorder_files:
+            zdf = zdf.repartitionByRange(zorder_files, *parts)
+        else:
+            zdf = zdf.repartitionByRange(*parts)
+        df = zdf.sortWithinPartitions("__zorder").drop("__zorder")
     if sort_by:
         df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode).option("compression", "snappy")
