@@ -199,6 +199,9 @@ HEADLINE = [
     "graph_kcore",
     "stickiness_dau_wau",
     "skew_key_report",
+    "join_asof_tolerance",
+    "eval_knn_confusion",
+    "eval_auc_rank",
 ]
 
 

@@ -37,6 +37,7 @@ def asof_join(
     how: str = "left",
     left_unique: list[str] | None = None,
     strategy: str = "merge",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_ts <= left_ts`` (direction='backward') / smallest
@@ -56,11 +57,19 @@ def asof_join(
     ``left_unique``: rank-strategy only — columns forming a unique key of
     the left side; the rank window then partitions by just these (narrower
     sort keys, measured ~25% off the rank stage).
+
+    ``tolerance``: maximum allowed as-of gap (pandas merge_asof
+    semantics — the NEAREST match is picked first, then rejected if it
+    exceeds the gap; by monotonicity of the as-of bound the two orders
+    are equivalent). Units follow the widened timestamp type: SECONDS
+    for timestamp columns, DAYS for dates, the column's own units for
+    numerics. With ``how='left'`` an out-of-tolerance match nulls the
+    right side; with ``how='inner'`` the row drops.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if strategy == "merge":
         return _asof_merge(left, right, keys, left_ts, right_ts,
-                           tiebreakers, direction, how)
+                           tiebreakers, direction, how, tolerance)
     if strategy != "rank":
         raise ValueError(f"strategy must be merge|rank, got {strategy!r}")
     if direction == "backward":
@@ -73,6 +82,14 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
 
     join_cond: Column = cond
+    if tolerance is not None:
+        ts_t = _widen_ts_type(
+            left.schema[left_ts].dataType, right.schema[right_ts].dataType
+        )
+        l_n = _ts_number(F.col(f"__l.{left_ts}"), ts_t)
+        r_n = _ts_number(F.col(f"__r.{right_ts}"), ts_t)
+        gap = (l_n - r_n) if direction == "backward" else (r_n - l_n)
+        join_cond = join_cond & (gap <= F.lit(float(tolerance)))
     for k in keys:
         join_cond = (F.col(f"__l.{k}") == F.col(f"__r.{k}")) & join_cond
 
@@ -96,6 +113,18 @@ def asof_join(
             *[F.col(f"__r.{c}") for c in right_cols],
         )
     )
+
+
+def _ts_number(c, ts_t):
+    """Orderable number for as-of gap math: epoch seconds for timestamps,
+    epoch days for dates, the raw value for numerics."""
+    from pyspark.sql import types as T
+
+    if isinstance(ts_t, (T.TimestampType, T.TimestampNTZType)):
+        return F.unix_micros(c.cast(T.TimestampType())).cast("double") / 1e6
+    if isinstance(ts_t, T.DateType):
+        return F.datediff(c, F.lit("1970-01-01").cast("date")).cast("double")
+    return c.cast("double")
 
 
 def _widen_ts_type(lt, rt):
@@ -127,6 +156,7 @@ def _asof_merge(
     tiebreakers: list[str] | None,
     direction: str,
     how: str,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Merge-asof: no join at all. Union left and right rows tagged by
     side, shuffle+sort ONCE by (key, ts, side, tiebreakers), and carry the
@@ -202,7 +232,19 @@ def _asof_merge(
         )
         match = F.first("__rrow", ignorenulls=True).over(w)
 
-    out = u.withColumn("__m", match).filter(F.col("__side") == 1)
+    out = u.withColumn("__m", match)
+    if tolerance is not None:
+        l_n = _ts_number(F.col("__ts"), ts_t)
+        r_n = _ts_number(F.col(f"__m.{right_ts}").cast(ts_t), ts_t)
+        gap = (l_n - r_n) if direction == "backward" else (r_n - l_n)
+        out = out.withColumn(
+            "__m",
+            F.when(
+                F.col("__m").isNotNull() & (gap <= F.lit(float(tolerance))),
+                F.col("__m"),
+            ),
+        )
+    out = out.filter(F.col("__side") == 1)
     if how == "inner":
         out = out.filter(F.col("__m").isNotNull())
     return out.select(

@@ -789,3 +789,243 @@ def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p99") / F.col("p50"), 6).alias("skew_ratio_p99_p50"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tolerance-bounded as-of join: each click attaches the same user's most
+# recent PURCHASE — but only if it happened within the last hour; stale
+# context must not attach (the pandas merge_asof ``tolerance`` semantics:
+# nearest first, then reject the gap; the as-of bound is monotone, so the
+# two orders are equivalent). ~half the clicks have an in-window purchase
+# on this data, so both the match and the reject paths are exercised.
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_SEC = 3600
+
+_ASOF_TOL_ORACLE = f"""
+WITH c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS p_event_id, user_id,
+             CAST(ts AS TIMESTAMP) AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'),
+ranked AS (
+    SELECT c.event_id, p.p_event_id, p.p_ts, p.p_value,
+           row_number() OVER (PARTITION BY c.event_id
+                              ORDER BY p.p_ts DESC, p.p_event_id DESC) AS rn
+    FROM c JOIN p
+      ON p.user_id = c.user_id AND p.p_ts <= c.ts
+     AND p.p_ts >= c.ts - INTERVAL {_ASOF_TOL_SEC} SECOND)
+SELECT c.event_id, c.user_id, c.ts, m.p_event_id, m.p_ts, m.p_value
+FROM c
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) m USING (event_id)
+"""
+
+
+@register("join_asof_tolerance", _ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a 1-hour tolerance: clicks attach the user's
+    most recent purchase only when it is fresh (operators/joins.py
+    asof_join ``tolerance`` — seconds on the widened timestamp axis).
+    Same merge shape and cost as join_asof: ONE exchange of L+R rows,
+    the gap check is a narrow post-pick expression, never a second
+    candidate join."""
+    from kafka_etl_consumer_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_type", "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_ts="ts", right_ts="p_ts",
+        tiebreakers=["p_event_id"], direction="backward", how="left",
+        tolerance=float(_ASOF_TOL_SEC),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ML evaluation surface: the two reports every label-transfer / retrieval
+# pipeline closes the loop with.
+#
+# eval_knn_confusion — the full confusion matrix (plus per-class
+# precision/recall) of 5-NN majority-vote predictions for the first 100
+# vectors, the multi-class generalization of knn_label_predict's
+# per-query verdicts.
+# ---------------------------------------------------------------------------
+
+_CONFUSION_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+q AS (SELECT vec_id AS q_vec_id, emb AS q_emb, label AS true_label
+      FROM e WHERE vec_id < 100),
+c AS (SELECT vec_id, emb, label FROM e WHERE vec_id >= 100),
+s AS (SELECT q_vec_id, true_label, c.vec_id, c.label,
+             round(list_dot_product(q_emb, c.emb)
+                   / (sqrt(list_dot_product(q_emb, q_emb))
+                      * sqrt(list_dot_product(c.emb, c.emb))), 6) AS score
+      FROM q CROSS JOIN c),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY score DESC, vec_id) AS rn
+      FROM s),
+votes AS (SELECT q_vec_id, true_label, label, count(*) AS cnt
+          FROM r WHERE rn <= 5 GROUP BY 1, 2, 3),
+pick AS (SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                      ORDER BY cnt DESC, label) AS pr
+         FROM votes),
+pred AS (SELECT q_vec_id, true_label, label AS pred_label FROM pick WHERE pr = 1)
+SELECT true_label, pred_label,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) / CAST(sum(count(*))
+             OVER (PARTITION BY true_label) AS DOUBLE), 6) AS recall_share,
+       round(count(*) / CAST(sum(count(*))
+             OVER (PARTITION BY pred_label) AS DOUBLE), 6) AS precision_share
+FROM pred GROUP BY true_label, pred_label
+"""
+
+
+@register("eval_knn_confusion", _CONFUSION_ORACLE)
+def eval_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of 5-NN majority-vote predictions (first 100
+    vectors as the eval split), with each cell's share of its true row
+    (recall decomposition) and predicted column (precision
+    decomposition). Scale: the neighbor search is the broadcast-query
+    ANN surface; everything after is |q|-row arithmetic — the matrix
+    itself is labels² rows."""
+    from kafka_etl_consumer_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = e.filter(F.col("vec_id") >= 100).select("vec_id", "embedding", "label")
+    top = cosine_topk(
+        corpus.select("vec_id", "embedding"), q.select("q_vec_id", "q_embedding"), k=5
+    )
+    votes = (
+        F.broadcast(top)
+        .join(corpus.select("vec_id", "label"), "vec_id")
+        .groupBy("q_vec_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cnt").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") == 1)
+        .select("q_vec_id", F.col("label").alias("pred_label"))
+        .join(q.select("q_vec_id", "true_label"), "q_vec_id")
+    )
+    cell = pred.groupBy("true_label", "pred_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wt = Window.partitionBy("true_label")
+    wp = Window.partitionBy("pred_label")
+    return cell.select(
+        "true_label",
+        "pred_label",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias(
+            "recall_share"
+        ),
+        F.round(F.col("n") / F.sum("n").over(wp).cast("double"), 6).alias(
+            "precision_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval_auc_rank — exact ROC AUC via the Mann-Whitney rank formula:
+# AUC = (Σ avg-ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻), with average
+# ranks for score ties (sklearn's roc_auc_score semantics). Scorer:
+# cosine to class-0's (rounded) centroid; positives = label 0 — a
+# self-contained "does the prototype separate its class" probe.
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                  CAST(label = 0 AS INT) AS pos FROM embeddings),
+el AS (SELECT vec_id, ord, emb[ord] AS x
+       FROM e, (SELECT unnest(range(1, 65)) AS ord)),
+cen AS (SELECT ord, round(avg(x), 6) AS c
+        FROM el JOIN e USING (vec_id) WHERE e.pos = 1 GROUP BY ord),
+cn AS (SELECT sqrt(sum(c * c)) AS nrm, array_agg(c ORDER BY ord) AS cvec FROM cen),
+s AS (SELECT e.vec_id, e.pos,
+             round(list_dot_product(e.emb, cn.cvec)
+                   / (sqrt(list_dot_product(e.emb, e.emb)) * cn.nrm), 6) AS score
+      FROM e CROSS JOIN cn),
+rk AS (SELECT pos,
+              rank() OVER (ORDER BY score) + (count(*) OVER (PARTITION BY score) - 1) / 2.0
+                AS avg_rank
+       FROM s)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(1 - pos) AS BIGINT) AS n_neg,
+       round((sum(CASE WHEN pos = 1 THEN avg_rank ELSE 0 END)
+              - sum(pos) * (sum(pos) + 1) / 2.0)
+             / (sum(pos) * CAST(sum(1 - pos) AS DOUBLE)), 6) AS auc
+FROM rk
+"""
+
+
+@register("eval_auc_rank", _AUC_ORACLE)
+def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC (Mann-Whitney, tie-averaged ranks) of the
+    cosine-to-class-0-centroid scorer against the label-0 indicator.
+    Scale: the centroid is a (dim)-row broadcast aggregate and the score
+    a narrow in-row fold; the rank pass is ONE global sort of (score,
+    pos) pairs — the honest exact-AUC cost (at 100 TB swap in the binned
+    approximation: histogram scores to 10k buckets and trapezoid, same
+    code shape as quantile_histogram). Scores round to 6dp in BOTH
+    engines so tie structure is cross-engine identical."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("label") == 0).cast("int").alias("pos"),
+    )
+    el = e.filter(F.col("pos") == 1).select(F.posexplode("emb")).withColumnsRenamed(
+        {"pos": "ord", "col": "x"}
+    )
+    cen = el.groupBy("ord").agg(F.round(F.avg("x"), 6).alias("c"))
+    cn = cen.agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ord", "c"))), lambda s: s["c"]
+        ).alias("cvec"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    self_norm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    s = e.crossJoin(F.broadcast(cn)).select(
+        "pos", F.round(dot / (self_norm * F.col("nrm")), 6).alias("score")
+    )
+    avg_rank = (
+        F.rank().over(Window.orderBy("score"))
+        + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
+    )
+    rk = s.select("pos", avg_rank.alias("avg_rank"))
+    n_pos = F.sum("pos")
+    n_neg = F.sum(F.lit(1) - F.col("pos"))
+    return rk.agg(
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.when(F.col("pos") == 1, F.col("avg_rank")).otherwise(0.0))
+                - n_pos * (n_pos + 1) / 2.0
+            )
+            / (n_pos * n_neg.cast("double")),
+            6,
+        ).alias("auc"),
+    )

@@ -101,3 +101,36 @@ def test_kcore_matches_bruteforce(spark):
         got = {r.u: r.core_degree for r in kcore(df, k).collect()}
         assert got == _kcore_py(edges, k), f"k={k}"
     assert kcore(df, 5).count() == 0  # whole graph peels away
+
+
+def test_asof_tolerance_merge_rank_parity_and_semantics(spark):
+    """Tolerance rejects the NEAREST match when stale (it must not fall
+    back to an even-older in-window row — there is none by monotonicity);
+    merge and rank strategies agree; inner mode drops rejected rows."""
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, lts=100.0, lid=1),   # nearest right at 95 (gap 5, in tol)
+         Row(k=1, lts=200.0, lid=2),   # nearest right at 150 (gap 50, stale)
+         Row(k=2, lts=50.0, lid=3)]    # no right at all
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=95.0, rv="a"), Row(k=1, rts=150.0, rv="b")]
+    )
+    for strategy in ("merge", "rank"):
+        got = {
+            r.lid: r.rv
+            for r in asof_join(
+                left, right, on="k", left_ts="lts", right_ts="rts",
+                strategy=strategy, tolerance=10.0,
+                left_unique=["lid"],
+            ).collect()
+        }
+        assert got == {1: "a", 2: None, 3: None}, strategy
+    inner = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        how="inner", tolerance=10.0,
+    )
+    assert [r.lid for r in inner.collect()] == [1]
