@@ -60,8 +60,23 @@ def _normalize(c: Column, mn: Column, mx: Column) -> Column:
     return F.least(F.lit(_MAX), F.greatest(F.lit(0), scaled.cast("bigint")))
 
 
+def _interleave_generic(normalized: list[Column]) -> Column:
+    """Per-bit interleave for 4+ dimensions — O(bits x dims) expression
+    nodes, the fallback when no spread table applies. Bit layout matches
+    the spread form: column i occupies bits i, i+n, i+2n, ..."""
+    n = len(normalized)
+    z = F.lit(0).cast("long")
+    for b in range(_BITS):
+        for i, c in enumerate(normalized):
+            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
 def zorder_code(normalized: list[Column]) -> Column:
-    """Morton code of 2 or 3 columns already scaled to [0, 65535]."""
+    """Morton code of >=2 columns already scaled to [0, 65535]. 2-3
+    columns use constant-count shift/mask spreading (4-5 ops per column);
+    4+ fall back to the per-bit form."""
     if len(normalized) == 2:
         a = _spread(normalized[0], _SPREAD2)
         b = _spread(normalized[1], _SPREAD2)
@@ -71,7 +86,9 @@ def zorder_code(normalized: list[Column]) -> Column:
         b = _spread(normalized[1], _SPREAD3)
         c = _spread(normalized[2], _SPREAD3)
         return a.bitwiseOR(F.shiftleft(b, 1)).bitwiseOR(F.shiftleft(c, 2))
-    raise ValueError("zorder_code interleaves 2 or 3 columns")
+    if len(normalized) >= 4:
+        return _interleave_generic(normalized)
+    raise ValueError("zorder_code interleaves 2 or more columns")
 
 
 def with_zorder(df: DataFrame, cols: list[str], out_col: str = "__zorder") -> DataFrame:
@@ -80,8 +97,8 @@ def with_zorder(df: DataFrame, cols: list[str], out_col: str = "__zorder") -> Da
     The per-column min/max come from ONE tiny aggregate joined back as a
     broadcast one-row cross join — the stats never route through the
     driver, so this composes inside any lazy plan."""
-    if not 2 <= len(cols) <= 3:
-        raise ValueError("z-ordering takes 2 or 3 columns")
+    if len(cols) < 2:
+        raise ValueError("z-ordering takes at least 2 columns")
     stats = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
         *[F.max(c).alias(f"__mx_{c}") for c in cols],

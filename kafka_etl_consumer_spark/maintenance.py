@@ -66,23 +66,6 @@ def compact_parquet(
 # Z-order clustering (multi-dimensional data skipping)
 # ---------------------------------------------------------------------------
 
-_Z_BITS = 16  # per-dimension resolution: 2^16 buckets
-
-
-def _zvalue(cols, bits: int = _Z_BITS):
-    """Interleave the low ``bits`` of the bucketed dimension columns into
-    one Morton (Z-curve) value — pure JVM bit arithmetic, codegen-friendly."""
-    from pyspark.sql import functions as F
-
-    n = len(cols)
-    z = F.lit(0).cast("long")
-    for b in range(bits):
-        for i, c in enumerate(cols):
-            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
-    return z
-
-
 def zorder_parquet(
     spark: SparkSession,
     path: str,
@@ -108,39 +91,17 @@ def zorder_parquet(
     import glob as _glob
     import math as _math
 
-    from pyspark.sql import functions as F
+    from kafka_etl_consumer_spark.functions.zorder import with_zorder
 
     df = spark.read.parquet(path)
     n_files = max(1, _math.ceil(dir_bytes(path) / (target_file_mb * 1024 * 1024)))
-    n_buckets = 1 << _Z_BITS
-
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
-    ).first()
-
-    zin = []
-    for c in cols:
-        lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
-        if lo is None or hi is None or hi <= lo:
-            zin.append(F.lit(0).cast("long"))
-            continue
-        step = (hi - lo) / n_buckets
-        zin.append(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(step)),
-                ),
-            ).cast("long")
-        )
-
     (
-        df.withColumn("__z", _zvalue(zin))
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        with_zorder(df, cols)  # shared Morton core (functions/zorder.py):
+        # min/max stats via a broadcast one-row agg (no driver collect),
+        # spread-bit interleave for 2-3 dims, per-bit form for 4+
+        .repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
         .write.mode("overwrite")
         .option("compression", compression)
         .options(**(writer_options or {}))
