@@ -21,6 +21,7 @@ import math
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def dir_bytes(path: str) -> int:
@@ -175,3 +176,90 @@ def vacuum_streaming_sink(sink_path: str, delete: bool = False) -> list[str]:
         for p in orphans:
             os.remove(p)
     return sorted(orphans)
+
+
+# ---------------------------------------------------------------------------
+# Targeted key deletion (right-to-be-forgotten)
+# ---------------------------------------------------------------------------
+
+
+def forget_keys(
+    spark: SparkSession,
+    table_path: str,
+    key_col: str,
+    keys_df,
+    partition_col: str | None = None,
+) -> dict:
+    """Hard-delete every row whose ``key_col`` appears in ``keys_df``
+    (a DataFrame with one column of the same name) from the parquet table
+    at ``table_path`` — the GDPR/CCPA erasure primitive for an immutable
+    format: you cannot delete rows in place, you rewrite the files that
+    contain them.
+
+    Scale: when the table is partitioned (``partition_col``), ONLY the
+    partitions that contain a doomed key are rewritten — the key set
+    broadcasts, a semi-join on the partition values picks the dirty
+    partitions, and dynamic partition overwrite swaps exactly those
+    directories (same machinery operators/rollup.py uses); the rest of
+    the table's bytes are never read or written. Unpartitioned tables
+    rewrite fully (documented cost — partition anything you may have to
+    forget from). The anti-join itself is broadcast (erasure batches are
+    small by nature).
+
+    Returns an audit dict: rows_before, rows_deleted, rows_after,
+    partitions_rewritten (-1 = full rewrite). Run it on a quiesced table
+    (no concurrent writer), like compaction.
+    """
+    df = spark.read.parquet(table_path)
+    keys = F.broadcast(keys_df.select(key_col).distinct())
+    rows_before = df.count()
+
+    if partition_col is not None:
+        dirty = (
+            df.join(keys, key_col, "left_semi")
+            .select(partition_col)
+            .distinct()
+        )
+        dirty_vals = [r[0] for r in dirty.collect()]  # partition VALUES only
+        if not dirty_vals:
+            return {
+                "rows_before": rows_before,
+                "rows_deleted": 0,
+                "rows_after": rows_before,
+                "partitions_rewritten": 0,
+            }
+        cleaned = (
+            df.filter(F.col(partition_col).isin(dirty_vals))
+            .join(keys, key_col, "left_anti")
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                cleaned.write.mode("overwrite")
+                .partitionBy(partition_col)
+                .option("compression", "snappy")
+                .parquet(table_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        rewritten = len(dirty_vals)
+    else:
+        cleaned = df.join(keys, key_col, "left_anti")
+        tmp = f"{table_path}__forgetting"
+        cleaned.write.mode("overwrite").option("compression", "snappy").parquet(tmp)
+        backup = f"{table_path}__preforget"
+        os.rename(table_path, backup)
+        os.rename(tmp, table_path)
+        import shutil
+
+        shutil.rmtree(backup)
+        rewritten = -1
+
+    rows_after = spark.read.parquet(table_path).count()
+    return {
+        "rows_before": rows_before,
+        "rows_deleted": rows_before - rows_after,
+        "rows_after": rows_after,
+        "partitions_rewritten": rewritten,
+    }

@@ -134,3 +134,80 @@ def test_asof_tolerance_merge_rank_parity_and_semantics(spark):
         how="inner", tolerance=10.0,
     )
     assert [r.lid for r in inner.collect()] == [1]
+
+
+def test_forget_keys_partitioned_rewrites_only_dirty(spark, tmp_path):
+    """GDPR erasure: doomed keys vanish, audit counts reconcile, only the
+    dirty partition's file set changes, and a no-op erasure rewrites
+    nothing."""
+    import glob
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_etl_consumer_spark.maintenance import forget_keys
+
+    table = str(tmp_path / "t")
+    rows = [Row(user_id=u, d=d, v=u * 10 + d) for d in (1, 2, 3) for u in range(1, 7)]
+    rows.append(Row(user_id=99, d=3, v=0))  # the doomed key, only in d=3
+    spark.createDataFrame(rows).write.partitionBy("d").parquet(table)
+    files_before = {
+        d: sorted(glob.glob(f"{table}/d={d}/*.parquet")) for d in (1, 2, 3)
+    }
+
+    audit = forget_keys(
+        spark, table, "user_id",
+        spark.createDataFrame([Row(user_id=99)]), partition_col="d",
+    )
+    assert audit == {
+        "rows_before": 19, "rows_deleted": 1, "rows_after": 18,
+        "partitions_rewritten": 1,
+    }
+    left = spark.read.parquet(table)
+    assert left.filter(F.col("user_id") == 99).count() == 0
+    assert left.count() == 18
+    # d=1/d=2 never touched (exact same files); d=3 rewritten (new names)
+    assert sorted(glob.glob(f"{table}/d=1/*.parquet")) == files_before[1]
+    assert sorted(glob.glob(f"{table}/d=2/*.parquet")) == files_before[2]
+    assert sorted(glob.glob(f"{table}/d=3/*.parquet")) != files_before[3]
+
+    # no-op erasure: zero dirty partitions, zero rewrites
+    audit2 = forget_keys(
+        spark, table, "user_id",
+        spark.createDataFrame([Row(user_id=1234)]), partition_col="d",
+    )
+    assert audit2["rows_deleted"] == 0 and audit2["partitions_rewritten"] == 0
+
+
+def test_forget_keys_untouched_partitions_keep_exact_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.maintenance import forget_keys
+
+    table = str(tmp_path / "t")
+    rows = [Row(user_id=u, d=d) for d in (1, 2) for u in (d * 10, d * 10 + 1)]
+    spark.createDataFrame(rows).write.partitionBy("d").parquet(table)
+    before_d2 = sorted(glob.glob(f"{table}/d=2/*.parquet"))
+    forget_keys(spark, table, "user_id",
+                spark.createDataFrame([Row(user_id=10)]), partition_col="d")
+    assert sorted(glob.glob(f"{table}/d=2/*.parquet")) == before_d2
+    got = {(r.user_id, r.d) for r in spark.read.parquet(table).collect()}
+    assert got == {(11, 1), (20, 2), (21, 2)}
+
+
+def test_forget_keys_unpartitioned_full_rewrite(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.maintenance import forget_keys
+
+    table = str(tmp_path / "t")
+    spark.createDataFrame([Row(user_id=u, v=u) for u in range(10)]).write.parquet(table)
+    audit = forget_keys(
+        spark, table, "user_id",
+        spark.createDataFrame([Row(user_id=3), Row(user_id=7)]),
+    )
+    assert audit == {"rows_before": 10, "rows_deleted": 2, "rows_after": 8,
+                     "partitions_rewritten": -1}
+    assert {r.user_id for r in spark.read.parquet(table).collect()} == set(range(10)) - {3, 7}
