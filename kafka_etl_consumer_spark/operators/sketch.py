@@ -244,18 +244,51 @@ def cms_estimate(
     Scale shape: counter build is ONE hash-agg over (row, cell) pairs
     (depth rows per value, map-side collapse, ≤ depth×width result rows —
     constant); counters broadcast to the candidate probe. Counters from
-    disjoint batches ADD, so the sketch maintains incrementally.
+    disjoint batches ADD (:func:`cms_merge_counters`), so the sketch
+    maintains incrementally — streaming twin in tests/test_stream_sketches.py.
     """
+    counters = cms_counters(df, col, depth, width)
+    return cms_estimate_from_counters(candidates, counters, col, depth, width)
+
+
+def _cms_cells(col: str, depth: int, width: int):
     cell = lambda j: (  # noqa: E731
         hash64(F.concat(F.lit(f"cms-{j}:"), F.col(col))) % width
     ).alias("__cell")
-    rows = [
-        F.struct(F.lit(j).alias("__j"), cell(j)) for j in range(depth)
-    ]
+    return [F.struct(F.lit(j).alias("__j"), cell(j)) for j in range(depth)]
+
+
+def cms_counters(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The mergeable CMS state: (__j, __cell, __c) counter rows (≤
+    depth×width of them regardless of input size)."""
+    rows = _cms_cells(col, depth, width)
     pairs = df.select(F.explode(F.array(*rows)).alias("__s")).select(
         "__s.__j", "__s.__cell"
     )
-    counters = pairs.groupBy("__j", "__cell").agg(F.count(F.lit(1)).alias("__c"))
+    return pairs.groupBy("__j", "__cell").agg(F.count(F.lit(1)).alias("__c"))
+
+
+def cms_merge_counters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Counters from disjoint row sets ADD per cell — associative and
+    commutative, the streaming/incremental maintenance contract."""
+    return (
+        a.unionByName(b)
+        .groupBy("__j", "__cell")
+        .agg(F.sum("__c").alias("__c"))
+    )
+
+
+def cms_estimate_from_counters(
+    candidates: DataFrame,
+    counters: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """candidates + ``cms_est`` from a (possibly merged) counter table."""
+    rows = _cms_cells(col, depth, width)
     probe = candidates.select(
         "*", F.explode(F.array(*rows)).alias("__s")
     ).select("*", "__s.__j", "__s.__cell").drop("__s")
@@ -274,7 +307,8 @@ def bloom_bits(df: DataFrame, col: str, m: int = 4096, k: int = 3) -> DataFrame:
 
     The bit-set stays a DataFrame (broadcastable at any m) — no driver
     collect, and bit-sets from disjoint batches UNION to the combined
-    filter.
+    filter (:func:`bloom_merge_bits`; streaming twin in
+    tests/test_stream_sketches.py).
     """
     pos = [
         (hash64(F.concat(F.lit(f"bloom-{j}:"), F.col(col))) % m).alias("bit")
@@ -283,6 +317,11 @@ def bloom_bits(df: DataFrame, col: str, m: int = 4096, k: int = 3) -> DataFrame:
     return (
         df.select(F.explode(F.array(*pos)).alias("bit")).distinct()
     )
+
+
+def bloom_merge_bits(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bit-sets from disjoint row sets UNION — the Bloom merge law."""
+    return a.unionByName(b).distinct()
 
 
 def bloom_might_contain(
