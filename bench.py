@@ -202,6 +202,7 @@ HEADLINE = [
     "join_asof_tolerance",
     "eval_knn_confusion",
     "eval_auc_rank",
+    "eval_retrieval_pr",
 ]
 
 

@@ -1029,3 +1029,94 @@ def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation: precision@k / recall@k of the BM25 ranking against
+# an exact-containment relevance set (docs containing ALL query terms) —
+# closes the loop on the search surface the way eval_knn_confusion does
+# for label transfer. Deterministic end to end: the ranking inherits
+# BM25's (score DESC, doc_id) total order, relevance is set algebra.
+# ---------------------------------------------------------------------------
+
+_PR_TERMS = ["vector", "hash", "join"]
+_PR_K1, _PR_B = 1.2, 0.75
+
+_PR_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS d FROM docs),
+corpus AS (SELECT count(*) AS n, avg(d) AS avgdl FROM dl),
+hits AS (SELECT doc_id, t FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+         WHERE t IN ('vector', 'hash', 'join')),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY doc_id, t),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * ({_PR_K1} + 1))
+             / (tf + {_PR_K1} * (1 - {_PR_B} + {_PR_B} * d / avgdl))) AS s
+  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+),
+ranked AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+           FROM scored),
+rel AS (SELECT doc_id FROM docs
+        WHERE list_has_all(toks, ['vector', 'hash', 'join'])),
+n_rel AS (SELECT count(*) AS nr FROM rel),
+ks AS (SELECT unnest([1, 5, 10]) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+       CAST(count(rel.doc_id) AS BIGINT) AS hits,
+       round(count(rel.doc_id) / CAST(ks.k AS DOUBLE), 6) AS precision_at_k,
+       round(count(rel.doc_id) / CAST(any_value(nr) AS DOUBLE), 6) AS recall_at_k
+FROM ks
+JOIN ranked ON ranked.rn <= ks.k
+LEFT JOIN rel ON rel.doc_id = ranked.doc_id
+CROSS JOIN n_rel
+GROUP BY ks.k
+"""
+
+
+@register("eval_retrieval_pr", _PR_ORACLE)
+def eval_retrieval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision@{1,5,10} and recall@{1,5,10} of the BM25 top-10 against
+    exact all-terms containment relevance. Scale: BM25's query-term-
+    filtered shuffle + TakeOrdered produce the 10-row ranking; the
+    relevance flag is a narrow in-row containment check on those 10
+    docs' rows; the k sweep fans 10 rows × 3 — everything after the
+    search is constant-size."""
+    from kafka_etl_consumer_spark.operators.nlp import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, _PR_TERMS).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("rn"),
+    )
+    toks = tokens(F.col("text"))
+    rel_flag = docs.select(
+        "doc_id",
+        F.forall(
+            F.array(*[F.lit(t) for t in _PR_TERMS]),
+            lambda t: F.array_contains(toks, t),
+        ).alias("is_rel"),
+    )
+    n_rel = rel_flag.agg(
+        F.sum(F.col("is_rel").cast("int")).alias("nr")
+    )
+    ks = F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k")
+    hits = (
+        ranked.join(rel_flag, "doc_id")
+        .select("rn", "is_rel", ks)
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(F.col("is_rel").cast("int")).cast("bigint").alias("hits"))
+        .crossJoin(F.broadcast(n_rel))
+    )
+    return hits.select(
+        F.col("k").cast("int").alias("k"),
+        "hits",
+        F.round(F.col("hits") / F.col("k").cast("double"), 6).alias("precision_at_k"),
+        F.round(F.col("hits") / F.col("nr").cast("double"), 6).alias("recall_at_k"),
+    )

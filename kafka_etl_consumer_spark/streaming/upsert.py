@@ -90,6 +90,28 @@ def current_snapshot(spark: SparkSession, table_path: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(table_path, lineage[0]))
 
 
+def snapshot_versions(spark: SparkSession, table_path: str) -> list[str]:
+    """The committed version lineage, newest first — every snapshot a
+    reader may still address (length = 1 + retain_versions)."""
+    return _read_lineage(spark, table_path)
+
+
+def snapshot_at(spark: SparkSession, table_path: str, version: str) -> DataFrame:
+    """Time travel within the retention window: read a PRIOR committed
+    snapshot by its lineage name (``snapshot_versions()[1]`` is "the
+    table as of one commit ago"). Raising on names outside the lineage
+    keeps readers off uncommitted partials and GC'd directories — the
+    same guarantee the marker gives ``current_snapshot``. Bound the
+    window with ``retain_versions`` (storage is O(window × table))."""
+    lineage = _read_lineage(spark, table_path)
+    if version not in lineage:
+        raise ValueError(
+            f"version {version!r} not in the committed lineage {lineage!r} "
+            "(GC'd, uncommitted, or never existed)"
+        )
+    return spark.read.parquet(os.path.join(table_path, version))
+
+
 def _write_marker(
     spark: SparkSession, table_path: str, versions: str | Sequence[str]
 ) -> None:

@@ -234,3 +234,37 @@ def test_crash_replay_gc_keeps_committed_grace_not_partial(spark, tmp_path):
     # version; the uncommitted partial _v1 is gone
     assert versions == ["_v0", "_v1_r1"], versions
     assert _snapshot_dict(spark, table) == {1: ("v2", 2)}
+
+
+def test_snapshot_time_travel_within_retention(spark, tmp_path):
+    """snapshot_at reads the previous committed version (reader-grace
+    window as time travel); names outside the lineage raise."""
+    import pytest
+
+    from kafka_etl_consumer_spark.streaming.upsert import (
+        snapshot_at,
+        snapshot_versions,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    for seq in (1, 2):
+        _stage(spark, src, [Row(k=1, val=f"v{seq}", seq=seq, deleted=False)])
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = stream_merge_upsert(
+        stream, table, ["k"], ckpt, delete_col="deleted", order_col="seq"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    lineage = snapshot_versions(spark, table)
+    assert lineage == ["_v1", "_v0"]  # current + one grace version
+    assert {r.k: r.val for r in snapshot_at(spark, table, "_v1").collect()} == {1: "v2"}
+    assert {r.k: r.val for r in snapshot_at(spark, table, "_v0").collect()} == {1: "v1"}
+    with pytest.raises(ValueError, match="lineage"):
+        snapshot_at(spark, table, "_v99")
