@@ -232,6 +232,11 @@ def forget_keys(
             df.filter(F.col(partition_col).isin(dirty_vals))
             .join(keys, key_col, "left_anti")
         )
+        # materialize the surviving rows BEFORE the overwrite job starts:
+        # the plan reads the very files the commit will delete, and a task
+        # retried after commit begins would find its input gone. The
+        # checkpoint is bounded by the dirty partitions, not the table.
+        cleaned = cleaned.localCheckpoint(eager=True)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
