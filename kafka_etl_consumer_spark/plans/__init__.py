@@ -11,11 +11,15 @@ from kafka_etl_consumer_spark.plans import queries_pipeline4 as _qp4  # noqa: F4
 from kafka_etl_consumer_spark.plans import queries_pipeline5 as _qp5  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline6 as _qp6  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline7 as _qp7  # noqa: F401,E402
-from kafka_etl_consumer_spark.plans import queries_pipeline8 as _qp8  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_analytics2 as _qa2  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_tpch as _qt  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_tpch2 as _qt2  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_udf as _qu  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_ingest as _qi  # noqa: F401,E402
+
+# round-4 additions import LAST: the driver's correctness rotation is
+# least-recently-verified-first with ties in registration order, so new
+# queries must queue BEHIND the older never-checked ones
+from kafka_etl_consumer_spark.plans import queries_pipeline8 as _qp8  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
