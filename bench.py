@@ -203,6 +203,17 @@ HEADLINE = [
     "eval_knn_confusion",
     "eval_auc_rank",
     "eval_retrieval_pr",
+    "eval_ndcg_rank",
+    "eval_calibration_bins",
+    "ts_decompose_additive",
+    "rolling_distinct_users_7d",
+    "graph_degree_assortativity",
+    "audit_l_diversity",
+    "funnel_latency_quantiles",
+    "compaction_bin_plan",
+    "stats_anova_value",
+    "embedding_dim_stats",
+    "event_transition_entropy",
 ]
 
 

@@ -21,5 +21,6 @@ from kafka_etl_consumer_spark.plans import queries_ingest as _qi  # noqa: F401,E
 # least-recently-verified-first with ties in registration order, so new
 # queries must queue BEHIND the older never-checked ones
 from kafka_etl_consumer_spark.plans import queries_pipeline8 as _qp8  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline9 as _qp9  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -1,0 +1,762 @@
+"""Query surface batch 14 (round 4): ranking quality, model calibration,
+seasonal decomposition, windowed distinct, graph mixing, release auditing,
+latency distributions, and storage-maintenance planning.
+
+- NDCG@k with graded relevance over the BM25 ranking (the graded
+  complement to eval_retrieval_pr's binary precision/recall)
+- calibration bins + expected calibration error of the centroid-cosine
+  scorer (is a high score actually a high probability?)
+- additive trend/seasonal/residual decomposition of the daily event series
+  (centered 7-day MA trend, day-of-week seasonal, residual)
+- EXACT trailing-7-day distinct users per day via bounded fan-out — the
+  scalable rewrite of count(DISTINCT) OVER a sliding range
+- degree assortativity of the co-ordered-parts graph (do hubs attach to
+  hubs? — the mixing coefficient curation uses to spot template rings)
+- l-diversity audit (distinct-sensitive-values per quasi-identifier
+  class), the release gate k-anonymity alone cannot provide
+- view->purchase conversion-latency QUANTILES (median/p90, not just the
+  mean funnel_steps reports)
+- compaction bin planning: sequential capacity-binning of date partitions
+  into target-sized rewrite groups (the OPTIMIZE planner's first pass)
+- one-way ANOVA of event value across types (between/within decomposition)
+- per-dimension embedding health stats (dead/saturated dimension scan)
+- per-state transition entropy of the user event chain (how predictable
+  is what follows each event type?)
+
+The reference has no analytics surface (pass-through ETL,
+ETLTask.java:261-283); these extend the training-data/analytics operator
+families the brief requires. Every query carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.text import tokens, tokens_sql
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# eval_ndcg_rank — NDCG@{5,10} of the BM25 ranking under GRADED relevance
+# (relevance = how many of the 3 query terms the document contains, 0-3).
+# DCG uses the standard exponential gain (2^rel - 1) / log2(rank + 1);
+# the ideal ranking orders ALL documents by relevance (ties by doc_id) so
+# IDCG is the true optimum, not the best-of-returned.
+# ---------------------------------------------------------------------------
+
+_NDCG_TERMS = ("dup", "slow", "hash")
+_NDCG_K1, _NDCG_B = 1.2, 0.75
+
+_NDCG_ORACLE = f"""
+WITH docs AS (SELECT doc_id, {tokens_sql("text")} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS d FROM docs),
+corpus AS (SELECT count(*) AS n, avg(d) AS avgdl FROM dl),
+hits AS (SELECT doc_id, t FROM (SELECT doc_id, unnest(toks) AS t FROM docs)
+         WHERE t IN ('dup', 'slow', 'hash')),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM hits GROUP BY doc_id, t),
+dfreq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+scored AS (
+  SELECT tf.doc_id,
+         round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+             * (tf * ({_NDCG_K1} + 1))
+             / (tf + {_NDCG_K1} * (1 - {_NDCG_B} + {_NDCG_B} * d / avgdl))), 6) AS s
+  FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+),
+ranked AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn
+           FROM scored QUALIFY rn <= 10),
+rel AS (SELECT doc_id,
+               CAST(list_contains(toks, 'dup') AS INT)
+               + CAST(list_contains(toks, 'slow') AS INT)
+               + CAST(list_contains(toks, 'hash') AS INT) AS rel
+        FROM docs),
+ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS irn
+          FROM rel QUALIFY irn <= 10),
+ks AS (SELECT unnest([5, 10]) AS k),
+dcg AS (SELECT ks.k,
+               sum((pow(2, rel.rel) - 1) / log2(ranked.rn + 1)) AS dcg
+        FROM ks JOIN ranked ON ranked.rn <= ks.k
+        JOIN rel ON rel.doc_id = ranked.doc_id GROUP BY ks.k),
+idcg AS (SELECT ks.k, sum((pow(2, ideal.rel) - 1) / log2(ideal.irn + 1)) AS idcg
+         FROM ks JOIN ideal ON ideal.irn <= ks.k GROUP BY ks.k)
+SELECT CAST(dcg.k AS INT) AS k, round(dcg.dcg, 6) AS dcg,
+       round(idcg.idcg, 6) AS idcg,
+       round(dcg.dcg / idcg.idcg, 6) AS ndcg
+FROM dcg JOIN idcg ON dcg.k = idcg.k
+"""
+
+
+@register("eval_ndcg_rank", _NDCG_ORACLE)
+def eval_ndcg_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{5,10} of BM25 retrieval with graded (0-3 terms-contained)
+    relevance. Scale: the ranking is bm25_topk's one query-term-filtered
+    shuffle + TakeOrdered; the IDEAL top-10 is a TakeOrderedAndProject on
+    the narrow (rel, doc_id) projection — never a global sort; everything
+    after the two cuts is constant-size (10 rows x 2 k values)."""
+    from kafka_etl_consumer_spark.operators.nlp import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    ranked = bm25_topk(docs, list(_NDCG_TERMS)).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("rn"),
+    )
+    toks = tokens(F.col("text"))
+    rel = docs.select(
+        "doc_id",
+        sum(
+            F.array_contains(toks, t).cast("int") for t in _NDCG_TERMS
+        ).alias("rel"),
+    )
+    ideal10 = rel.orderBy(F.col("rel").desc(), "doc_id").limit(10).select(
+        "rel",
+        F.row_number()
+        .over(Window.orderBy(F.col("rel").desc(), F.col("doc_id")))
+        .alias("irn"),
+    )
+    ks = F.explode(F.array(F.lit(5), F.lit(10))).alias("k")
+    gain = lambda r, pos: (F.pow(F.lit(2), r) - 1) / F.log2(pos + 1)  # noqa: E731
+    dcg = (
+        ranked.join(rel, "doc_id")
+        .select("rn", "rel", ks)
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(gain(F.col("rel"), F.col("rn"))).alias("dcg"))
+    )
+    idcg = (
+        ideal10.select("irn", "rel", ks)
+        .filter(F.col("irn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum(gain(F.col("rel"), F.col("irn"))).alias("idcg"))
+    )
+    return dcg.join(idcg, "k").select(
+        F.col("k").cast("int").alias("k"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# eval_calibration_bins — reliability diagram + ECE for the cosine-to-
+# class-0-centroid scorer (the same scorer eval_auc_rank ranks with):
+# confidence = (score + 1) / 2 mapped into 10 equal bins; per bin the
+# mean confidence vs the observed positive rate, and the n-weighted
+# expected calibration error repeated on every row. Scores round to 6dp
+# in BOTH engines before binning so bin assignment is cross-engine exact.
+# ---------------------------------------------------------------------------
+
+_CALIB_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                  CAST(label = 0 AS INT) AS pos FROM embeddings),
+el AS (SELECT vec_id, ord, emb[ord] AS x
+       FROM e, (SELECT unnest(range(1, 65)) AS ord)),
+cen AS (SELECT ord, round(avg(x), 6) AS c
+        FROM el JOIN e USING (vec_id) WHERE e.pos = 1 GROUP BY ord),
+cn AS (SELECT sqrt(sum(c * c)) AS nrm, array_agg(c ORDER BY ord) AS cvec FROM cen),
+s AS (SELECT e.pos,
+             round(list_dot_product(e.emb, cn.cvec)
+                   / (sqrt(list_dot_product(e.emb, e.emb)) * cn.nrm), 6) AS score
+      FROM e CROSS JOIN cn),
+b AS (SELECT pos, (score + 1) / 2 AS conf,
+             least(CAST(floor(((score + 1) / 2) * 10) AS INT), 9) AS bin FROM s),
+g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+             round(avg(conf), 6) AS avg_conf,
+             round(avg(CAST(pos AS DOUBLE)), 6) AS pos_rate
+      FROM b GROUP BY bin)
+SELECT CAST(bin AS INT) AS bin, n, avg_conf, pos_rate,
+       round(abs(avg_conf - pos_rate), 6) AS gap,
+       round(sum(n * abs(avg_conf - pos_rate)) OVER ()
+             / sum(n) OVER (), 6) AS ece
+FROM g
+"""
+
+
+@register("eval_calibration_bins", _CALIB_ORACLE)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins + expected calibration error of the class-0
+    centroid cosine scorer. Scale: the centroid is a dim-row broadcast
+    aggregate, the score a narrow in-row fold, the bin rollup ONE
+    hash-agg to <=10 rows; the ECE window runs over those 10 rows."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("emb"),
+        (F.col("label") == 0).cast("int").alias("pos"),
+    )
+    el = e.filter(F.col("pos") == 1).select(F.posexplode("emb")).withColumnsRenamed(
+        {"pos": "ord", "col": "x"}
+    )
+    cen = el.groupBy("ord").agg(F.round(F.avg("x"), 6).alias("c"))
+    cn = cen.agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ord", "c"))), lambda s: s["c"]
+        ).alias("cvec"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    self_norm = F.sqrt(
+        F.aggregate(F.col("emb"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    score = F.round(dot / (self_norm * F.col("nrm")), 6)
+    b = e.crossJoin(F.broadcast(cn)).select(
+        "pos",
+        ((score + 1) / 2).alias("conf"),
+        F.least(F.floor(((score + 1) / 2) * 10), F.lit(9)).cast("int").alias("bin"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.avg("conf"), 6).alias("avg_conf"),
+        F.round(F.avg(F.col("pos").cast("double")), 6).alias("pos_rate"),
+    )
+    w = Window.partitionBy()
+    gap = F.round(F.abs(F.col("avg_conf") - F.col("pos_rate")), 6)
+    return g.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n",
+        "avg_conf",
+        "pos_rate",
+        gap.alias("gap"),
+        F.round(
+            F.sum(F.col("n") * F.abs(F.col("avg_conf") - F.col("pos_rate"))).over(w)
+            / F.sum("n").over(w),
+            6,
+        ).alias("ece"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_decompose_additive — classic additive decomposition of the daily
+# event-count series: trend = centered 7-day moving average (partial
+# windows at the edges, same semantics both engines), seasonal = the
+# centered day-of-week mean of the detrended series, residual = what's
+# left. The "is this spike seasonality or anomaly" primitive.
+# NOTE Spark dayofweek() is 1-7 (Sun=1); DuckDB dayofweek() is 0-6
+# (Sun=0) — the oracle adds 1.
+# ---------------------------------------------------------------------------
+
+_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+tr AS (SELECT d, y,
+              round(avg(CAST(y AS DOUBLE)) OVER (ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS trend
+       FROM daily),
+det AS (SELECT d, y, trend, y - trend AS det,
+               dayofweek(d) + 1 AS dow FROM tr),
+sdow AS (SELECT dow, avg(det) AS sd FROM det GROUP BY dow),
+scen AS (SELECT dow, round(sd - avg(sd) OVER (), 6) AS seasonal FROM sdow)
+SELECT strftime(det.d, '%Y-%m-%d') AS day, CAST(det.dow AS INT) AS dow,
+       det.y AS y, det.trend AS trend, scen.seasonal AS seasonal,
+       round(det.det - scen.seasonal, 6) AS resid
+FROM det JOIN scen USING (dow)
+"""
+
+
+@register("ts_decompose_additive", _DECOMP_ORACLE)
+def ts_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of daily event
+    counts. Scale: the raw scan collapses to the DAY grain in one
+    partial-combining hash-agg; every window after that runs over the
+    bounded day series (single partition of |days| rows — the honest
+    cost of a global centered MA; at 100 TB of history, range-partition
+    by year with 3-day overlap stitching)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", F.col("ts").cast("timestamp")).alias("d"))
+        .groupBy(F.col("d").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.select(
+        "d",
+        "y",
+        F.round(F.avg(F.col("y").cast("double")).over(w7), 6).alias("trend"),
+    )
+    det = tr.select(
+        "d", "y", "trend",
+        (F.col("y") - F.col("trend")).alias("det"),
+        F.dayofweek("d").alias("dow"),
+    )
+    sdow = det.groupBy("dow").agg(F.avg("det").alias("sd"))
+    scen = sdow.select(
+        "dow",
+        F.round(F.col("sd") - F.avg("sd").over(Window.partitionBy()), 6).alias(
+            "seasonal"
+        ),
+    )
+    return det.join(F.broadcast(scen), "dow").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("dow").cast("int").alias("dow"),
+        "y",
+        "trend",
+        "seasonal",
+        F.round(F.col("det") - F.col("seasonal"), 6).alias("resid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rolling_distinct_users_7d — EXACT distinct users in the trailing 7-day
+# window, per day. count(DISTINCT) OVER a sliding range re-scans the
+# window per row (quadratic); the scalable rewrite fans each distinct
+# (user, day) into the <=7 window-end days it contributes to and runs ONE
+# hash-agg — linear with a bounded constant.
+# ---------------------------------------------------------------------------
+
+_ROLL7_ORACLE = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+            FROM events),
+mx AS (SELECT max(d) AS md FROM ud),
+ex AS (SELECT user_id, d, d + CAST(off AS INT) AS cd
+       FROM ud, (SELECT unnest(range(0, 7)) AS off))
+SELECT strftime(cd, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT CASE WHEN cd = d THEN user_id END) AS BIGINT) AS dau,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS rolling7_users
+FROM ex CROSS JOIN mx WHERE cd <= md
+GROUP BY cd
+"""
+
+
+@register("rolling_distinct_users_7d", _ROLL7_ORACLE)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: exact DAU and exact trailing-7-day distinct users.
+    Scale: dedup to the (user, day) grain first (partial-combining), fan
+    out x7, ONE distinct-agg keyed by day — no per-day rescans, no
+    quadratic windows; the fan-out constant is the window length, not
+    the data size."""
+    ev = _t(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", F.col("ts").cast("timestamp")).cast("date").alias("d"),
+        )
+        .distinct()
+    )
+    mx = ud.agg(F.max("d").alias("md"))
+    ex = ud.select(
+        "user_id", "d", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    ).select("user_id", "d", "off", F.date_add(F.col("d"), F.col("off")).alias("cd"))
+    return (
+        ex.join(F.broadcast(mx), F.col("cd") <= F.col("md"))
+        .groupBy("cd")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("off") == 0, F.col("user_id"))
+            ).cast("bigint").alias("dau"),
+            F.count_distinct("user_id").cast("bigint").alias("rolling7_users"),
+        )
+        .select(F.date_format("cd", "yyyy-MM-dd").alias("day"), "dau",
+                "rolling7_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_assortativity — Pearson correlation of endpoint degrees
+# over the symmetrized co-ordered-parts edge list (Newman's degree
+# assortativity r). Positive r = hubs link hubs (core/periphery);
+# negative r = hubs link leaves (star/template structure — the shape
+# spam rings and boilerplate graphs take).
+# ---------------------------------------------------------------------------
+
+
+from kafka_etl_consumer_spark.plans.queries_pipeline7 import (  # noqa: E402
+    _COORD_EDGE_CTE,
+)
+
+_ASSORT_ORACLE = f"""
+WITH {_COORD_EDGE_CTE},
+sym AS (SELECT p1 AS u, p2 AS v FROM e0
+        UNION ALL SELECT p2 AS u, p1 AS v FROM e0),
+deg AS (SELECT u, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY u)
+SELECT CAST(count(*) AS BIGINT) AS n_directed_edges,
+       round(corr(da.d, db.d), 6) AS assortativity
+FROM sym JOIN deg da ON da.u = sym.u JOIN deg db ON db.u = sym.v
+"""
+
+
+@register("graph_degree_assortativity", _ASSORT_ORACLE)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson r over endpoint-degree pairs of the
+    symmetric edge list). Scale: degrees are ONE hash-agg on the edge
+    list; attaching them is two shuffle joins keyed by endpoint (each
+    co-partitioned with the degree agg's own exchange); corr() is a
+    single-pass moment aggregate — nothing materializes beyond the
+    edge list itself."""
+    from kafka_etl_consumer_spark.plans.queries_pipeline7 import _coordered_edges
+
+    e0 = _coordered_edges(spark, sf_dir)
+    sym = e0.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
+        e0.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    da = deg.select(F.col("u").alias("su"), F.col("d").alias("du"))
+    db = deg.select(F.col("u").alias("sv"), F.col("d").alias("dv"))
+    pairs = (
+        sym.join(da, sym.u == da.su)
+        .join(db, sym.v == db.sv)
+        .select("du", "dv")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
+        F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# audit_l_diversity — for each quasi-identifier class (market segment,
+# nation), how many DISTINCT sensitive values (account-balance band)
+# does it contain? k-anonymity says the crowd is big enough;
+# l-diversity says the crowd doesn't all share the secret.
+# ---------------------------------------------------------------------------
+
+_LDIV_ORACLE = """
+WITH g AS (SELECT c_mktsegment, c_nationkey, count(*) AS n,
+                  count(DISTINCT CAST(floor(c_acctbal / 2000) AS INT)) AS l
+           FROM customer GROUP BY 1, 2),
+ls AS (SELECT unnest([4, 5, 6]) AS l_min)
+SELECT CAST(l_min AS INT) AS l_min,
+       CAST(sum(CASE WHEN g.l < l_min THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below,
+       CAST(sum(CASE WHEN g.l < l_min THEN g.n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(count(*) AS BIGINT) AS n_classes
+FROM g CROSS JOIN ls GROUP BY l_min
+"""
+
+
+@register("audit_l_diversity", _LDIV_ORACLE)
+def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity report over (c_mktsegment, c_nationkey) with the
+    account-balance $2000 band as the sensitive attribute, l in {4,5,6}.
+    Scale: ONE distinct-agg to the class grain (the only data-sized
+    shuffle; the distinct folds map-side via partial aggregation), then
+    the threshold sweep fans the bounded class table x3."""
+    c = _t(spark, sf_dir, "customer")
+    g = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / 2000).cast("int")
+        ).alias("l"),
+    )
+    ls = F.explode(F.array(F.lit(4), F.lit(5), F.lit(6))).alias("l_min")
+    return (
+        g.select("n", "l", ls)
+        .groupBy("l_min")
+        .agg(
+            F.sum(F.when(F.col("l") < F.col("l_min"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("classes_below"),
+            F.sum(F.when(F.col("l") < F.col("l_min"), F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        )
+        .select(
+            F.col("l_min").cast("int").alias("l_min"),
+            "classes_below", "rows_at_risk", "n_classes",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# funnel_latency_quantiles — the DISTRIBUTION of view->purchase
+# conversion latency (median / p90), where funnel_steps reports only
+# means: latency SLOs live in the tail, not the average.
+# ---------------------------------------------------------------------------
+
+_FUNLAT_WINDOW_S = 24 * 3600
+
+_FUNLAT_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT e.user_id, min(v.t1) AS t1, min(e.ts) AS t2
+      FROM e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+lat AS (SELECT CASE WHEN date_diff('microsecond', t1, t2) / 1e6
+                         < {_FUNLAT_WINDOW_S} THEN
+                    date_diff('microsecond', t1, t2) / 1e6 END AS s
+        FROM p)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewed,
+       CAST(count(s) AS BIGINT) AS n_converted,
+       round(avg(s), 6) AS avg_s,
+       round(quantile_cont(s, 0.5), 6) AS p50_s,
+       round(quantile_cont(s, 0.9), 6) AS p90_s
+FROM lat
+"""
+
+
+@register("funnel_latency_quantiles", _FUNLAT_ORACLE)
+def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view -> first-purchase-after-it latency (mean, median, p90
+    seconds) under a 24h attribution window — purchases later than the
+    window count as non-converted, so both branches carry rows. ONE scan, ONE user-keyed shuffle (collect the user's
+    view/purchase events, derive both step times with higher-order array
+    expressions — funnel_steps' single-pass shape); the quantile runs
+    over <=|users| scalar latencies. At 100 TB swap percentile() for
+    approx_percentile — same plan, sketch-mergeable."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    g = (
+        ev.where(F.col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(F.collect_list(F.struct("ts", "event_type")).alias("evs"))
+    )
+    t1 = F.array_min(
+        F.transform(
+            F.filter(F.col("evs"), lambda e_: e_.event_type == "view"),
+            lambda e_: e_.ts,
+        )
+    )
+    per_user = g.select(t1.alias("t1"), F.col("evs"))
+    t2 = F.array_min(
+        F.transform(
+            F.filter(
+                F.col("evs"),
+                lambda e_: (e_.event_type == "purchase") & (e_.ts > F.col("t1")),
+            ),
+            lambda e_: e_.ts,
+        )
+    )
+    raw_s = (F.unix_micros(t2) - F.unix_micros(F.col("t1"))) / 1e6
+    lat = per_user.where(F.col("t1").isNotNull()).select(
+        F.when(raw_s < _FUNLAT_WINDOW_S, raw_s).alias("s")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_viewed"),
+        F.count("s").cast("bigint").alias("n_converted"),
+        F.round(F.avg("s"), 6).alias("avg_s"),
+        F.round(F.percentile("s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("s", F.lit(0.9)), 6).alias("p90_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# compaction_bin_plan — the OPTIMIZE planner's first pass: walk date
+# partitions in order, accumulate row counts, and cut a new rewrite bin
+# every time the running total crosses the target capacity. Each bin is
+# one coalesced output file group of ~target rows.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 1500
+
+_COMPACT_ORACLE = f"""
+WITH pd AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS rows_
+            FROM orders GROUP BY 1),
+c AS (SELECT d, rows_,
+             coalesce(sum(rows_) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before_
+      FROM pd)
+SELECT CAST(floor(before_ / {_COMPACT_TARGET}.0) AS INT) AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_days,
+       strftime(min(d), '%Y-%m-%d') AS day_min,
+       strftime(max(d), '%Y-%m-%d') AS day_max,
+       CAST(sum(rows_) AS BIGINT) AS total_rows
+FROM c GROUP BY 1
+"""
+
+
+@register("compaction_bin_plan", _COMPACT_ORACLE)
+def compaction_bin_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential capacity binning of orders' date partitions into
+    ~{target}-row rewrite groups (maintenance.compact_parquet's planning
+    stage as a query). Scale: the raw scan collapses to the DAY grain
+    first (partial-combining hash-agg); the running sum orders only the
+    bounded day-stat series — the single-partition window is over |days|
+    rows, never data rows."""
+    o = _t(spark, sf_dir, "orders")
+    pd_ = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("rows_")
+    )
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    c = pd_.select(
+        "d",
+        "rows_",
+        F.coalesce(F.sum("rows_").over(wcum), F.lit(0)).alias("before_"),
+    )
+    return (
+        c.groupBy(
+            F.floor(F.col("before_") / float(_COMPACT_TARGET)).cast("int").alias(
+                "bin_id"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("day_min"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("day_max"),
+            F.sum("rows_").cast("bigint").alias("total_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_anova_value — one-way ANOVA of event value across event types,
+# computed entirely from per-group moments (n, mean, var_pop): SSB/SSW
+# decomposition, F statistic, eta-squared effect size. The "does the
+# grouping explain the metric at all" gate before any per-group deep dive.
+# ---------------------------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                  avg(value) AS m, var_pop(value) AS v
+           FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS n_tot, count(*) AS k, sum(n * m) / sum(n) AS gm FROM g)
+SELECT CAST(t.k AS INT) AS k_groups,
+       CAST(t.n_tot AS BIGINT) AS n_rows,
+       round(sum(g.n * (g.m - t.gm) * (g.m - t.gm)), 2) AS ss_between,
+       round(sum(g.n * g.v), 2) AS ss_within,
+       round((sum(g.n * (g.m - t.gm) * (g.m - t.gm)) / (t.k - 1))
+             / (sum(g.n * g.v) / (t.n_tot - t.k)), 6) AS f_stat,
+       round(sum(g.n * (g.m - t.gm) * (g.m - t.gm))
+             / (sum(g.n * (g.m - t.gm) * (g.m - t.gm)) + sum(g.n * g.v)), 6)
+         AS eta_sq
+FROM g CROSS JOIN t GROUP BY t.k, t.n_tot, t.gm
+"""
+
+
+@register("stats_anova_value", _ANOVA_ORACLE)
+def stats_anova_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA (F, eta^2) of value across event types from group
+    moments. Scale: ONE hash-agg computes every group moment map-side;
+    the F algebra runs on the |types|-row grid — the statistic never
+    touches rows (same moment-collapse shape as stats_ttest_welch)."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_pop("value").alias("v"),
+    )
+    t = g.agg(
+        F.sum("n").alias("n_tot"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+    )
+    ssb = F.sum(F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm")))
+    ssw = F.sum(F.col("n") * F.col("v"))
+    r = g.crossJoin(F.broadcast(t)).agg(
+        F.first("k").alias("k"),
+        F.first("n_tot").alias("n_tot"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+    )
+    return r.select(
+        F.col("k").cast("int").alias("k_groups"),
+        F.col("n_tot").cast("bigint").alias("n_rows"),
+        F.round("ssb", 2).alias("ss_between"),
+        F.round("ssw", 2).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_tot") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias("eta_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension mean / population stddev / extrema
+# of the embedding matrix: the dead-dimension and saturated-dimension
+# scan run before any ANN index build (a zero-variance dim wastes index
+# bits; a huge-range dim dominates unnormalized distance).
+# ---------------------------------------------------------------------------
+
+_DIMSTATS_ORACLE = """
+WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+el AS (SELECT ord, emb[ord] AS x
+       FROM e, (SELECT unnest(range(1, 65)) AS ord))
+SELECT CAST(ord AS INT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       round(avg(x), 6) AS mean_x, round(stddev_pop(x), 6) AS sd_x,
+       round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+FROM el GROUP BY ord
+"""
+
+
+@register("embedding_dim_stats", _DIMSTATS_ORACLE)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health stats of the embedding column. Scale: the
+    posexplode is a narrow x64 fan-out feeding ONE partial-combining
+    hash-agg on a 64-key space — map-side collapse makes the shuffle 64
+    rows per task regardless of corpus size."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    )
+    el = e.select(F.posexplode("emb").alias("pos", "x"))
+    return (
+        el.groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("x"), 6).alias("mean_x"),
+            F.round(F.stddev_pop("x"), 6).alias("sd_x"),
+            F.round(F.min("x"), 6).alias("min_x"),
+            F.round(F.max("x"), 6).alias("max_x"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_transition_entropy — per-state Shannon entropy of the next-event
+# distribution (the Markov chain's per-row entropy): how predictable is
+# what follows each event type, and what's the effective branching
+# factor (2^H)? Complements event_transition_matrix's raw probabilities.
+# ---------------------------------------------------------------------------
+
+_TRANSENT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY event_id) AS nt
+  FROM events
+),
+cnt AS (SELECT event_type, nt, count(*) AS n
+        FROM seq WHERE nt IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(n) AS rn FROM cnt GROUP BY 1)
+SELECT c.event_type, CAST(t.rn AS BIGINT) AS n_out,
+       round(-sum((c.n / CAST(t.rn AS DOUBLE))
+                  * log2(c.n / CAST(t.rn AS DOUBLE))), 6) AS entropy_bits,
+       round(pow(2, -sum((c.n / CAST(t.rn AS DOUBLE))
+                  * log2(c.n / CAST(t.rn AS DOUBLE)))), 6)
+         AS branching_factor
+FROM cnt c JOIN tot t USING (event_type)
+GROUP BY c.event_type, t.rn
+"""
+
+
+@register("event_transition_entropy", _TRANSENT_ORACLE)
+def event_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type next-event entropy (bits) + effective branching
+    factor. Scale: one user-keyed exchange feeds the lead(); the pair
+    count collapses to the |types|^2 grid map-side; entropy algebra runs
+    on that bounded grid (same exchange shape as
+    event_transition_matrix — the two share a cached scan when run
+    together)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nt")
+    ).filter(F.col("nt").isNotNull())
+    cnt = seq.groupBy("event_type", "nt").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("event_type").agg(F.sum("n").alias("rn"))
+    p = F.col("n") / F.col("rn").cast("double")
+    h = -F.sum(p * F.log2(p))
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "rn")
+        .agg(
+            F.round(h, 6).alias("entropy_bits"),
+            F.round(F.pow(F.lit(2), h), 6).alias("branching_factor"),
+        )
+        .select(
+            "event_type",
+            F.col("rn").cast("bigint").alias("n_out"),
+            "entropy_bits",
+            "branching_factor",
+        )
+    )
