@@ -214,6 +214,10 @@ HEADLINE = [
     "stats_anova_value",
     "embedding_dim_stats",
     "event_transition_entropy",
+    "sim_ann_ivfpq",
+    "corpus_bpe_merges",
+    "stats_bootstrap_ci",
+    "text_zipf_fit",
 ]
 
 

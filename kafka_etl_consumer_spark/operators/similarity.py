@@ -403,3 +403,176 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy(f"q_{id_col}").orderBy(F.col("score").desc(), F.col(id_col))
     return joined.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def ivfpq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    subspaces: int = 8,
+    codebook_size: int = 4,
+    shortlist: int = 60,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the production vector-store stack: an IVF
+    inverted index prunes the corpus to ~nprobe/n_centroids, PQ codes +
+    an asymmetric-distance (ADC) table rank those candidates WITHOUT
+    touching full vectors, and only the ``shortlist`` survivors get an
+    exact cosine re-rank. Completes the repo's ANN ladder: brute force
+    (`cosine_topk`) -> LSH (`lsh_ann_topk`) -> IVF-Flat (`ivf_ann_topk`)
+    -> IVF-PQ.
+
+    Codebooks are the same deterministic seeds the components use alone
+    (IVF: `hash_ranked_centroids`; PQ: subvectors of the first
+    ``codebook_size`` corpus rows, `operators/embeddings.py pq_assign`),
+    so the whole pipeline has an exact SQL oracle; production swaps in
+    Lloyd-refined codebooks with zero plan change.
+
+    PQ code assignment here is the NARROW form of ``pq_assign`` — a
+    higher-order argmin against the broadcast codebook (round(dist, 9)
+    then ties to the smaller code, the identical rule) — so the corpus
+    picks up cluster + codes in ONE scan with no shuffle, where
+    pq_assign's window formulation shuffles per (row, subspace).
+
+    100 TB shape: both codebooks collapse to single broadcast rows; the
+    corpus scan emits (id, cluster, codes[subspaces]) — at 8 subspaces
+    that is 8 code bytes per vector, the PQ compression claim, and the
+    full-vector column is only re-read for the shortlist join. Each
+    query precomputes its subspaces*codebook_size ADC table ONCE; per
+    candidate the approx distance is ``subspaces`` array lookups in
+    whole-stage codegen — no per-candidate O(dims) math until the
+    exact re-rank of ``shortlist`` rows. The only shuffles are the
+    final two bounded per-query top-N windows.
+    """
+    sub = dims // subspaces
+    if sub * subspaces != dims:
+        raise ValueError(f"dims {dims} not divisible by {subspaces} subspaces")
+    spark = corpus.sparkSession
+
+    centroids = hash_ranked_centroids(corpus, n_centroids, vec_col, id_col)
+    corp = assign_cells(corpus, centroids, vec_col, id_col)
+
+    # PQ codebook -> ONE broadcast row: array<struct<s, code, cent>>
+    subs = spark.range(subspaces).select(F.col("id").cast("int").alias("s"))
+    pqb = (
+        corpus.filter(F.col(id_col) < codebook_size)
+        .select(
+            F.col(id_col).cast("int").alias("code"),
+            F.col(vec_col).cast("array<double>").alias("__e"),
+        )
+        .crossJoin(subs)
+        .select("s", "code", F.slice("__e", F.col("s") * sub + 1, sub).alias("cent"))
+    )
+    pqrow = pqb.agg(
+        F.array_sort(F.collect_list(F.struct("s", "code", "cent"))).alias("__pqbook")
+    )
+
+    def sqdist(vec_slice, cent):
+        return F.round(
+            F.aggregate(
+                F.zip_with(vec_slice, cent, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    # per-subspace argmin code, computed as a pure expression (no shuffle):
+    # min over struct(dist, code) replicates pq_assign's (dist, code) order
+    def code_for(vec, s):
+        cands = F.filter(F.col("__pqbook"), lambda c: c["s"] == s)
+        scored = F.transform(
+            cands,
+            lambda c: F.struct(
+                sqdist(F.slice(vec, s * sub + 1, sub), c["cent"]).alias("d"),
+                c["code"].alias("code"),
+            ),
+        )
+        return F.array_min(scored)["code"]
+
+    codes = F.array(*[code_for(F.col(vec_col), s) for s in range(subspaces)])
+    corp2 = (
+        corp.crossJoin(F.broadcast(pqrow))
+        .withColumn("__codes", codes)
+        .drop("__pqbook")
+        # the ADC path never reads the full vector again; keep it for the
+        # exact re-rank join-back (at scale this column stays columnar-
+        # pruned out of the ADC stages)
+    )
+
+    # queries: probe top-nprobe IVF cells, then precompute the ADC table
+    qv = f"q_{vec_col}"
+    qi = f"q_{id_col}"
+    q = (
+        queries.select(
+            F.col(qi), F.col(qv).cast("array<double>").alias(qv)
+        )
+        .withColumn("__qn", l2_norm(qv))
+        .crossJoin(F.broadcast(_codebook_row(centroids)))
+        .withColumn(
+            "__probe",
+            F.slice(
+                F.reverse(F.array_sort(_cell_scores(qv, "__qn"))), 1, nprobe
+            ),
+        )
+        .drop("__cbook")
+        .crossJoin(F.broadcast(pqrow))
+        # __pqbook is array_sort'ed -> (s, code) lexicographic order, so
+        # entry (s, code) sits at index s*codebook_size + code (0-based)
+        .withColumn(
+            "__dtab",
+            F.transform(
+                F.col("__pqbook"),
+                lambda c: sqdist(
+                    F.slice(F.col(qv), c["s"] * sub + 1, sub), c["cent"]
+                ),
+            ),
+        )
+        .drop("__pqbook")
+        .select(
+            qi, qv, "__qn", "__dtab", F.explode("__probe").alias("__p")
+        )
+        .withColumn("cluster", -F.col("__p")["nc"])
+        .drop("__p")
+    )
+
+    seq = F.sequence(F.lit(0), F.lit(subspaces - 1))
+    adc = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__codes"),
+                seq,
+                lambda code, s: F.element_at(
+                    F.col("__dtab"), s * codebook_size + code + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    cand = (
+        corp2.join(F.broadcast(q), "cluster")
+        .filter(F.col(qi) != F.col(id_col))
+        .select(
+            qi, qv, "__qn", id_col, vec_col, "__n", adc.alias("approx_d")
+        )
+    )
+    ws = Window.partitionBy(qi).orderBy(F.col("approx_d"), F.col(id_col))
+    short = (
+        cand.withColumn("__srn", F.row_number().over(ws))
+        .filter(F.col("__srn") <= shortlist)
+        .drop("__srn")
+    )
+    score = F.round(dot(qv, vec_col) / (F.col("__qn") * F.col("__n")), 6)
+    wk = Window.partitionBy(qi).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        short.select(qi, id_col, score.alias("score"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

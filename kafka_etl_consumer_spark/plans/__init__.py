@@ -22,5 +22,6 @@ from kafka_etl_consumer_spark.plans import queries_ingest as _qi  # noqa: F401,E
 # queries must queue BEHIND the older never-checked ones
 from kafka_etl_consumer_spark.plans import queries_pipeline8 as _qp8  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline9 as _qp9  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline10 as _qp10  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
