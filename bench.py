@@ -218,6 +218,10 @@ HEADLINE = [
     "corpus_bpe_merges",
     "stats_bootstrap_ci",
     "text_zipf_fit",
+    "search_phrase_match",
+    "ts_snaive_backtest",
+    "graph_modularity",
+    "sample_coreset_kcenter",
 ]
 
 

@@ -253,6 +253,12 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inverse CDF of a hash-uniform — the distributed bootstrap (no global
 # multinomial coordination, any row's weight computable anywhere), and
 # hash-determinism makes it reproducible AND cross-engine checkable.
+#
+# The B uniforms per row come from ONE md5 plus B affine rehashes
+# u_b = ((base % P) * a_b + c_b) % P / P — the same rehash scheme MinHash
+# uses (functions/hashing.py: coefficients bounded so (P-1)*a+c < 2^62,
+# no BIGINT overflow in either engine). The md5-per-(row,resample) form
+# benched 6.1s at sf0.1; this is one hash per row.
 # ---------------------------------------------------------------------------
 
 _BOOT_B = 40
@@ -260,12 +266,38 @@ _BOOT_B = 40
 _POIS_CDF = (0.36787944117, 0.73575888234, 0.91969860293, 0.98101184313,
              0.99634015317)
 
-_BOOT_ORACLE = f"""
-WITH bs AS (SELECT unnest(range(0, {_BOOT_B})) AS b),
-u AS (SELECT bs.b, o.o_totalprice AS x,
-             ({hash64_sql("'boot|' || CAST(bs.b AS VARCHAR) || '|' || CAST(o.o_orderkey AS VARCHAR)")}
-              % 1000000) / 1e6 AS u
-      FROM orders o CROSS JOIN bs),
+
+def _boot_coeffs(n: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    from kafka_etl_consumer_spark.functions.hashing import MINHASH_PRIME
+
+    out = []
+    for b in range(n):
+        a = int(hashlib.md5(f"boot-a-{b}".encode()).hexdigest()[:8], 16) % (
+            MINHASH_PRIME - 2
+        ) + 1
+        c = int(
+            hashlib.md5(f"boot-c-{b}".encode()).hexdigest()[:8], 16
+        ) % MINHASH_PRIME
+        out.append((a, c))
+    return out
+
+
+def _boot_oracle() -> str:
+    from kafka_etl_consumer_spark.functions.hashing import MINHASH_PRIME as P
+
+    coeff_rows = ", ".join(
+        f"({b}, {a}, {c})" for b, (a, c) in enumerate(_boot_coeffs(_BOOT_B))
+    )
+    return f"""
+WITH co(b, a, c) AS (SELECT * FROM (VALUES {coeff_rows})),
+base AS (SELECT o_totalprice AS x,
+                {hash64_sql("'boot|' || CAST(o_orderkey AS VARCHAR)")} % {P} AS h
+         FROM orders),
+u AS (SELECT co.b, base.x,
+             ((base.h * co.a + co.c) % {P}) / CAST({P} AS DOUBLE) AS u
+      FROM base CROSS JOIN co),
 w AS (SELECT b, x,
              CASE WHEN u < {_POIS_CDF[0]} THEN 0
                   WHEN u < {_POIS_CDF[1]} THEN 1
@@ -284,6 +316,9 @@ FROM m CROSS JOIN pt GROUP BY pt.point_mean
 """
 
 
+_BOOT_ORACLE = _boot_oracle()
+
+
 @register("stats_bootstrap_ci", _BOOT_ORACLE)
 def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """95% Poisson-bootstrap CI (+ bootstrap SE) for the mean order total,
@@ -292,19 +327,23 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side to B rows; the quantile runs over B scalars. No sampling
     pass, no coordination, retry-stable — the bootstrap that actually
     works on a cluster."""
+    from kafka_etl_consumer_spark.functions.hashing import MINHASH_PRIME as P
+
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    bs = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
-    u = (
-        hash64(
-            F.concat(
-                F.lit("boot|"),
-                F.col("b").cast("string"),
-                F.lit("|"),
-                F.col("o_orderkey").cast("string"),
-            )
-        )
-        % 1000000
-    ) / 1e6
+    base = o.select(
+        F.col("o_totalprice").alias("x"),
+        (
+            hash64(F.concat(F.lit("boot|"), F.col("o_orderkey").cast("string")))
+            % P
+        ).alias("h"),
+    )
+    us = F.array(
+        *[
+            ((F.col("h") * a + c) % P) / float(P)
+            for a, c in _boot_coeffs(_BOOT_B)
+        ]
+    )
+    u = F.col("u")
     wt = (
         F.when(u < _POIS_CDF[0], 0)
         .when(u < _POIS_CDF[1], 1)
@@ -313,7 +352,7 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(u < _POIS_CDF[4], 4)
         .otherwise(5)
     )
-    w = o.select("o_orderkey", F.col("o_totalprice").alias("x"), bs).select(
+    w = base.select("x", F.posexplode(us).alias("b", "u")).select(
         "b", "x", wt.alias("wt")
     )
     m = w.groupBy("b").agg(
