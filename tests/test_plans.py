@@ -523,3 +523,52 @@ def test_growth_accounting_aggregates_before_running_sum(spark, sf_dir):
     plan = _plan(spark, sf_dir, "user_growth_accounting", mode="simple")
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+
+def test_ivfpq_stays_broadcast_and_narrow(spark, sf_dir):
+    # IVF-PQ: both codebooks ride broadcasts; corpus picks up
+    # (cluster, codes) in narrow projections; candidate join is
+    # broadcast on cluster; no corpus-sized sort-merge join or
+    # cartesian anywhere
+    plan = _plan(spark, sf_dir, "sim_ann_ivfpq", mode="simple")
+    assert "TakeOrderedAndProject" in plan  # IVF codebook selection
+    assert "BroadcastHashJoin" in plan      # candidate generation
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_distinct_has_no_window_operator(spark, sf_dir):
+    # the trailing-7d distinct is the bounded fan-out + ONE hash-agg
+    # rewrite — a Window operator here would mean the quadratic
+    # sliding count-distinct came back
+    plan = _plan(spark, sf_dir, "rolling_distinct_users_7d", mode="simple")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bootstrap_single_hash_agg_no_join(spark, sf_dir):
+    # Poisson bootstrap: narrow projection -> posexplode fan-out ->
+    # B-row hash-agg; the only join is the 1-row point-estimate
+    # broadcast. A SortMergeJoin or per-(row,resample) hash join
+    # would be a plan regression.
+    plan = _plan(spark, sf_dir, "stats_bootstrap_ci", mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final resample means
+
+
+def test_bpe_rounds_keep_vocab_grain(spark, sf_dir):
+    # every merge round's argmax is a 1-row TakeOrdered broadcast back
+    # onto the vocab table — no sort-merge joins, no cartesian blowup
+    plan = _plan(spark, sf_dir, "corpus_bpe_merges", mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_phrase_match_single_scan_no_join(spark, sf_dir):
+    # fixed phrase list: pure narrow codegen over one scan — any Join
+    # node means an accidental inverted-index shuffle crept in
+    plan = _plan(spark, sf_dir, "search_phrase_match", mode="simple")
+    assert "Join" not in plan
+    assert "Exchange" not in plan or plan.count("Exchange") <= 1
