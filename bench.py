@@ -222,6 +222,9 @@ HEADLINE = [
     "ts_snaive_backtest",
     "graph_modularity",
     "sample_coreset_kcenter",
+    "embedding_matryoshka_eval",
+    "stats_permutation_test",
+    "text_lcp_neardup",
 ]
 
 

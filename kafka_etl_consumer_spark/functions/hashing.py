@@ -62,3 +62,23 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
         b = int(hashlib.md5(f"minhash-b-{h}".encode()).hexdigest()[:8], 16) % MINHASH_PRIME
         out.append((a, b))
     return out
+
+
+def affine_coeffs(salt: str, n: int) -> list[tuple[int, int]]:
+    """``n`` deterministic (a, c) affine-rehash pairs for deriving many
+    cheap uniforms from ONE md5 base hash: u_k = ((base % P) * a_k + c_k)
+    % P. Same bounds as the MinHash coefficients ((P-1)*a + c < 2^62 — no
+    BIGINT overflow in either engine); ``salt`` namespaces independent
+    families (minhash, bootstrap resamples, permutation tests...)."""
+    import hashlib
+
+    out = []
+    for k in range(n):
+        a = int(
+            hashlib.md5(f"{salt}-a-{k}".encode()).hexdigest()[:8], 16
+        ) % (MINHASH_PRIME - 2) + 1
+        c = int(
+            hashlib.md5(f"{salt}-c-{k}".encode()).hexdigest()[:8], 16
+        ) % MINHASH_PRIME
+        out.append((a, c))
+    return out

@@ -268,20 +268,9 @@ _POIS_CDF = (0.36787944117, 0.73575888234, 0.91969860293, 0.98101184313,
 
 
 def _boot_coeffs(n: int) -> list[tuple[int, int]]:
-    import hashlib
+    from kafka_etl_consumer_spark.functions.hashing import affine_coeffs
 
-    from kafka_etl_consumer_spark.functions.hashing import MINHASH_PRIME
-
-    out = []
-    for b in range(n):
-        a = int(hashlib.md5(f"boot-a-{b}".encode()).hexdigest()[:8], 16) % (
-            MINHASH_PRIME - 2
-        ) + 1
-        c = int(
-            hashlib.md5(f"boot-c-{b}".encode()).hexdigest()[:8], 16
-        ) % MINHASH_PRIME
-        out.append((a, c))
-    return out
+    return affine_coeffs("boot", n)
 
 
 def _boot_oracle() -> str:

@@ -1,0 +1,303 @@
+"""Query surface batch 17 (round 4): truncation-robust embeddings,
+nonparametric inference, and prefix near-duplication.
+
+- Matryoshka truncation evaluation: how much retrieval quality survives
+  when the 64-dim embeddings are cut to their first 8/16/32 dims
+  (Spearman rank agreement + top-10 overlap vs the full-dim ranking) —
+  the measurement behind dimension-adaptive retrieval
+- permutation test for the even/odd-cohort mean difference: the exact
+  nonparametric complement to stats_ttest_welch, with hash-deterministic
+  label permutations (one md5 per row + affine rehashes)
+- adjacent-after-sort longest-common-prefix scan: the suffix-array-style
+  near-duplicate detector for copy-with-edits prefixes, top-20 pairs
+
+The reference has no analytics surface (pass-through ETL,
+ETLTask.java:261-283); these extend the training-data operator families
+the brief requires. Every query carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.functions.hashing import (
+    MINHASH_PRIME,
+    affine_coeffs,
+    hash64,
+    hash64_sql,
+)
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# embedding_matryoshka_eval — score the corpus against query vec 0 with
+# the first-d dims for d in {8,16,32,64}; report rank agreement with the
+# full-dim ranking. Both engines round scores to 6dp before ranking and
+# tie-break by vec_id, so rank sequences are cross-engine identical.
+# ---------------------------------------------------------------------------
+
+_MAT_DIMS = (8, 16, 32, 64)
+
+
+def _mat_score_sql(d: int) -> str:
+    return (
+        f"round(list_dot_product(emb[1:{d}], q[1:{d}])"
+        f" / (sqrt(list_dot_product(emb[1:{d}], emb[1:{d}]))"
+        f" * sqrt(list_dot_product(q[1:{d}], q[1:{d}]))), 6)"
+    )
+
+
+_MAT_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+           WHERE vec_id <> 0),
+q0 AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT vec_id,
+              {_mat_score_sql(8)} AS s8, {_mat_score_sql(16)} AS s16,
+              {_mat_score_sql(32)} AS s32, {_mat_score_sql(64)} AS s64
+       FROM e CROSS JOIN q0),
+un AS (SELECT vec_id, d,
+              CASE d WHEN 8 THEN s8 WHEN 16 THEN s16
+                     WHEN 32 THEN s32 ELSE s64 END AS sd, s64
+       FROM sc, (SELECT unnest([8, 16, 32, 64]) AS d)),
+r AS (SELECT d,
+             row_number() OVER (PARTITION BY d ORDER BY sd DESC, vec_id) AS rn,
+             row_number() OVER (PARTITION BY d ORDER BY s64 DESC, vec_id) AS rf
+      FROM un)
+SELECT CAST(d AS INT) AS dims,
+       round(corr(rn, rf), 6) AS spearman,
+       CAST(sum(CASE WHEN rn <= 10 AND rf <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS top10_overlap
+FROM r GROUP BY d
+"""
+
+
+@register("embedding_matryoshka_eval", _MAT_ORACLE)
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per truncation width: Spearman rank agreement with the full-dim
+    cosine ranking and top-10 overlap (dims=64 row is the sanity
+    identity: spearman 1.0, overlap 10). Scale: all four scores come
+    from ONE corpus scan against a broadcast query vector (prefix
+    folds share the pass); each width costs one rank sort of the
+    (score, id) projection — at 100 TB cut to top-k with
+    TakeOrdered before ranking, same code shape."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q0 = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").cast("array<double>").alias("q"))
+    )
+
+    def dotd(a, b, d):
+        return F.aggregate(
+            F.zip_with(F.slice(a, 1, d), F.slice(b, 1, d), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def score(d):
+        a, b = F.col("emb"), F.col("q")
+        return F.round(
+            dotd(a, b, d) / (F.sqrt(dotd(a, a, d)) * F.sqrt(dotd(b, b, d))), 6
+        )
+
+    sc = e.crossJoin(F.broadcast(q0)).select(
+        "vec_id", *[score(d).alias(f"s{d}") for d in _MAT_DIMS]
+    )
+    ds = F.explode(F.array(*[F.lit(d) for d in _MAT_DIMS])).alias("d")
+    sd = (
+        F.when(F.col("d") == 8, F.col("s8"))
+        .when(F.col("d") == 16, F.col("s16"))
+        .when(F.col("d") == 32, F.col("s32"))
+        .otherwise(F.col("s64"))
+    )
+    un = sc.select("vec_id", "s8", "s16", "s32", "s64", ds).select(
+        "vec_id", "d", sd.alias("sd"), "s64"
+    )
+    wd = Window.partitionBy("d").orderBy(F.col("sd").desc(), "vec_id")
+    wf = Window.partitionBy("d").orderBy(F.col("s64").desc(), "vec_id")
+    r = un.select(
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.row_number().over(wf).alias("rf"),
+    )
+    return r.groupBy("d").agg(
+        F.round(F.corr("rn", "rf"), 6).alias("spearman"),
+        F.sum(
+            F.when((F.col("rn") <= 10) & (F.col("rf") <= 10), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("top10_overlap"),
+    ).select(F.col("d").cast("int").alias("dims"), "spearman", "top10_overlap")
+
+
+# ---------------------------------------------------------------------------
+# stats_permutation_test — exact nonparametric test of the even/odd-user
+# mean-value difference: B=40 deterministic label permutations via one
+# md5 per row + affine rehashes (functions/hashing.affine_coeffs), the
+# same coordination-free scheme as the Poisson bootstrap. p-value uses
+# the standard +1 smoothing so it can never be 0.
+# ---------------------------------------------------------------------------
+
+_PERM_B = 40
+
+
+def _perm_oracle() -> str:
+    coeff_rows = ", ".join(
+        f"({p}, {a}, {c})" for p, (a, c) in enumerate(affine_coeffs("perm", _PERM_B))
+    )
+    P = MINHASH_PRIME
+    return f"""
+WITH co(p, a, c) AS (SELECT * FROM (VALUES {coeff_rows})),
+base AS (SELECT value AS x, user_id % 2 AS grp,
+                {hash64_sql("'perm|' || CAST(event_id AS VARCHAR)")} % {P} AS h
+         FROM events),
+obs AS (SELECT round(avg(CASE WHEN grp = 0 THEN x END)
+              - avg(CASE WHEN grp = 1 THEN x END), 6) AS obs_diff FROM base),
+perm AS (SELECT co.p,
+                round(avg(CASE WHEN (base.h * co.a + co.c) % {P} % 2 = 0
+                          THEN x END)
+                - avg(CASE WHEN (base.h * co.a + co.c) % {P} % 2 = 1
+                      THEN x END), 6) AS pd
+         FROM base CROSS JOIN co GROUP BY co.p)
+SELECT CAST({_PERM_B} AS INT) AS n_perms, obs.obs_diff,
+       round((1 + sum(CASE WHEN abs(pd) >= abs(obs.obs_diff)
+                      THEN 1 ELSE 0 END)) / ({_PERM_B} + 1.0), 6) AS p_value,
+       round(avg(abs(pd)), 6) AS mean_abs_perm_diff
+FROM perm CROSS JOIN obs GROUP BY obs.obs_diff
+"""
+
+
+@register("stats_permutation_test", _perm_oracle())
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation p-value for the even/odd-cohort mean difference of
+    event value (B=40 relabelings). Scale: ONE scan computes the base
+    hash; the ×B fan-out carries only (x, permuted bit) and
+    partial-aggregates map-side to B conditional-mean rows; the
+    decision algebra runs on B scalars. Complements stats_ttest_welch
+    with an assumption-free null."""
+    ev = _t(spark, sf_dir, "events")
+    P = MINHASH_PRIME
+    base = ev.select(
+        F.col("value").alias("x"),
+        (F.col("user_id") % 2).alias("grp"),
+        (
+            hash64(F.concat(F.lit("perm|"), F.col("event_id").cast("string"))) % P
+        ).alias("h"),
+    )
+    obs = base.agg(
+        F.round(
+            F.avg(F.when(F.col("grp") == 0, F.col("x")))
+            - F.avg(F.when(F.col("grp") == 1, F.col("x"))),
+            6,
+        ).alias("obs_diff")
+    )
+    bits = F.array(
+        *[((F.col("h") * a + c) % P % 2) for a, c in affine_coeffs("perm", _PERM_B)]
+    )
+    perm = (
+        base.select("x", F.posexplode(bits).alias("p", "bit"))
+        .groupBy("p")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("bit") == 0, F.col("x")))
+                - F.avg(F.when(F.col("bit") == 1, F.col("x"))),
+                6,
+            ).alias("pd")
+        )
+    )
+    return (
+        perm.crossJoin(F.broadcast(obs))
+        .groupBy("obs_diff")
+        .agg(
+            F.round(
+                (
+                    1
+                    + F.sum(
+                        F.when(
+                            F.abs(F.col("pd")) >= F.abs(F.col("obs_diff")), 1
+                        ).otherwise(0)
+                    )
+                )
+                / (_PERM_B + 1.0),
+                6,
+            ).alias("p_value"),
+            F.round(F.avg(F.abs(F.col("pd"))), 6).alias("mean_abs_perm_diff"),
+        )
+        .select(
+            F.lit(_PERM_B).cast("int").alias("n_perms"),
+            "obs_diff", "p_value", "mean_abs_perm_diff",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_lcp_neardup — sort the corpus by text, compare each doc to its
+# lexicographic predecessor, report the top-20 pairs by longest common
+# prefix: the suffix-array-lite detector for copy-then-edit prefixes
+# (exact dedup misses them, MinHash sees them only probabilistically).
+# The LCP is "index of first mismatching character minus one", computed
+# with the identical first-false-position construct in both engines.
+# ---------------------------------------------------------------------------
+
+_LCP_ORACLE = """
+WITH d AS (SELECT doc_id, text FROM documents),
+s AS (SELECT doc_id, text,
+             lag(doc_id) OVER (ORDER BY text, doc_id) AS prev_id,
+             lag(text) OVER (ORDER BY text, doc_id) AS prev_text
+      FROM d),
+l AS (SELECT doc_id, prev_id,
+             least(len(text), len(prev_text)) AS ml,
+             -- list_position returns 0 (not NULL) when no mismatch exists
+             -- (one text is a prefix of the other): map that to ml, like
+             -- Spark's array_position-==-0 branch
+             coalesce(nullif(list_position(list_transform(
+                 range(1, least(len(text), len(prev_text)) + 1),
+                 i -> text[i] = prev_text[i]), false), 0) - 1,
+                 least(len(text), len(prev_text))) AS lcp
+      FROM s WHERE prev_id IS NOT NULL)
+SELECT prev_id AS doc_id_a, doc_id AS doc_id_b,
+       CAST(lcp AS BIGINT) AS lcp_chars, CAST(ml AS BIGINT) AS min_len
+FROM l ORDER BY lcp DESC, doc_id_a, doc_id_b LIMIT 20
+"""
+
+
+@register("text_lcp_neardup", _LCP_ORACLE)
+def text_lcp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 lexicographically-adjacent document pairs by common-prefix
+    length. Scale: ONE global range-partitioned sort of (text, id) — the
+    honest suffix-array-construction cost, linear shuffle, no pair
+    blowup: each doc compares to exactly one predecessor (boundary rows
+    pair across partitions via the lag window); TakeOrdered cuts the
+    report."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.orderBy("text", "doc_id")
+    s = d.select(
+        "doc_id",
+        "text",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("text").over(w).alias("prev_text"),
+    ).filter(F.col("prev_id").isNotNull())
+    ml = F.least(F.length("text"), F.length("prev_text"))
+    # element-wise char equality over the shared-length prefix, then the
+    # first-false position gives the LCP. Spark array_position returns 0
+    # (not NULL) when absent — i.e. one string is a prefix of the other —
+    # so that branch maps to ml explicitly.
+    ta = F.split(F.col("text"), "")
+    tb = F.split(F.col("prev_text"), "")
+    eq_bools = F.transform(
+        F.sequence(F.lit(1), ml),
+        lambda i: F.element_at(ta, i) == F.element_at(tb, i),
+    )
+    pos = F.array_position(eq_bools, F.lit(False))
+    lcp = F.when(pos == 0, ml.cast("long")).otherwise(pos - 1)
+    l_ = s.select(
+        F.col("prev_id").alias("doc_id_a"),
+        F.col("doc_id").alias("doc_id_b"),
+        lcp.cast("bigint").alias("lcp_chars"),
+        ml.cast("bigint").alias("min_len"),
+    )
+    return l_.orderBy(
+        F.col("lcp_chars").desc(), "doc_id_a", "doc_id_b"
+    ).limit(20)
