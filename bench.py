@@ -225,6 +225,9 @@ HEADLINE = [
     "embedding_matryoshka_eval",
     "stats_permutation_test",
     "text_lcp_neardup",
+    "win_pattern_vshape",
+    "stats_ks_test",
+    "multimodal_phash_dedup",
 ]
 
 

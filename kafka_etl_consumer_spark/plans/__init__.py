@@ -25,5 +25,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline9 as _qp9  # noqa: F4
 from kafka_etl_consumer_spark.plans import queries_pipeline10 as _qp10  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline11 as _qp11  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline12 as _qp12  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline13 as _qp13  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
