@@ -228,6 +228,12 @@ HEADLINE = [
     "win_pattern_vshape",
     "stats_ks_test",
     "multimodal_phash_dedup",
+    "stats_survival_km",
+    "orders_cohort_ltv",
+    "audit_fk_orphans",
+    "stats_prop_ztest",
+    "stats_cuped_adjust",
+    "attribution_u_shaped",
 ]
 
 
