@@ -234,6 +234,9 @@ HEADLINE = [
     "stats_prop_ztest",
     "stats_cuped_adjust",
     "attribution_u_shaped",
+    "cluster_silhouette",
+    "text_heaps_law",
+    "ts_xcorr_lags",
 ]
 
 

@@ -1,0 +1,304 @@
+"""Query surface batch 21 (round 4): clustering QA, corpus growth law,
+lead/lag signal correlation.
+
+- simplified silhouette (centroid-based, Kaufman & Rousseeuw's s(i)
+  with cluster prototypes instead of all-pairs distances) — the O(N k)
+  clustering-quality score that actually runs at corpus scale, where
+  the textbook O(N^2) silhouette cannot
+- Heaps' law fit of trigram vocabulary growth — the corpus-curation
+  diagnostic for "is more data still adding new content?"; the
+  vocabulary-vs-tokens curve comes from exact integer cumsums
+- cross-correlation of the daily view and purchase series at leads and
+  lags -3..+3 — does today's browsing predict purchases two days out?
+
+The reference has no analytics surface (pass-through ETL,
+ETLTask.java:261-283); these extend the training-data operator families
+the brief requires. Every query carries an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.plans.registry import _t, register
+
+# ---------------------------------------------------------------------------
+# cluster_silhouette — per-label mean simplified silhouette: a(i) = dist
+# to own centroid, b(i) = min dist to any other centroid, s = (b-a)/
+# max(a,b). Centroid elements round to 6dp in BOTH engines before the
+# distance pass (same contract as embedding_label_centroids), so the
+# downstream doubles are identical arithmetic.
+# ---------------------------------------------------------------------------
+
+_SIL_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+el AS (SELECT vec_id, label, ord, emb[ord] AS x
+       FROM e, (SELECT unnest(range(1, 65)) AS ord)),
+cen AS (SELECT label AS clabel, ord, round(avg(x), 6) AS c
+        FROM el GROUP BY 1, 2),
+dm AS (SELECT el.vec_id, el.label AS own, cen.clabel,
+              sqrt(sum((el.x - cen.c) * (el.x - cen.c))) AS d
+       FROM el JOIN cen ON el.ord = cen.ord
+       GROUP BY 1, 2, 3),
+sil AS (SELECT vec_id, own,
+               max(CASE WHEN clabel = own THEN d END) AS a,
+               min(CASE WHEN clabel <> own THEN d END) AS b
+        FROM dm GROUP BY 1, 2)
+SELECT own AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg((b - a) / greatest(a, b)), 6) AS mean_silhouette,
+       round(sum(CASE WHEN b < a THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS frac_negative
+FROM sil GROUP BY own
+"""
+
+
+@register("cluster_silhouette", _SIL_ORACLE)
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid) silhouette per label over the embedding
+    table. Scale: ONE label-x-dim hash-agg builds the centroids; ALL
+    centroids collapse to a single broadcast row, and every row's
+    distances to all k prototypes are an in-row nested fold
+    (transform over zip_with) — zero extra shuffle over the corpus, no
+    k-times row fanout. The textbook all-pairs silhouette is O(N^2)
+    and is exactly what this shape replaces at 100 TB."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    el = e.select("vec_id", "label", F.posexplode("emb")).withColumnsRenamed(
+        {"pos": "ord", "col": "x"}
+    )
+    cen = el.groupBy(F.col("label").alias("clabel"), "ord").agg(
+        F.round(F.avg("x"), 6).alias("c")
+    )
+    cen_arr = cen.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ord", "c"))), lambda s: s["c"]
+        ).alias("cvec")
+    )
+    cen_all = cen_arr.agg(
+        F.collect_list(F.struct("clabel", "cvec")).alias("cens")
+    )
+    dists = F.transform(
+        F.col("cens"),
+        lambda cn: F.struct(
+            cn["clabel"].alias("clabel"),
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("emb"), cn["cvec"], lambda x, c: (x - c) * (x - c)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("d"),
+        ),
+    )
+    j = e.crossJoin(F.broadcast(cen_all)).select(
+        "label", dists.alias("ds")
+    )
+    a = F.element_at(
+        F.filter(F.col("ds"), lambda s: s["clabel"] == F.col("label")), 1
+    )["d"]
+    b = F.array_min(
+        F.transform(
+            F.filter(F.col("ds"), lambda s: s["clabel"] != F.col("label")),
+            lambda s: s["d"],
+        )
+    )
+    s = (b - a) / F.greatest(a, b)
+    return (
+        j.select("label", a.alias("a"), b.alias("b"), s.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("s"), 6).alias("mean_silhouette"),
+            F.round(
+                F.sum(F.when(F.col("b") < F.col("a"), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("frac_negative"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_law — V(N) ~ K N^beta over the doc_id-ordered corpus, with
+# trigram types as vocabulary. The (N, V) curve is exact-integer window
+# cumsums (new-vocab = trigrams whose min doc_id is this doc), and the
+# log-log least-squares fit runs on one moment row.
+# ---------------------------------------------------------------------------
+
+_HEAPS_ORACLE = """
+WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+dd AS (SELECT * FROM d WHERE len(w) >= 3),
+tg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS t
+       FROM dd),
+firsts AS (SELECT t, min(doc_id) AS fd FROM tg GROUP BY t),
+newv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+         FROM firsts GROUP BY fd),
+toks AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM tg GROUP BY doc_id),
+curve AS (SELECT toks.doc_id,
+                 CAST(sum(toks.nt) OVER (ORDER BY toks.doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                 CAST(sum(coalesce(newv.nv, 0)) OVER (ORDER BY toks.doc_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v
+          FROM toks LEFT JOIN newv USING (doc_id)),
+mo AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              sum(ln(cum_n)) AS sx, sum(ln(cum_v)) AS sy,
+              sum(ln(cum_n) * ln(cum_v)) AS sxy,
+              sum(ln(cum_n) * ln(cum_n)) AS sxx,
+              max(cum_n) AS tot_n, max(cum_v) AS tot_v,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM curve)
+SELECT n_docs, CAST(tot_n AS BIGINT) AS total_trigrams,
+       CAST(tot_v AS BIGINT) AS vocab,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS heaps_beta,
+       round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n), 4)
+         AS heaps_k
+FROM mo
+"""
+
+
+@register("text_heaps_law", _HEAPS_ORACLE)
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of trigram vocabulary growth in doc_id order.
+    Scale: trigram generation is a narrow in-row transform+explode; the
+    first-occurrence table is ONE hash-agg on the trigram key (the only
+    corpus-sized shuffle); the growth curve lives at doc grain and the
+    fit at a single moment row. The global cumsum window over |docs|
+    rows is the intended bottleneck ceiling — at 100 TB the curve
+    coarsens to shard grain with the identical code shape."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), " ").alias("w")
+    )
+    dd = d.filter(F.size("w") >= 3)
+    tg = dd.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i + 1], w[i + 2]))"
+            )
+        ).alias("t"),
+    )
+    firsts = tg.groupBy("t").agg(F.min("doc_id").alias("fd"))
+    newv = firsts.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    toks = tg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        toks.join(newv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("nt").over(w).cast("bigint").alias("cum_n"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(w).cast("bigint").alias("cum_v"),
+        )
+    )
+    lx, ly = F.log("cum_n"), F.log("cum_v")
+    mo = curve.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.max("cum_n").alias("tot_n"),
+        F.max("cum_v").alias("tot_v"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return mo.select(
+        "n_docs",
+        F.col("tot_n").cast("bigint").alias("total_trigrams"),
+        F.col("tot_v").cast("bigint").alias("vocab"),
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - beta * F.col("sx")) / F.col("n")), 4
+        ).alias("heaps_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_xcorr_lags — Pearson r between daily view counts and purchase
+# counts shifted by -3..+3 days. All moment sums are exact BIGINTs
+# (counts), so r is identical double arithmetic in both engines.
+# ---------------------------------------------------------------------------
+
+_XCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS v,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS p
+  FROM events GROUP BY 1
+),
+l AS (SELECT unnest(range(-3, 4)) AS lag),
+j AS (SELECT l.lag, a.v, b.p AS p2
+      FROM daily a CROSS JOIN l
+      JOIN daily b ON b.d = a.d + CAST(l.lag AS INT)),
+m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv, CAST(sum(p2) AS BIGINT) AS sp,
+             CAST(sum(v * p2) AS BIGINT) AS svp,
+             CAST(sum(v * v) AS BIGINT) AS svv,
+             CAST(sum(p2 * p2) AS BIGINT) AS spp
+      FROM j GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+       round((n * svp - sv * sp)
+             / (sqrt(CAST(n * svv - sv * sv AS DOUBLE))
+                * sqrt(CAST(n * spp - sp * sp AS DOUBLE))), 6) AS xcorr
+FROM m
+"""
+
+
+@register("ts_xcorr_lags", _XCORR_ORACLE)
+def ts_xcorr_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead/lag cross-correlation of the daily view and purchase count
+    series. Scale: events collapse to day grain in ONE hash-agg; the
+    7-lag fanout and self-join run on the |days| table, and r comes
+    from exact integer moment sums — the statistic costs nothing after
+    the first agg no matter the event volume."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.col("ts").cast("timestamp")).alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("v"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("p"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    b = daily.select(F.col("d").alias("d2"), F.col("p").alias("p2"))
+    j = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.expr("d2 = date_add(d, lag)"))
+        .select("lag", "v", "p2")
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum("p2").cast("bigint").alias("sp"),
+        F.sum(F.col("v") * F.col("p2")).cast("bigint").alias("svp"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+        F.sum(F.col("p2") * F.col("p2")).cast("bigint").alias("spp"),
+    )
+    num = F.col("n") * F.col("svp") - F.col("sv") * F.col("sp")
+    den = F.sqrt(
+        (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast("double")
+    ) * F.sqrt(
+        (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
+    )
+    return m.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.round(num / den, 6).alias("xcorr"),
+    )
