@@ -237,6 +237,9 @@ HEADLINE = [
     "cluster_silhouette",
     "text_heaps_law",
     "ts_xcorr_lags",
+    "recsys_item_cosine",
+    "orders_open_backlog",
+    "audit_hour_completeness",
 ]
 
 
