@@ -240,6 +240,7 @@ HEADLINE = [
     "recsys_item_cosine",
     "orders_open_backlog",
     "audit_hour_completeness",
+    "ts_holtwinters_additive",
 ]
 
 

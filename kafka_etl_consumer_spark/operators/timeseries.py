@@ -216,3 +216,84 @@ def holt_last(
         .sortWithinPartitions(key_col, ts_col, order_col)
     )
     return part.mapInPandas(fold, schema)
+
+
+def holt_winters_last(
+    df: DataFrame,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int,
+    key_col: str = "k",
+    order_col: str = "d",
+    value_col: str = "x",
+) -> DataFrame:
+    """Final additive Holt-Winters state per key over an ordered series.
+
+    Initialization (simple, exactly replayable in SQL): after the first
+    ``period`` observations, ``level = left-fold mean of season 1``,
+    ``trend = 0``, ``seasonal_i = x_i - level``. From t = period+1 on:
+
+        l_t = alpha*(x_t - s_{t-m}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(x_t - l_t) + (1-gamma)*s_{t-m}
+
+    Keys with fewer than ``period + 1`` rows are dropped (nothing to
+    update). Returns (key, n_rows, level, trend, forecast_1) with floats
+    rounded to 6dp; forecast_1 = l + b + s_{next}. Complements
+    ``1-alpha``/``1-beta``/``1-gamma`` are computed ONCE here and the
+    recursive-CTE oracle spells them as literals, so both engines fold
+    the identical IEEE sequence (same contract as :func:`holt_last`).
+
+    Scale: the fold runs AFTER the series has been aggregated to its
+    grain (e.g. day), so each key's group is |periods| rows no matter
+    the raw volume; applyInPandas shuffles once on the key.
+    """
+    oma, omb, omg = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("level", T.DoubleType()),
+            T.StructField("trend", T.DoubleType()),
+            T.StructField("forecast_1", T.DoubleType()),
+        ]
+    )
+
+    def fold(key, pdf):
+        pdf = pdf.sort_values(order_col)
+        xs = pdf[value_col].to_numpy(dtype="float64")
+        n = len(xs)
+        if n < period + 1:
+            return pd.DataFrame(
+                {key_col: [], "n_rows": [], "level": [], "trend": [], "forecast_1": []}
+            )
+        acc = xs[0]
+        for v in xs[1:period]:
+            acc = acc + v
+        mean1 = acc / float(period)
+        s = [xs[i] - mean1 for i in range(period)]
+        lvl, trd = mean1, 0.0
+        for t in range(period, n):
+            x, s0 = xs[t], s[0]
+            lnew = alpha * (x - s0) + oma * (lvl + trd)
+            bnew = beta * (lnew - lvl) + omb * trd
+            snew = gamma * (x - lnew) + omg * s0
+            s = s[1:] + [snew]
+            lvl, trd = lnew, bnew
+        return pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_rows": [n],
+                "level": [round(float(lvl), 6)],
+                "trend": [round(float(trd), 6)],
+                "forecast_1": [round(float(lvl + trd + s[0]), 6)],
+            }
+        )
+
+    return (
+        df.select(key_col, order_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fold, schema)
+    )
