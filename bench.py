@@ -241,6 +241,9 @@ HEADLINE = [
     "orders_open_backlog",
     "audit_hour_completeness",
     "ts_holtwinters_additive",
+    "stats_mannwhitney_u",
+    "stats_wilson_ci",
+    "eval_lift_deciles",
 ]
 
 

@@ -31,5 +31,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline15 as _qp15  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline16 as _qp16  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline17 as _qp17  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline18 as _qp18  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline19 as _qp19  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
