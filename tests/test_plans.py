@@ -572,3 +572,53 @@ def test_phrase_match_single_scan_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "search_phrase_match", mode="simple")
     assert "Join" not in plan
     assert "Exchange" not in plan or plan.count("Exchange") <= 1
+
+
+def test_item_cosine_topk_no_global_sort(spark, sf_dir):
+    # top-20 must compile to TakeOrderedAndProject — a global Sort over
+    # the pair table would materialize every candidate pair at scale
+    plan = _plan(spark, sf_dir, "recsys_item_cosine", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_silhouette_single_broadcast_no_fanout(spark, sf_dir):
+    # all k prototypes collapse to ONE broadcast row consumed by a BNLJ;
+    # a per-centroid row fanout would show extra joins/exchanges
+    plan = _plan(spark, sf_dir, "cluster_silhouette", mode="simple")
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_holtwinters_folds_day_grain_not_events(spark, sf_dir):
+    # the sequential fold must consume the (type, day) aggregate, never
+    # raw events: HashAggregate BEFORE FlatMapGroupsInPandas, and only
+    # the day-agg + group-key exchanges
+    plan = _plan(spark, sf_dir, "ts_holtwinters_additive", mode="simple")
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.index("HashAggregate") > plan.index("FlatMapGroupsInPandas"), (
+        "plan prints top-down: the agg node must appear BELOW (after) the "
+        "pandas fold, i.e. executed first"
+    )
+    assert plan.count("Exchange") <= 2
+
+
+def test_fk_audit_all_equi_joins_key_grain(spark, sf_dir):
+    # every membership check joins pre-aggregated child keys to distinct
+    # parent keys — no nested-loop/cartesian fallback anywhere
+    plan = _plan(spark, sf_dir, "audit_fk_orphans", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_lift_deciles_ranks_user_grain(spark, sf_dir):
+    # the ntile window must rank the user-grain aggregate (one
+    # HashAggregate below the Window node), never raw events
+    plan = _plan(spark, sf_dir, "eval_lift_deciles", mode="simple")
+    w = plan.index("Window")
+    assert "HashAggregate" in plan[w:], "user-grain agg must feed the window"
+    assert "EvalPython" not in plan and "InPandas" not in plan
