@@ -244,6 +244,9 @@ HEADLINE = [
     "stats_mannwhitney_u",
     "stats_wilson_ci",
     "eval_lift_deciles",
+    "eval_f1_best_threshold",
+    "stats_spearman_corr",
+    "dedup_class_histogram",
 ]
 
 

@@ -32,5 +32,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline16 as _qp16  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline17 as _qp17  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline18 as _qp18  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline19 as _qp19  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline20 as _qp20  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
