@@ -247,6 +247,9 @@ HEADLINE = [
     "eval_f1_best_threshold",
     "stats_spearman_corr",
     "dedup_class_histogram",
+    "sample_balanced_classes",
+    "eval_regression_metrics",
+    "orders_abc_xyz_class",
 ]
 
 
