@@ -250,6 +250,9 @@ HEADLINE = [
     "sample_balanced_classes",
     "eval_regression_metrics",
     "orders_abc_xyz_class",
+    "mine_hard_negatives",
+    "stats_power_mde_grid",
+    "stats_fdr_bh",
 ]
 
 
