@@ -35,5 +35,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline19 as _qp19  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline20 as _qp20  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline21 as _qp21  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline22 as _qp22  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline23 as _qp23  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
