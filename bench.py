@@ -253,6 +253,9 @@ HEADLINE = [
     "mine_hard_negatives",
     "stats_power_mde_grid",
     "stats_fdr_bh",
+    "funnel_conversion_window",
+    "session_path_topk",
+    "dedup_minhash_est_error",
 ]
 
 
