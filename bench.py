@@ -256,6 +256,9 @@ HEADLINE = [
     "funnel_conversion_window",
     "session_path_topk",
     "dedup_minhash_est_error",
+    "eval_pr_auc",
+    "text_code_detect",
+    "orders_duplicate_invoices",
 ]
 
 

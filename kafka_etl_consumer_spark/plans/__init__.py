@@ -36,5 +36,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline20 as _qp20  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline21 as _qp21  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline22 as _qp22  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline23 as _qp23  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline24 as _qp24  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
