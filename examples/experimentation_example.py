@@ -1,0 +1,66 @@
+"""End-to-end example of the experimentation / evaluation surface
+added in round 4 — the full A/B lifecycle over the landed event table:
+
+1. plan:    power/MDE grid (how many users per arm do we need?)
+2. test:    Welch t, Mann-Whitney U, two-proportion z, KS distribution
+3. adjust:  CUPED variance reduction with a pre-period covariate
+4. correct: Benjamini-Hochberg FDR across the per-type tests
+5. report:  Wilson intervals, decile lift/gains, best-F1 cut, AP
+
+Run: python examples/experimentation_example.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_etl_consumer_spark.plans import QUERIES  # noqa: E402
+from kafka_etl_consumer_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="experimentation-example")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== 1. plan: users per arm for each minimum detectable effect ==")
+    QUERIES["stats_power_mde_grid"](spark, sf_dir).orderBy("mde").show()
+
+    print("== 2a. Welch t per event type (mean difference) ==")
+    QUERIES["stats_ttest_welch"](spark, sf_dir).orderBy("event_type").show()
+
+    print("== 2b. Mann-Whitney U (rank difference, no normality) ==")
+    QUERIES["stats_mannwhitney_u"](spark, sf_dir).orderBy("event_type").show()
+
+    print("== 2c. two-proportion z on the conversion flag ==")
+    QUERIES["stats_prop_ztest"](spark, sf_dir).show()
+
+    print("== 2d. KS: did the whole value distribution move? ==")
+    QUERIES["stats_ks_test"](spark, sf_dir).show()
+
+    print("== 3. CUPED: variance-reduced adjusted means ==")
+    QUERIES["stats_cuped_adjust"](spark, sf_dir).orderBy("variant").show()
+
+    print("== 4. BH-FDR across the per-type Mann-Whitney p-values ==")
+    QUERIES["stats_fdr_bh"](spark, sf_dir).orderBy("p_rank").show()
+
+    print("== 5a. Wilson intervals for the fulfilled-order rate ==")
+    QUERIES["stats_wilson_ci"](spark, sf_dir).orderBy("priority").show()
+
+    print("== 5b. decile lift / cumulative gains of the targeting score ==")
+    QUERIES["eval_lift_deciles"](spark, sf_dir).orderBy("decile").show()
+
+    print("== 5c. best-F1 operating point of the score ==")
+    QUERIES["eval_f1_best_threshold"](spark, sf_dir).show()
+
+    print("== 5d. average precision (PR area) and its prevalence floor ==")
+    QUERIES["eval_pr_auc"](spark, sf_dir).show()
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
