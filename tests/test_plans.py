@@ -622,3 +622,36 @@ def test_lift_deciles_ranks_user_grain(spark, sf_dir):
     w = plan.index("Window")
     assert "HashAggregate" in plan[w:], "user-grain agg must feed the window"
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_threshold_sweeps_single_window_no_join(spark, sf_dir):
+    # the F1/AP sweeps must evaluate ALL thresholds in one cumulative
+    # window over the distinct-score table — a per-threshold join or
+    # cartesian rescan is the O(n^2) anti-shape
+    for name in ("eval_f1_best_threshold", "eval_pr_auc"):
+        plan = _plan(spark, sf_dir, name, mode="simple")
+        assert "Join" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
+    # the argmax (F1) must cut via TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in _plan(
+        spark, sf_dir, "eval_f1_best_threshold", mode="simple"
+    )
+
+
+def test_dup_invoices_equi_join_with_topk(spark, sf_dir):
+    # blocking on (customer, price bucket) must compile to an EQUI join
+    # (hash-joinable); the date window is a post-join filter
+    plan = _plan(spark, sf_dir, "orders_duplicate_invoices", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_session_paths_one_window_exchange_topk(spark, sf_dir):
+    # gap lag + session cumsum share one user-keyed window; top-10 is
+    # TakeOrdered
+    plan = _plan(spark, sf_dir, "session_path_topk", mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
