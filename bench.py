@@ -259,6 +259,8 @@ HEADLINE = [
     "eval_pr_auc",
     "text_code_detect",
     "orders_duplicate_invoices",
+    "multimodal_shot_bounds",
+    "sketch_theta_set_ops",
 ]
 
 
