@@ -261,6 +261,9 @@ HEADLINE = [
     "orders_duplicate_invoices",
     "multimodal_shot_bounds",
     "sketch_theta_set_ops",
+    "stats_srm_check",
+    "stats_ratio_delta_ci",
+    "profile_column_entropy",
 ]
 
 
