@@ -264,6 +264,9 @@ HEADLINE = [
     "stats_srm_check",
     "stats_ratio_delta_ci",
     "profile_column_entropy",
+    "markov_stationary_dist",
+    "dedup_exact_normalized",
+    "embedding_hubness",
 ]
 
 

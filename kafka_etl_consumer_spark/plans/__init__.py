@@ -39,5 +39,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline23 as _qp23  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline24 as _qp24  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline25 as _qp25  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline26 as _qp26  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline27 as _qp27  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
