@@ -267,6 +267,9 @@ HEADLINE = [
     "markov_stationary_dist",
     "dedup_exact_normalized",
     "embedding_hubness",
+    "ts_burstiness_fano",
+    "user_decay_engagement",
+    "ts_daily_anomaly_iqr",
 ]
 
 
