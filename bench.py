@@ -270,6 +270,9 @@ HEADLINE = [
     "ts_burstiness_fano",
     "user_decay_engagement",
     "ts_daily_anomaly_iqr",
+    "supplier_lead_time",
+    "orders_aging_buckets",
+    "customer_value_trend_topk",
 ]
 
 
