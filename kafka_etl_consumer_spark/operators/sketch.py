@@ -342,3 +342,35 @@ def bloom_might_contain(
         .groupBy(*queries.columns)
         .agg((F.count("__hit") == k).alias("bloom_hit"))
     )
+
+
+def theta_kept_keys(df: DataFrame, value_col: str, scale: int = 256) -> DataFrame:
+    """The theta sketch's MERGEABLE state: the distinct kept keys
+    (hash < space/scale) as a one-column frame named ``key``.
+
+    Union-merge with :func:`theta_merge_kept`; estimate with
+    :func:`theta_estimate_from_kept`; set algebra (union/intersect
+    estimates, as in the ``sketch_theta_set_ops`` query) works directly
+    on kept-key frames because every sketch keeps the SAME hash region.
+    """
+    threshold = _HASH_SPACE // scale
+    h = hash64(F.col(value_col).cast("string"))
+    return (
+        df.filter(h < threshold)
+        .select(F.col(value_col).cast("string").alias("key"))
+        .distinct()
+    )
+
+
+def theta_merge_kept(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union-merge two kept-key states (same scale required)."""
+    return a.unionByName(b).distinct()
+
+
+def theta_estimate_from_kept(kept: DataFrame, scale: int = 256) -> DataFrame:
+    """Distinct estimate from an accumulated kept-key state."""
+    return kept.agg(
+        (F.countDistinct("key").cast("double") * float(scale)).alias(
+            "est_distinct"
+        )
+    )
