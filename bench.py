@@ -273,6 +273,8 @@ HEADLINE = [
     "supplier_lead_time",
     "orders_aging_buckets",
     "customer_value_trend_topk",
+    "events_audience_overlap",
+    "revenue_multi_grain",
 ]
 
 
