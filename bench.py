@@ -275,6 +275,9 @@ HEADLINE = [
     "customer_value_trend_topk",
     "events_audience_overlap",
     "revenue_multi_grain",
+    "brand_return_rate_ci",
+    "events_hour_profile",
+    "skyline_parts_2d",
 ]
 
 
