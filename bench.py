@@ -278,6 +278,7 @@ HEADLINE = [
     "brand_return_rate_ci",
     "events_hour_profile",
     "skyline_parts_2d",
+    "text_langid_accuracy",
 ]
 
 
