@@ -198,8 +198,14 @@ def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka_etl_consumer_spark.functions.vectors import dot, l2_norm
 
-    a = e.select(
-        "label", F.col("vec_id").alias("qa"), F.col("emb").alias("ea")
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    # The quadratic pair stage runs in the PROBE tasks of the broadcast
+    # join; a few-file embedding table scans as one split, so without
+    # this the whole n²/|labels| zip_with workload lands on ONE core
+    # (plan-verified). At 100 TB the scan is already wide -> no-op.
+    a = ensure_min_parallelism(
+        e.select("label", F.col("vec_id").alias("qa"), F.col("emb").alias("ea"))
     ).withColumn("na", l2_norm("ea"))
     b = e.select(
         F.col("label").alias("lb"), F.col("vec_id").alias("qb"),
