@@ -61,8 +61,16 @@ def cosine_topk(
 
     Norms are precomputed per side (one O(d) pass per row) so each of the
     |corpus|·|queries| pairs costs ONE dot product, not three — identical
-    doubles (same operands, multiplication is commutative)."""
-    c = corpus.withColumn("__cn", l2_norm(vec_col))
+    doubles (same operands, multiplication is commutative).
+
+    The |corpus|·|queries| dot products run in the PROBE tasks of the
+    broadcast join, so corpus-side parallelism is the stage's
+    parallelism: a few-file corpus scans as one split and would put the
+    whole pair workload on one core — widened here (no-op on wide
+    scans, the 100 TB case)."""
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
+
+    c = ensure_min_parallelism(corpus).withColumn("__cn", l2_norm(vec_col))
     q = queries.withColumn("__qn", l2_norm(f"q_{vec_col}"))
     joined = c.join(F.broadcast(q), F.col(f"q_{id_col}") != F.col(id_col)).select(
         f"q_{id_col}",
