@@ -655,3 +655,29 @@ def test_session_paths_one_window_exchange_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_hubness_pair_stage_widened(spark, sf_dir):
+    # the n^2/|labels| cosine pair stage executes in the probe tasks of
+    # the broadcast join; a few-file embeddings scan is one split, so
+    # the probe side must be round-robin widened or the whole quadratic
+    # stage runs on one core (no-op on wide scans at 100 TB)
+    plan = _plan(spark, sf_dir, "embedding_hubness", mode="simple")
+    assert "RoundRobinPartitioning" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cosine_topk_corpus_probe_widened(spark, sf_dir):
+    # cosine_topk broadcasts the query side; the corpus probe side
+    # carries the |corpus|x|queries| dot products and must be widened
+    # when it arrives as a single split
+    plan = _plan(spark, sf_dir, "knn_label_predict", mode="simple")
+    assert "RoundRobinPartitioning" in plan
+
+
+def test_minhash_est_error_caches_shingle_stage(spark, sf_dir):
+    # the tokenize->shingle->md5 stage feeds band keys, both signature
+    # sides and both truth sides; without the cache every consumer
+    # recomputes it (measured 1.8x at sf0.1)
+    plan = _plan(spark, sf_dir, "dedup_minhash_est_error", mode="simple")
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
