@@ -794,8 +794,14 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     - per-row array_distinct + doc-grain join: 14.3s warm (recomputes
       the shingle chain twice); don't "fix" these back."""
     from kafka_etl_consumer_spark.functions.text import word_shingles
+    from kafka_etl_consumer_spark.session import ensure_min_parallelism
 
-    docs = _t(spark, sf_dir, "documents")
+    # Catalyst rewrites the novel branch's distinct+min into a direct
+    # min-agg, so the two consumers are different subtrees (no exchange
+    # reuse) and EACH runs the tokenize->shingle->explode chain; a
+    # few-file documents scan is one split, putting both CPU-heavy
+    # chains on one core each — widen the scan (no-op on wide scans).
+    docs = ensure_min_parallelism(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     s = (
         docs.select(
             "doc_id",
