@@ -681,3 +681,12 @@ def test_minhash_est_error_caches_shingle_stage(spark, sf_dir):
     # recomputes it (measured 1.8x at sf0.1)
     plan = _plan(spark, sf_dir, "dedup_minhash_est_error", mode="simple")
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_novelty_scan_widened_for_double_shingle_chain(spark, sf_dir):
+    # both the per-doc and per-shingle consumers re-run the tokenize->
+    # shingle->explode chain (Catalyst's distinct+min rewrite makes the
+    # subtrees differ, so no exchange reuse); the one-split documents
+    # scan must be widened or each chain runs on a single core
+    plan = _plan(spark, sf_dir, "corpus_ngram_novelty", mode="simple")
+    assert "RoundRobinPartitioning" in plan
