@@ -263,6 +263,11 @@ HEADLINE = [
     "sketch_theta_set_ops",
     "stats_srm_check",
     "stats_ratio_delta_ci",
+    "stats_kruskal_wallis",
+    "stats_levene_test",
+    "stats_jarque_bera",
+    "stats_effect_sizes",
+    "stats_neyman_allocation",
     "profile_column_entropy",
     "markov_stationary_dist",
     "dedup_exact_normalized",
