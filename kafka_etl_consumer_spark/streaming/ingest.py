@@ -36,7 +36,7 @@ import enum
 from typing import Iterable, Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -520,3 +520,125 @@ def add_registry_framing(
     return df.withColumn(
         value_col, F.concat(F.lit(header), F.col(value_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bronze landing + partition-scoped backfill (the replay substrate)
+# ---------------------------------------------------------------------------
+
+
+def land_raw(
+    source_df: DataFrame,
+    output_path: str,
+    topics: list[str],
+    checkpoint_path: str,
+    trigger: str = rolling_trigger(IntervalUnit.MINUTE, 1),
+    date_format: str = "yyyy-MM-dd/HH/mm",
+) -> list[StreamingQuery]:
+    """Bronze landing: the UNDECODED ``(topic, value)`` bytes as
+    hive-partitioned Snappy Parquet under ``<output_path>/<topic>/dt0=…`` —
+    the replay substrate :func:`ingest` alone lacks. The reference decodes
+    inline and discards the original bytes
+    (AbstractAvroDeserializeService.java:46-60 of the reference), so a
+    decoder bug there destroys data; with a bronze table,
+    :func:`backfill_decoded` re-derives any silver partition after a fix.
+
+    Same per-topic query isolation and partition-column contract as
+    ``ingest(layout="hive")`` (processing-time ``dt0..dtN`` from
+    ``date_format``), so bronze and silver prune on identical keys. The
+    payload is stored as-is — one binary column plus the topic — and the
+    write is a narrow pass-through: no decode, no shuffle, scan-speed.
+    """
+    queries: list[StreamingQuery] = []
+    part_cols = partition_columns(date_format, None)
+    for topic in topics:
+        out = source_df.filter(F.col("topic") == topic)
+        for name, col in part_cols:
+            out = out.withColumn(name, col)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{output_path}/{topic}")
+            .option("checkpointLocation", f"{checkpoint_path}/{topic}")
+            .option("compression", "snappy")
+            .partitionBy(*[name for name, _ in part_cols])
+            .trigger(processingTime=trigger)
+            .queryName(f"land-raw-{topic}")
+            .start()
+        )
+        queries.append(q)
+    return queries
+
+
+def backfill_decoded(
+    spark: SparkSession,
+    raw_path: str,
+    registry: SchemaRegistry,
+    output_path: str,
+    topic: str,
+    partitions: Iterable[str] | None = None,
+    mode: str = "FAILFAST",
+    reader_registry: SchemaRegistry | None = None,
+) -> int:
+    """Re-decode landed bronze bytes into the hive-layout silver table,
+    atomically replacing ONLY the named ``dt0`` partitions (dynamic
+    partition overwrite) — the recovery path after a decoder bug or a
+    schema fix ships. Returns the number of rows written.
+
+    Idempotent: re-running with the same inputs converges to the same
+    silver state (the decode is deterministic and INSERT-OVERWRITE
+    replaces whole partition directories, never appends). With
+    ``partitions=None`` the entire topic re-derives.
+
+    Scale shape (100 TB): the bronze scan partition-prunes to the named
+    ``dt0`` values (plan-asserted in tests/test_backfill.py); decode is
+    the same JVM-or-Arrow path streaming uses, a narrow map; the write
+    touches only the affected partition directories — untouched silver
+    partitions are never read or rewritten, so a one-hour backfill costs
+    one hour of data regardless of table size. No shuffle anywhere.
+
+    ``reader_registry``: as in :func:`ingest` — decode writer-schema bytes
+    under an upgraded reader schema (full Avro schema resolution), which
+    is exactly the backfill that follows a rolling schema upgrade.
+    """
+    conf = spark.conf
+    # partition values must round-trip as the STRINGS the streaming writer
+    # produced: inference would read dt1="05" as int 5 and the rewrite
+    # would land dt1=5 — a different directory than ingest's dt1=05,
+    # silently splitting the partition
+    prev_inf = conf.get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try:
+        src = spark.read.parquet(f"{raw_path}/{topic}")
+        src.schema  # force file-index/schema resolution under the conf
+    finally:
+        conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", prev_inf)
+    part_names = [c for c in src.columns if c.startswith("dt")]
+    if partitions is not None:
+        src = src.filter(F.col("dt0").isin(list(partitions)))
+    reader = reader_registry.avsc(topic) if reader_registry else None
+    decoded = decode_avro(
+        src,
+        registry.avsc(topic),
+        value_col="value",
+        keep_cols=part_names,
+        mode=mode,
+        reader_avsc=reader,
+    )
+    # decoded record fields first, partition columns last (partitionBy
+    # requires them present; order fixes the written column layout)
+    data_cols = [c for c in decoded.columns if c not in part_names]
+    out = decoded.select(*data_cols, *part_names)
+
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        n = out.count()
+        (
+            out.write.mode("overwrite")
+            .option("compression", "snappy")
+            .partitionBy(*part_names)
+            .parquet(f"{output_path}/{topic}")
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return n

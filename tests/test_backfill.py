@@ -1,0 +1,241 @@
+"""Bronze landing + partition-scoped backfill (streaming/ingest.py
+land_raw / backfill_decoded).
+
+The recovery story the reference lacks (it decodes inline and discards
+the original bytes, AbstractAvroDeserializeService.java:46-60): land the
+raw (topic, value) bytes as a hive-partitioned bronze table, then after a
+decoder/schema fix re-derive ONLY the affected silver partitions with
+dynamic partition overwrite — idempotent, and untouched partitions are
+never read or rewritten.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import time
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_etl_consumer_spark.avro_codec import encode_record, parse_schema
+from kafka_etl_consumer_spark.fixtures import (
+    ITEM_VIEW_EVENT_AVSC,
+    ITEM_VIEW_EVENT_TOPIC,
+    item_view_events,
+)
+from kafka_etl_consumer_spark.schema.registry import DictSchemaRegistry
+from kafka_etl_consumer_spark.streaming.ingest import (
+    IntervalUnit,
+    backfill_decoded,
+    land_raw,
+    rolling_trigger,
+)
+
+ENVELOPE = T.StructType(
+    [T.StructField("topic", T.StringType()), T.StructField("value", T.BinaryType())]
+)
+TOPIC = ITEM_VIEW_EVENT_TOPIC
+
+
+def _encoded_df(spark, n=10):
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    rows = [
+        Row(topic=TOPIC, value=bytearray(encode_record(schema, r)))
+        for r in item_view_events(n)
+    ]
+    return spark.createDataFrame(rows, ENVELOPE)
+
+
+def _bronze_by_hand(spark, tmp_path, dts=("2026-08-01", "2026-08-02"), n_per=5):
+    """Bronze table with two explicit dt0 partitions (deterministic dates,
+    unlike land_raw's wall clock) so backfill scoping is assertable."""
+    raw_dir = str(tmp_path / "raw")
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    events = item_view_events(n_per * len(dts))
+    rows = [
+        Row(
+            topic=TOPIC,
+            value=bytearray(encode_record(schema, ev)),
+            dt0=dts[i // n_per],
+        )
+        for i, ev in enumerate(events)
+    ]
+    env = T.StructType(
+        [*ENVELOPE.fields, T.StructField("dt0", T.StringType())]
+    )
+    spark.createDataFrame(rows, env).write.partitionBy("dt0").parquet(
+        f"{raw_dir}/{TOPIC}"
+    )
+    return raw_dir, events
+
+
+def test_land_raw_streams_bytes_unchanged(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    raw_dir = str(tmp_path / "raw")
+    ckpt = str(tmp_path / "ckpt")
+    _encoded_df(spark).write.parquet(src_dir)
+
+    stream = spark.readStream.schema(ENVELOPE).parquet(src_dir)
+    queries = land_raw(
+        stream,
+        raw_dir,
+        topics=[TOPIC],
+        checkpoint_path=ckpt,
+        trigger=rolling_trigger(IntervalUnit.MINUTE, 1),
+    )
+    try:
+        deadline = time.time() + 60
+        target = f"{raw_dir}/{TOPIC}"
+        while time.time() < deadline:
+            for q in queries:
+                q.processAllAvailable()
+            if glob.glob(f"{target}/**/*.parquet", recursive=True):
+                break
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+
+    files = glob.glob(f"{raw_dir}/{TOPIC}/**/*.parquet", recursive=True)
+    assert files
+    # hive partition dirs dt0=.../dt1=.../dt2=...
+    rel = files[0][len(f"{raw_dir}/{TOPIC}") + 1 :]
+    assert all(seg.startswith("dt") for seg in rel.split("/")[:-1]), rel
+    # bytes land EXACTLY as sent (no decode, no mutation)
+    back = spark.read.parquet(f"{raw_dir}/{TOPIC}")
+    got = sorted(bytes(r.value) for r in back.select("value").collect())
+    want = sorted(bytes(r.value) for r in _encoded_df(spark).collect())
+    assert got == want
+
+
+def test_backfill_all_partitions_roundtrip(spark, tmp_path):
+    raw_dir, events = _bronze_by_hand(spark, tmp_path)
+    out_dir = str(tmp_path / "silver")
+    reg = DictSchemaRegistry({TOPIC: ITEM_VIEW_EVENT_AVSC})
+
+    n = backfill_decoded(spark, raw_dir, reg, out_dir, TOPIC)
+    assert n == len(events)
+    back = spark.read.parquet(f"{out_dir}/{TOPIC}")
+    # partition-value inference types dt0 as DATE on read-back; compare
+    # the directory value as a string
+    got = sorted((r.itemId, r.price, str(r.dt0)) for r in back.collect())
+    want = sorted(
+        (ev["itemId"], ev["price"], "2026-08-01" if i < 5 else "2026-08-02")
+        for i, ev in enumerate(events)
+    )
+    assert got == want
+
+
+def test_backfill_overwrites_only_named_partition(spark, tmp_path):
+    raw_dir, events = _bronze_by_hand(spark, tmp_path)
+    out_dir = str(tmp_path / "silver")
+    reg = DictSchemaRegistry({TOPIC: ITEM_VIEW_EVENT_AVSC})
+    backfill_decoded(spark, raw_dir, reg, out_dir, TOPIC)
+
+    # corrupt BOTH silver partitions by hand (simulate a bad decode)
+    silver = f"{out_dir}/{TOPIC}"
+    bad = spark.read.parquet(silver).withColumn("price", F.lit(-1).cast("long"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        bad.write.mode("overwrite").partitionBy("dt0").parquet(silver)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # repair ONLY 2026-08-01; the other partition must keep its bad rows
+    n = backfill_decoded(
+        spark, raw_dir, reg, out_dir, TOPIC, partitions=["2026-08-01"]
+    )
+    assert n == 5
+    back = spark.read.parquet(silver)
+    fixed = back.filter(F.col("dt0") == "2026-08-01")
+    untouched = back.filter(F.col("dt0") == "2026-08-02")
+    assert sorted(r.price for r in fixed.collect()) == sorted(
+        ev["price"] for ev in events[:5]
+    )
+    assert {r.price for r in untouched.collect()} == {-1}
+
+    # idempotence: repeating the same backfill converges (same rows, hash)
+    n2 = backfill_decoded(
+        spark, raw_dir, reg, out_dir, TOPIC, partitions=["2026-08-01"]
+    )
+    assert n2 == 5
+    again = sorted(
+        (r.itemId, r.price)
+        for r in spark.read.parquet(silver)
+        .filter(F.col("dt0") == "2026-08-01")
+        .collect()
+    )
+    assert again == sorted((ev["itemId"], ev["price"]) for ev in events[:5])
+
+
+def test_backfill_prunes_bronze_scan(spark, tmp_path):
+    # 100 TB posture: a one-partition backfill must partition-prune the
+    # bronze read, not scan the whole topic
+    raw_dir, _ = _bronze_by_hand(spark, tmp_path)
+    src = spark.read.parquet(f"{raw_dir}/{TOPIC}").filter(
+        F.col("dt0").isin(["2026-08-01"])
+    )
+    plan = src._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "2026-08-01" in plan
+
+
+def test_backfill_with_reader_schema_upgrade(spark, tmp_path):
+    # the rolling-upgrade backfill: bytes written with schema v1 re-decode
+    # under a reader schema that ADDS a defaulted field
+    raw_dir, events = _bronze_by_hand(spark, tmp_path, dts=("2026-08-01",), n_per=4)
+    out_dir = str(tmp_path / "silver")
+    writer = json.loads(ITEM_VIEW_EVENT_AVSC)
+    reader = json.loads(ITEM_VIEW_EVENT_AVSC)
+    reader["fields"] = reader["fields"] + [
+        {"name": "channel", "type": ["null", "string"], "default": None}
+    ]
+    reg = DictSchemaRegistry({TOPIC: json.dumps(writer)})
+    rreg = DictSchemaRegistry({TOPIC: json.dumps(reader)})
+
+    n = backfill_decoded(
+        spark, raw_dir, reg, out_dir, TOPIC, reader_registry=rreg
+    )
+    assert n == 4
+    back = spark.read.parquet(f"{out_dir}/{TOPIC}")
+    assert "channel" in back.columns
+    rows = back.collect()
+    assert all(r.channel is None for r in rows)
+    assert sorted(r.itemId for r in rows) == sorted(ev["itemId"] for ev in events)
+
+
+def test_backfill_preserves_zero_padded_partition_dirs(spark, tmp_path):
+    # dt1="05" must NOT round-trip through int inference into dt1=5 — that
+    # would silently split the partition between the streaming writer's
+    # directory and the backfilled one
+    raw_dir = str(tmp_path / "raw")
+    out_dir = str(tmp_path / "silver")
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    rows = [
+        Row(
+            topic=TOPIC,
+            value=bytearray(encode_record(schema, ev)),
+            dt0="2026-08-01",
+            dt1="05",
+        )
+        for ev in item_view_events(3)
+    ]
+    env = T.StructType(
+        [
+            *ENVELOPE.fields,
+            T.StructField("dt0", T.StringType()),
+            T.StructField("dt1", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(rows, env).write.partitionBy("dt0", "dt1").parquet(
+        f"{raw_dir}/{TOPIC}"
+    )
+    reg = DictSchemaRegistry({TOPIC: ITEM_VIEW_EVENT_AVSC})
+    n = backfill_decoded(spark, raw_dir, reg, out_dir, TOPIC)
+    assert n == 3
+    dirs = glob.glob(f"{out_dir}/{TOPIC}/dt0=*/dt1=*")
+    assert dirs, "no partition dirs written"
+    assert all("/dt1=05" in d for d in dirs), dirs
