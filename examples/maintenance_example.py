@@ -100,6 +100,46 @@ def main() -> None:
     then = snapshot_at(spark, snap, lineage[1]).collect()[0].val
     print(f"lineage {lineage}: now={now!r}, one commit ago={then!r}")
 
+    # --- bronze -> silver backfill after a schema fix ----------------------
+    from pyspark.sql import Row as _Row
+
+    from kafka_etl_consumer_spark.avro_codec import encode_record, parse_schema
+    from kafka_etl_consumer_spark.fixtures import (
+        ITEM_VIEW_EVENT_AVSC,
+        ITEM_VIEW_EVENT_TOPIC,
+        item_view_events,
+    )
+    from kafka_etl_consumer_spark.schema.registry import DictSchemaRegistry
+    from kafka_etl_consumer_spark.streaming.ingest import backfill_decoded
+
+    raw_dir = os.path.join(root, "bronze")
+    avsc = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    bronze_rows = [
+        _Row(
+            topic=ITEM_VIEW_EVENT_TOPIC,
+            value=bytearray(encode_record(avsc, ev)),
+            dt0="2026-08-01",
+        )
+        for ev in item_view_events(6)
+    ]
+    env = T.StructType(
+        [
+            T.StructField("topic", T.StringType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("dt0", T.StringType()),
+        ]
+    )
+    spark.createDataFrame(bronze_rows, env).write.partitionBy("dt0").parquet(
+        os.path.join(raw_dir, ITEM_VIEW_EVENT_TOPIC)
+    )
+    silver_dir = os.path.join(root, "silver")
+    reg = DictSchemaRegistry({ITEM_VIEW_EVENT_TOPIC: ITEM_VIEW_EVENT_AVSC})
+    n = backfill_decoded(
+        spark, raw_dir, reg, silver_dir, ITEM_VIEW_EVENT_TOPIC,
+        partitions=["2026-08-01"],
+    )
+    print(f"backfilled {n} rows into dt0=2026-08-01 (dynamic partition overwrite)")
+
     spark.stop()
 
 
