@@ -46,5 +46,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline30 as _qp30  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline31 as _qp31  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline32 as _qp32  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline33 as _qp33  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline34 as _qp34  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
