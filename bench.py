@@ -205,6 +205,8 @@ HEADLINE = [
     "eval_retrieval_pr",
     "eval_ndcg_rank",
     "eval_calibration_bins",
+    "eval_brier_decomposition",
+    "graph_degree_powerlaw",
     "ts_decompose_additive",
     "rolling_distinct_users_7d",
     "graph_degree_assortativity",
