@@ -34,10 +34,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def _check_counts() -> dict[str, float]:
     """Priority weight per query from prior-round CORRECTNESS files (round 1
     checked only the first 50 registry entries, so ordering matters).
-    Never-checked = 0; checked-but-red = 0.5 (needs a green re-check);
-    green = 1 per round."""
+    A query whose LATEST check was red scores -1 — ahead of never-checked
+    (0): a red row means the driver's contract row is wrong TODAY (even if
+    the fix is already in-source), which is higher-signal to re-verify than
+    a query with no row at all.  Green checks add 1 per round, so fully
+    verified queries rotate to the back."""
     counts: dict[str, float] = {}
-    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+    latest_red: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -48,6 +52,10 @@ def _check_counts() -> dict[str, float]:
                 row.get("hash_match") is True or row.get("err") == "no_oracle"
             )
             counts[name] = counts.get(name, 0) + (1.0 if green else 0.5)
+            latest_red[name] = not green
+    for name, red in latest_red.items():
+        if red:
+            counts[name] = -1.0
     return counts
 
 
