@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.storagelevel import StorageLevel
 
 from kafka_etl_consumer_spark.avro_codec import (
     decode_record,
@@ -548,6 +549,16 @@ def land_raw(
     ``date_format``), so bronze and silver prune on identical keys. The
     payload is stored as-is — one binary column plus the topic — and the
     write is a narrow pass-through: no decode, no shuffle, scan-speed.
+
+    Boundary race when run CONCURRENTLY with :func:`ingest`: each stream
+    evaluates ``current_timestamp()`` in its own micro-batch, so a record
+    arriving near a day/hour boundary can land in bronze ``dt0=D`` but
+    silver ``dt0=D+1`` (or vice versa). A later ``dt0``-scoped
+    :func:`backfill_decoded` of ``D`` would then drop such a boundary row
+    from silver ``D`` without restoring it to ``D+1`` — when repairing
+    partition ``P``, backfill the ADJACENT partitions too (``P±1``), or
+    run both landings from the same source query so one timestamp
+    evaluation feeds both (single source of partition truth).
     """
     queries: list[StreamingQuery] = []
     part_cols = partition_columns(date_format, None)
@@ -578,6 +589,9 @@ def backfill_decoded(
     partitions: Iterable[str] | None = None,
     mode: str = "FAILFAST",
     reader_registry: SchemaRegistry | None = None,
+    event_time_col: str | Column | None = None,
+    date_format: str = "yyyy-MM-dd/HH/mm",
+    bronze_partitions: Iterable[str] | None = None,
 ) -> int:
     """Re-decode landed bronze bytes into the hive-layout silver table,
     atomically replacing ONLY the named ``dt0`` partitions (dynamic
@@ -589,17 +603,65 @@ def backfill_decoded(
     replaces whole partition directories, never appends). With
     ``partitions=None`` the entire topic re-derives.
 
+    Partitioning contract — MUST match how the silver table was written:
+
+    * ``event_time_col=None`` (default): silver was written by
+      ``ingest(layout="hive")`` WITHOUT an event-time column, i.e. both
+      bronze and silver partition on processing time. Bronze's ``dt*``
+      columns carry over unchanged and ``partitions`` names bronze+silver
+      ``dt0`` values at once. Caveat: if :func:`land_raw` and
+      :func:`ingest` ran as separate streams, a record near a time
+      boundary may sit in bronze ``dt0=D`` but silver ``dt0=D±1`` (see
+      the :func:`land_raw` boundary-race note) — when repairing partition
+      ``P``, include the adjacent partitions in ``partitions`` so such
+      rows are re-derived into their bronze-side directory consistently.
+    * ``event_time_col=<decoded column>``: silver was written by
+      ``ingest(..., event_time_col=...)`` — its ``dt*`` are EVENT-time
+      values that do not align with bronze's processing-time ``dt*``.
+      The backfill re-derives ``dt*`` from the decoded event-time column
+      (same ``date_format``/:func:`partition_columns` as ingest) and
+      ``partitions`` then names SILVER (event-time) ``dt0`` values.
+      Because late events for day ``D`` arrive in bronze partitions
+      ``>= D``, the bronze scan defaults to the FULL topic; pass
+      ``bronze_partitions`` (bronze/arrival-time ``dt0`` values) to
+      narrow it ONLY when you can bound lateness — a ``bronze_partitions``
+      window that misses late arrivals silently drops those rows from the
+      rebuilt silver partition, since dynamic overwrite replaces the
+      whole directory.
+
+    Passing neither matching argument for an event-time silver table
+    (i.e. leaving ``event_time_col=None``) would write processing-time
+    directories into an event-time table — splitting it. The modes above
+    exist so that cannot happen by omission when the call mirrors the
+    original ``ingest`` arguments; reuse the exact ``event_time_col`` /
+    ``date_format`` you ingested with.
+
     Scale shape (100 TB): the bronze scan partition-prunes to the named
     ``dt0`` values (plan-asserted in tests/test_backfill.py); decode is
-    the same JVM-or-Arrow path streaming uses, a narrow map; the write
-    touches only the affected partition directories — untouched silver
-    partitions are never read or rewritten, so a one-hour backfill costs
-    one hour of data regardless of table size. No shuffle anywhere.
+    the same JVM-or-Arrow path streaming uses, a narrow map and runs ONCE
+    (the decoded frame is persisted across the count and the write); the
+    write touches only the affected partition directories — untouched
+    silver partitions are never read or rewritten, so a one-hour backfill
+    costs one hour of data regardless of table size. No shuffle anywhere.
+
+    Concurrency: the bronze READ briefly disables
+    ``spark.sql.sources.partitionColumnTypeInference`` session-wide (no
+    per-read option exists) so ``dt1="05"`` round-trips as a string; a
+    concurrent partition-discovering read on the same session during that
+    window inherits string-typed partition columns. The overwrite itself
+    uses the per-write ``partitionOverwriteMode`` option and mutates no
+    session conf.
 
     ``reader_registry``: as in :func:`ingest` — decode writer-schema bytes
     under an upgraded reader schema (full Avro schema resolution), which
     is exactly the backfill that follows a rolling schema upgrade.
     """
+    if bronze_partitions is not None and event_time_col is None:
+        raise ValueError(
+            "bronze_partitions only applies with event_time_col: in "
+            "processing-time mode bronze and silver share dt* values — "
+            "use partitions"
+        )
     conf = spark.conf
     # partition values must round-trip as the STRINGS the streaming writer
     # produced: inference would read dt1="05" as int 5 and the rewrite
@@ -612,33 +674,53 @@ def backfill_decoded(
         src.schema  # force file-index/schema resolution under the conf
     finally:
         conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", prev_inf)
-    part_names = [c for c in src.columns if c.startswith("dt")]
-    if partitions is not None:
-        src = src.filter(F.col("dt0").isin(list(partitions)))
+    bronze_parts = [c for c in src.columns if c.startswith("dt")]
+    if event_time_col is None:
+        if partitions is not None:  # bronze dt0 == silver dt0: prune the scan
+            src = src.filter(F.col("dt0").isin(list(partitions)))
+        part_names = bronze_parts
+        keep = bronze_parts
+    else:
+        if bronze_partitions is not None:  # caller-bounded lateness window
+            src = src.filter(F.col("dt0").isin(list(bronze_partitions)))
+        keep = []
     reader = reader_registry.avsc(topic) if reader_registry else None
     decoded = decode_avro(
         src,
         registry.avsc(topic),
         value_col="value",
-        keep_cols=part_names,
+        keep_cols=keep,
         mode=mode,
         reader_avsc=reader,
     )
+    if event_time_col is not None:
+        # silver partitions from the EVENT's own timestamp, same derivation
+        # ingest(event_time_col=...) used — never bronze's arrival time
+        derived = partition_columns(date_format, event_time_col)
+        for name, col in derived:
+            decoded = decoded.withColumn(name, col)
+        part_names = [name for name, _ in derived]
+        if partitions is not None:  # silver-space dt0 filter (post-decode)
+            decoded = decoded.filter(F.col("dt0").isin(list(partitions)))
     # decoded record fields first, partition columns last (partitionBy
     # requires them present; order fixes the written column layout)
     data_cols = [c for c in decoded.columns if c not in part_names]
     out = decoded.select(*data_cols, *part_names)
 
-    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # persist so the Avro decode — the dominant cost of this path — runs
+    # once across the count and the write, not twice
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         n = out.count()
         (
             out.write.mode("overwrite")
+            # per-write option: no session-global partitionOverwriteMode
+            # mutation, so concurrent writers keep their own semantics
+            .option("partitionOverwriteMode", "dynamic")
             .option("compression", "snappy")
             .partitionBy(*part_names)
             .parquet(f"{output_path}/{topic}")
         )
     finally:
-        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        out.unpersist()
     return n

@@ -239,3 +239,83 @@ def test_backfill_preserves_zero_padded_partition_dirs(spark, tmp_path):
     dirs = glob.glob(f"{out_dir}/{TOPIC}/dt0=*/dt1=*")
     assert dirs, "no partition dirs written"
     assert all("/dt1=05" in d for d in dirs), dirs
+
+
+def test_backfill_event_time_partitioned_silver(spark, tmp_path):
+    # silver written with ingest(event_time_col=...) partitions on EVENT
+    # time; backfill must re-derive dt* from the decoded timestamp, not
+    # reuse bronze's processing-time dirs (which would split the table)
+    raw_dir = str(tmp_path / "raw")
+    out_dir = str(tmp_path / "silver")
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    events = item_view_events(6)
+    day_ms = 86_400_000
+    # events span 2026-08-01 / 2026-08-02 (12:00 UTC), but ALL bronze rows
+    # sit in one arrival-day partition dt0=2026-08-03
+    base = 1_785_585_600_000  # 2026-08-01T12:00:00Z
+    for i, ev in enumerate(events):
+        ev["baseProperties"]["timestamp"] = base + (i // 3) * day_ms
+    rows = [
+        Row(
+            topic=TOPIC,
+            value=bytearray(encode_record(schema, ev)),
+            dt0="2026-08-03",
+        )
+        for ev in events
+    ]
+    env = T.StructType([*ENVELOPE.fields, T.StructField("dt0", T.StringType())])
+    spark.createDataFrame(rows, env).write.partitionBy("dt0").parquet(
+        f"{raw_dir}/{TOPIC}"
+    )
+    reg = DictSchemaRegistry({TOPIC: ITEM_VIEW_EVENT_AVSC})
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        ev_col = F.timestamp_millis(F.col("baseProperties.timestamp"))
+        n = backfill_decoded(
+            spark,
+            raw_dir,
+            reg,
+            out_dir,
+            TOPIC,
+            event_time_col=ev_col,
+            date_format="yyyy-MM-dd",
+        )
+        assert n == 6
+        days = sorted(
+            d.rsplit("=", 1)[1] for d in glob.glob(f"{out_dir}/{TOPIC}/dt0=*")
+        )
+        assert days == ["2026-08-01", "2026-08-02"], days
+
+        # silver-space partitions filter + bronze-side lateness window
+        n2 = backfill_decoded(
+            spark,
+            raw_dir,
+            reg,
+            out_dir,
+            TOPIC,
+            partitions=["2026-08-01"],
+            bronze_partitions=["2026-08-03"],
+            event_time_col=ev_col,
+            date_format="yyyy-MM-dd",
+        )
+        assert n2 == 3
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_backfill_bronze_partitions_requires_event_time(spark, tmp_path):
+    reg = DictSchemaRegistry({TOPIC: ITEM_VIEW_EVENT_AVSC})
+    try:
+        backfill_decoded(
+            spark,
+            str(tmp_path / "raw"),
+            reg,
+            str(tmp_path / "silver"),
+            TOPIC,
+            bronze_partitions=["2026-08-01"],
+        )
+    except ValueError as err:
+        assert "bronze_partitions" in str(err)
+    else:
+        raise AssertionError("expected ValueError")
