@@ -286,6 +286,11 @@ HEADLINE = [
     "events_hour_profile",
     "skyline_parts_2d",
     "text_langid_accuracy",
+    # round-5: binned scale variants of the rank/sort family
+    "stats_mannwhitney_u_binned",
+    "bin_quantile_deciles_hist",
+    "eval_auc_rank_binned",
+    "eval_lift_deciles_binned",
 ]
 
 

@@ -1,0 +1,123 @@
+"""Tie-averaged ranks without a per-row sort — the scale substrate for
+the rank-statistic family (Mann-Whitney U, Kruskal-Wallis H, Cliff's
+delta, rank-formula ROC AUC).
+
+The naive plan ranks every row with ``Window.partitionBy(group)
+.orderBy(x)``: parallelism collapses to |groups| and each task sorts its
+whole partition — terabytes per task at 100 TB. But tie-averaged ranks
+are a pure function of VALUE-GROUPED COUNTS:
+
+    avg_rank(x) = cum_count(<= x) - t(x) + (t(x) + 1) / 2
+
+so the heavy lifting is ONE hash aggregate (map-side partial combine,
+full parallelism) down to a (group, cohort, value) cell table, and the
+only window runs over the per-group VALUE GRID — |distinct values| rows,
+not |rows|. With ``num_bins`` set, values quantize to an equi-width grid
+first and the window input is <= num_bins rows per group: a bounded grid
+at any data size, the documented 100 TB path for this family
+(VERDICT.md round 4 "binned ranks from bucket counts").
+
+Exactness: ranks are half-integers and cell counts are integers, so
+every downstream rank-sum (sum of cnt * avg_rank) is a sum of exactly
+representable halves — identical to the per-row formulation bit for bit,
+which is why the exact statistics queries switch to this shape WITHOUT
+changing their DuckDB oracles.
+
+The reference has no analytics surface (pass-through ETL,
+ETLTask.java:261-283 of mykidong/kafka-etl-consumer).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["tie_avg_ranks", "tie_term"]
+
+
+def tie_avg_ranks(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    cohort_cols: Sequence[str] = (),
+    num_bins: int | None = None,
+) -> DataFrame:
+    """Per-(group, cohort, value) cell table with pooled tie-averaged
+    ranks: columns ``group_cols + cohort_cols + [value_col, cnt, t,
+    avg_rank]`` where ``cnt`` is the cell's row count, ``t`` the pooled
+    (all-cohort) count at that value, and ``avg_rank`` the tie-averaged
+    rank every row of the cell would carry under ``rank() + (peers-1)/2``
+    within its group.
+
+    ``num_bins``: quantize values to that many equi-width bins per group
+    first (bin MIDPOINT replaces the value — a monotone injective map,
+    so bin order == value order). Per-group [min, max] come from one
+    broadcast aggregate; the formula ``least(B-1, floor((x-lo)/(hi-lo)
+    *B))`` is spelled identically in the DuckDB oracles of the
+    ``_binned`` queries so tie structure is cross-engine identical.
+
+    Shuffle inventory: one hash agg to cells (+ one broadcast of the
+    |groups|-row range table when binning), one exchange for the grid
+    window — whose input is bounded by num_bins per group when binned.
+    """
+    groups = list(group_cols)
+    cohorts = list(cohort_cols)
+    if num_bins is not None:
+        rng = df.groupBy(*groups).agg(
+            F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+        )
+        lo, hi = F.col("__lo"), F.col("__hi")
+        if groups:
+            df = df.join(F.broadcast(rng), groups)
+        else:
+            df = df.crossJoin(F.broadcast(rng))
+        b = F.least(
+            F.lit(num_bins - 1),
+            F.floor((F.col(value_col) - lo) / (hi - lo) * num_bins),
+        )
+        mid = F.when(hi == lo, lo).otherwise(
+            lo + (b + 0.5) * (hi - lo) / num_bins
+        )
+        df = df.select(*groups, *cohorts, mid.alias(value_col))
+    cell = df.groupBy(*groups, *cohorts, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # default window frame with an ORDER BY is RANGE UNBOUNDED
+    # PRECEDING..CURRENT ROW: the cumulative sum INCLUDES all tie peers
+    # at the current value, which is exactly what the formula wants
+    w_cum = Window.partitionBy(*groups).orderBy(value_col)
+    w_tie = Window.partitionBy(*groups, value_col)
+    t = F.sum("cnt").over(w_tie)
+    cum = F.sum("cnt").over(w_cum)
+    return cell.select(
+        *groups,
+        *cohorts,
+        value_col,
+        "cnt",
+        t.alias("t"),
+        (cum - t + (t + F.lit(1)) / 2.0).alias("avg_rank"),
+    )
+
+
+def tie_term(
+    ranked: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "ts3",
+) -> DataFrame:
+    """Per-group tie-correction term ``sum(t^3 - t)`` over distinct
+    values, from a :func:`tie_avg_ranks` result. Exact integer — both
+    sigma corrections (MWU) and the H denominator (KW) consume it."""
+    groups = list(group_cols)
+    return (
+        ranked.select(*groups, value_col, "t")
+        .distinct()
+        .groupBy(*groups)
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("bigint")
+            .alias(out_col)
+        )
+    )

@@ -48,4 +48,8 @@ from kafka_etl_consumer_spark.plans import queries_pipeline32 as _qp32  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline33 as _qp33  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline34 as _qp34  # noqa: F401,E402
 
+# round-5 additions (the verdict-demanded binned scale variants) import
+# last for the same rotation reason
+from kafka_etl_consumer_spark.plans import queries_pipeline35 as _qp35  # noqa: F401,E402
+
 __all__ = ["QUERIES", "ORACLES"]

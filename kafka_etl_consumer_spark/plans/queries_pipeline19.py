@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_etl_consumer_spark.operators.ranks import tie_avg_ranks, tie_term
 from kafka_etl_consumer_spark.plans.registry import _t, register
 
 # ---------------------------------------------------------------------------
@@ -75,41 +76,33 @@ FROM e
 @register("stats_mannwhitney_u", _MWU_ORACLE)
 def stats_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney U between even/odd user cohorts per event type,
-    tie-corrected. Scale: ONE global rank window per event-type
-    partition (the unavoidable sort — same cost class as stats_ks_test's
-    ECDF) plus a bounded tie table; the statistic collapses to one row
-    per type. At 100 TB the exact ranks coarsen to binned ranks with
-    the same code shape."""
+    tie-corrected. Scale: ranks come from tie_avg_ranks' value-grouped
+    count grid — one hash agg at full parallelism, then a window over
+    the per-type DISTINCT-VALUE grid (never a per-row sort; rank sums
+    are exact halves, bit-identical to the per-row formulation). At
+    100 TB, stats_mannwhitney_u_binned coarsens the grid to 64 buckets
+    with the same code path (tie_avg_ranks(num_bins=...))."""
     ev = _t(spark, sf_dir, "events")
     base = ev.select(
         F.col("event_type").alias("et"),
         F.col("value").alias("x"),
         (F.col("user_id") % 2).alias("grp"),
     )
-    wr = Window.partitionBy("et").orderBy("x")
-    wp = Window.partitionBy("et", "x")
-    rk = base.select(
-        "et",
-        "grp",
-        (
-            F.rank().over(wr) + (F.count(F.lit(1)).over(wp) - 1) / 2.0
-        ).alias("ar"),
-    )
+    rk = tie_avg_ranks(base, ["et"], "x", cohort_cols=["grp"])
     g1 = rk.groupBy("et").agg(
-        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n1"),
-        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n2"),
-        F.sum(F.when(F.col("grp") == 0, F.col("ar")).otherwise(0.0)).alias("r1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(
+            F.when(F.col("grp") == 0, F.col("cnt") * F.col("avg_rank")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("r1"),
     )
-    tie = (
-        base.groupBy("et", "x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        .groupBy("et")
-        .agg(
-            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-            .cast("bigint")
-            .alias("ts3")
-        )
-    )
+    tie = tie_term(rk, ["et"], "x")
     st = g1.join(tie, "et").select(
         "et",
         "n1",
@@ -263,7 +256,10 @@ def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-grain hash-agg; the ntile ranking is the one global sort
     (user-grain, not event-grain), and everything after lives on a
     10-row grid. Deterministic tiebreak (score DESC, user_id) keeps
-    decile boundaries identical across engines and retries."""
+    decile boundaries identical across engines and retries. At 100 TB
+    swap in eval_lift_deciles_binned (queries_pipeline35.py):
+    score-grain deciles from cumulative counts over the distinct-score
+    grid, no per-user sort."""
     ev = _t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))

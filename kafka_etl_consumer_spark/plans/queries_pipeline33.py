@@ -24,9 +24,10 @@ ETLTask.java:261-283).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_etl_consumer_spark.operators.ranks import tie_avg_ranks, tie_term
 from kafka_etl_consumer_spark.plans.registry import _t, register
 
 # A&S 7.1.26 erfc(x) for x >= 0 (same Horner spelling as
@@ -117,39 +118,27 @@ FROM wh
 @register("stats_kruskal_wallis", _KW_ORACLE)
 def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H test of o_totalprice across the 5 order
-    priorities, run independently inside each order status. Scale: ONE
-    rank window per status partition (same sort class as
-    stats_mannwhitney_u) collapsing to a k-row group table; everything
-    after the rank sums is per-status closed-form arithmetic. Rank sums
-    are exact half-integers, tie term is integer, so H is deterministic;
-    the Wilson-Hilferty normal approximation gives the p-value for any
-    df with the shared erfc polynomial."""
+    priorities, run independently inside each order status. Scale: ranks
+    via tie_avg_ranks' count grid — a full-parallelism hash agg plus a
+    window over the per-status distinct-price grid (no per-row sort),
+    collapsing to a k-row group table; everything after the rank sums is
+    per-status closed-form arithmetic. Rank sums are exact
+    half-integers, tie term is integer, so H is deterministic; the
+    Wilson-Hilferty normal approximation gives the p-value for any df
+    with the shared erfc polynomial. At 100 TB pass num_bins to
+    tie_avg_ranks to bound the grid (stats_mannwhitney_u_binned shows
+    the shape)."""
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderstatus").alias("s"),
         F.col("o_orderpriority").alias("g"),
         F.col("o_totalprice").alias("x"),
     )
-    wr = Window.partitionBy("s").orderBy("x")
-    wt = Window.partitionBy("s", "x")
-    rk = o.select(
-        "s",
-        "g",
-        (F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0).alias("ar"),
-    )
+    rk = tie_avg_ranks(o, ["s"], "x", cohort_cols=["g"])
     pg = rk.groupBy("s", "g").agg(
-        F.count(F.lit(1)).cast("bigint").alias("nj"),
-        F.sum("ar").alias("rj"),
+        F.sum("cnt").cast("bigint").alias("nj"),
+        F.sum(F.col("cnt") * F.col("avg_rank")).alias("rj"),
     )
-    tie = (
-        o.groupBy("s", "x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
-        .groupBy("s")
-        .agg(
-            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-            .cast("bigint")
-            .alias("ts3")
-        )
-    )
+    tie = tie_term(rk, ["s"], "x")
     ps = pg.groupBy("s").agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("nj").cast("bigint").alias("n"),
@@ -447,7 +436,8 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hedges' g, rank-based Cliff's delta) between even/odd user cohorts
     per event type — the magnitude report that accompanies
     stats_ttest_welch / stats_mannwhitney_u p-values. Scale: one
-    DECIMAL-moment group agg + one rank window per type partition, both
+    DECIMAL-moment group agg + tie_avg_ranks' count-grid ranks (hash agg
+    at full parallelism, window only over the distinct-value grid), both
     collapsing to |types| rows; the pivot to cohort columns is a 10-row
     hash agg."""
     ev = _t(spark, sf_dir, "events")
@@ -472,15 +462,13 @@ def stats_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("c") == 0, F.col("s2"))).alias("a2"),
         F.max(F.when(F.col("c") == 1, F.col("s2"))).alias("b2"),
     )
-    wr = Window.partitionBy("g").orderBy("x")
-    wt = Window.partitionBy("g", "x")
-    rk = base.select(
-        "g",
-        "c",
-        (F.rank().over(wr) + (F.count(F.lit(1)).over(wt) - 1) / 2.0).alias("ar"),
-    )
+    rk = tie_avg_ranks(base.select("g", "c", "x"), ["g"], "x", cohort_cols=["c"])
     u = rk.groupBy("g").agg(
-        F.sum(F.when(F.col("c") == 0, F.col("ar")).otherwise(0.0)).alias("r1")
+        F.sum(
+            F.when(F.col("c") == 0, F.col("cnt") * F.col("avg_rank")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("r1")
     )
     md = F.col("a1") / F.col("n1") - F.col("b1") / F.col("n2")
     sp = F.sqrt(

@@ -600,10 +600,10 @@ FROM b GROUP BY decile
 def bin_quantile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile bins of order totals: per-bin count and [lo, hi] edges.
     The global ntile needs a total sort — the one operation that cannot
-    shard — so at 100 TB this becomes approx-quantile CUTS (computed on
-    a sample or sketch, applied as a broadcast width_bucket map, the
-    width_bucket_hist pattern); this query keeps the exact form the
-    oracle can verify and documents the swap."""
+    shard — so at 100 TB swap in bin_quantile_deciles_hist
+    (queries_pipeline35.py): a 256-bin histogram hash agg + integer-exact
+    cumulative cuts over the bounded bin grid, no total sort. This query
+    keeps the exact form the oracle can verify."""
     o = _t(spark, sf_dir, "orders")
     b = o.select(
         "o_totalprice",

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_etl_consumer_spark.functions.hashing import hash64, hash64_sql
+from kafka_etl_consumer_spark.operators.ranks import tie_avg_ranks
 from kafka_etl_consumer_spark.functions.text import tokens, tokens_sql
 from kafka_etl_consumer_spark.plans.registry import _t, register
 
@@ -979,11 +980,12 @@ def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC AUC (Mann-Whitney, tie-averaged ranks) of the
     cosine-to-class-0-centroid scorer against the label-0 indicator.
     Scale: the centroid is a (dim)-row broadcast aggregate and the score
-    a narrow in-row fold; the rank pass is ONE global sort of (score,
-    pos) pairs — the honest exact-AUC cost (at 100 TB swap in the binned
-    approximation: histogram scores to 10k buckets and trapezoid, same
-    code shape as quantile_histogram). Scores round to 6dp in BOTH
-    engines so tie structure is cross-engine identical."""
+    a narrow in-row fold; ranks come from per-(score, pos) COUNTS (hash
+    agg at full parallelism), so the one single-partition sort runs over
+    the distinct-score grid, not the rows — and at 100 TB
+    eval_auc_rank_binned bounds that grid to 512 fixed buckets with the
+    same count-rank formula. Scores round to 6dp in BOTH engines so tie
+    structure is cross-engine identical."""
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("emb"),
@@ -1010,19 +1012,19 @@ def eval_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = e.crossJoin(F.broadcast(cn)).select(
         "pos", F.round(dot / (self_norm * F.col("nrm")), 6).alias("score")
     )
-    avg_rank = (
-        F.rank().over(Window.orderBy("score"))
-        + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
-    )
-    rk = s.select("pos", avg_rank.alias("avg_rank"))
-    n_pos = F.sum("pos")
-    n_neg = F.sum(F.lit(1) - F.col("pos"))
+    rk = tie_avg_ranks(s, [], "score", cohort_cols=["pos"])
+    n_pos = F.sum(F.when(F.col("pos") == 1, F.col("cnt")).otherwise(F.lit(0)))
+    n_neg = F.sum(F.when(F.col("pos") == 0, F.col("cnt")).otherwise(F.lit(0)))
     return rk.agg(
         n_pos.cast("bigint").alias("n_pos"),
         n_neg.cast("bigint").alias("n_neg"),
         F.round(
             (
-                F.sum(F.when(F.col("pos") == 1, F.col("avg_rank")).otherwise(0.0))
+                F.sum(
+                    F.when(
+                        F.col("pos") == 1, F.col("cnt") * F.col("avg_rank")
+                    ).otherwise(0.0)
+                )
                 - n_pos * (n_pos + 1) / 2.0
             )
             / (n_pos * n_neg.cast("double")),

@@ -690,3 +690,57 @@ def test_novelty_scan_widened_for_double_shingle_chain(spark, sf_dir):
     # scan must be widened or each chain runs on a single core
     plan = _plan(spark, sf_dir, "corpus_ngram_novelty", mode="simple")
     assert "RoundRobinPartitioning" in plan
+
+
+def _window_sort_sits_on_aggregate(plan: str) -> bool:
+    """The Sort feeding the first Window must sit ABOVE a HashAggregate
+    (ranks from value-grouped counts), never directly on the row stream
+    from the scan — the round-4 verdict's rank-sort scale flaw."""
+    lines = plan.splitlines()
+    win = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    sort = next(i for i in range(win, len(lines)) if "Sort" in lines[i])
+    scan = next(i for i in range(sort, len(lines)) if "Scan parquet" in lines[i])
+    return any("HashAggregate" in lines[i] for i in range(sort, scan))
+
+
+def test_mannwhitney_ranks_from_count_grid(spark, sf_dir):
+    # tie_avg_ranks: one full-parallelism hash agg to value cells, the
+    # rank window only over the distinct-value grid
+    plan = _plan(spark, sf_dir, "stats_mannwhitney_u", mode="simple")
+    assert _window_sort_sits_on_aggregate(plan), plan
+
+
+def test_kruskal_ranks_from_count_grid(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stats_kruskal_wallis", mode="simple")
+    assert _window_sort_sits_on_aggregate(plan), plan
+
+
+def test_effect_sizes_ranks_from_count_grid(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stats_effect_sizes", mode="simple")
+    assert _window_sort_sits_on_aggregate(plan), plan
+
+
+def test_auc_ranks_from_count_grid(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "eval_auc_rank", mode="simple")
+    assert _window_sort_sits_on_aggregate(plan), plan
+
+
+def test_mannwhitney_binned_bounded_grid(spark, sf_dir):
+    # the binned variant adds the broadcast of the per-group [min,max]
+    # range row on top of the count-grid shape
+    plan = _plan(spark, sf_dir, "stats_mannwhitney_u_binned", mode="simple")
+    assert _window_sort_sits_on_aggregate(plan), plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decile_hist_no_global_ntile_sort(spark, sf_dir):
+    # histogram deciles: the only window input is the 256-row bin grid
+    # (post-aggregate); the row stream itself is never globally sorted
+    plan = _plan(spark, sf_dir, "bin_quantile_deciles_hist", mode="simple")
+    assert _window_sort_sits_on_aggregate(plan), plan
+    assert "BroadcastNestedLoopJoin" in plan  # one-row range broadcast
+
+
+def test_lift_binned_no_per_user_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "eval_lift_deciles_binned", mode="simple")
+    assert _window_sort_sits_on_aggregate(plan), plan
