@@ -3,7 +3,8 @@
 The container has no Kafka jar or broker, so the option-map translation —
 the part of S1 this engine actually owns — is unit-tested directly, and a
 live end-to-end read is env-gated behind SPARK_GRAFT_KAFKA_BOOTSTRAP for
-environments that have both."""
+environments that have both (CAPABILITIES.md maps every such
+env-gated branch to its activation condition)."""
 
 from __future__ import annotations
 

@@ -72,7 +72,8 @@ def test_transform_with_state_matches_v1(spark, tmp_path):
     # final per-key state as the v1 applyInPandasWithState path.
     # transformWithState's Python state server speaks protobuf; the lib is
     # not in this container, so this test self-skips where it can't run
-    # (same env-gating pattern as the JVM from_avro parity test).
+    # (same env-gating pattern as the JVM from_avro parity test; see
+    # CAPABILITIES.md for the full activation map).
     pytest.importorskip(
         "google.protobuf.descriptor",
         reason="transformWithState state server needs protobuf",
