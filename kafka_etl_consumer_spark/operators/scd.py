@@ -87,6 +87,7 @@ def merge_type1(
     changes: DataFrame,
     key_cols: Sequence[str],
     delete_col: str | None = None,
+    broadcast_changes: bool = False,
 ) -> DataFrame:
     """Generic type-1 MERGE (upsert + optional delete) over a landed
     table: matched keys take the change row's values wholesale, unmatched
@@ -95,13 +96,21 @@ def merge_type1(
 
     Shape: ONE anti join (current minus changed keys) + a union — never a
     full outer join, so the big side shuffles at most once and not at all
-    when the change batch broadcasts (the common case: changes ≪ table).
-    Output is a full new snapshot to overwrite/partition-overwrite onto
-    the old one, same idempotent posture as scd2_merge.
+    with ``broadcast_changes=True`` (the common case: changes ≪ table).
+    Pass the flag rather than hinting the ``changes`` frame yourself: the
+    frame also feeds the union branch, where a dangling broadcast hint
+    would be silently ignored (and drown HintErrorLogger's signal for
+    real hint regressions); the flag scopes the hint to the anti join's
+    key projection only. Output is a full new snapshot to
+    overwrite/partition-overwrite onto the old one, same idempotent
+    posture as scd2_merge.
     """
     keys = list(key_cols)
     out_cols = [c for c in current.columns]
-    survivors = current.join(changes.select(*keys).distinct(), keys, "left_anti")
+    changed_keys = changes.select(*keys).distinct()
+    if broadcast_changes:
+        changed_keys = F.broadcast(changed_keys)
+    survivors = current.join(changed_keys, keys, "left_anti")
     incoming = changes
     if delete_col is not None:
         incoming = incoming.where(~F.coalesce(F.col(delete_col), F.lit(False)))

@@ -361,7 +361,9 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(False).alias("is_delete"),
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
-    return merge_type1(cust, F.broadcast(changes), ["c_custkey"], delete_col="is_delete")
+    return merge_type1(
+        cust, changes, ["c_custkey"], delete_col="is_delete", broadcast_changes=True
+    )
 
 
 @register(

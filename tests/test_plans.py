@@ -744,3 +744,11 @@ def test_decile_hist_no_global_ntile_sort(spark, sf_dir):
 def test_lift_binned_no_per_user_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "eval_lift_deciles_binned", mode="simple")
     assert _window_sort_sits_on_aggregate(plan), plan
+
+
+def test_merge_upsert_broadcasts_anti_join_only(spark, sf_dir):
+    # broadcast_changes must scope the hint to the anti join's key
+    # projection; a hint on the whole changes frame dangles on the union
+    # branch (HintErrorLogger noise that masks real hint regressions)
+    plan = _plan(spark, sf_dir, "merge_upsert_customers", mode="simple")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
