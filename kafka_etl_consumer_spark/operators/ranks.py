@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tie_avg_ranks", "tie_term"]
+__all__ = ["tie_avg_ranks", "tie_term", "grid_median"]
 
 
 def tie_avg_ranks(
@@ -120,4 +120,48 @@ def tie_term(
             .cast("bigint")
             .alias(out_col)
         )
+    )
+
+
+def grid_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "median",
+) -> DataFrame:
+    """EXACT per-group interpolated median (``percentile(x, 0.5)``
+    semantics: average of the two middle order statistics at even n)
+    computed from the value-count grid instead of Spark's ``percentile``
+    aggregate — which buffers every value of a group in one aggregation
+    buffer, the same parallelism-collapse hazard as the per-row rank
+    sort. Here the heavy step is the hash agg to (group, value) cells;
+    the order statistics come from cumulative counts over the per-group
+    value grid, and the interpolation replays percentile's own
+    ``lower + (upper - lower) * frac`` arithmetic so the result is the
+    identical double."""
+    groups = list(group_cols)
+    cell = df.groupBy(*groups, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w_cum = Window.partitionBy(*groups).orderBy(value_col)
+    w_all = Window.partitionBy(*groups)
+    g = cell.select(
+        *groups,
+        F.col(value_col).alias("__x"),
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    # 0-indexed lower-middle order statistic; the cell whose cumulative
+    # count first covers an index HOLDS that order statistic (a single
+    # cell with multiplicity >= 2 can hold both middles)
+    k = F.expr("(__n - 1) DIV 2")
+    v1 = F.min(F.when(F.col("__cum") >= k + 1, F.col("__x")))
+    v2 = F.min(F.when(F.col("__cum") >= k + 2, F.col("__x")))
+    agg = g.groupBy(*groups).agg(
+        v1.alias("__v1"), v2.alias("__v2"), F.max("__n").alias("__nn")
+    )
+    frac = F.when(F.col("__nn") % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    return agg.select(
+        *groups,
+        (F.col("__v1") + (F.col("__v2") - F.col("__v1")) * frac).alias(out_col),
     )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_etl_consumer_spark.operators.ranks import tie_avg_ranks, tie_term
+from kafka_etl_consumer_spark.operators.ranks import grid_median, tie_avg_ranks, tie_term
 from kafka_etl_consumer_spark.plans.registry import _t, register
 
 # A&S 7.1.26 erfc(x) for x >= 0 (same Horner spelling as
@@ -219,14 +219,17 @@ def stats_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brown-Forsythe (median-centered Levene) test that event-value
     spread is homogeneous across the 5 event types — the gate before
     pooled-variance inference (stats_anova_value). Scale: one exact
-    median per group (percentile agg), one broadcast of the 5-row
-    median table back onto the stream, one partial+final group agg of
-    DECIMAL-quantized deviations, then 5-row closed-form arithmetic.
-    The group medians broadcast; nothing else shuffles twice."""
+    median per group from grid_median's value-count grid (Spark's
+    percentile aggregate would buffer every value of a group in one
+    aggregation buffer — the same parallelism collapse as a per-row
+    rank sort), one broadcast of the 5-row median table back onto the
+    stream, one partial+final group agg of DECIMAL-quantized
+    deviations, then 5-row closed-form arithmetic. The group medians
+    broadcast; nothing else shuffles twice."""
     ev = _t(spark, sf_dir, "events").select(
         F.col("event_type").alias("g"), F.col("value").alias("x")
     )
-    med = ev.groupBy("g").agg(F.percentile("x", F.lit(0.5)).alias("md"))
+    med = grid_median(ev, ["g"], "x", out_col="md")
     z = F.abs(F.col("x") - F.col("md")).cast("decimal(28,12)")
     dev = ev.join(F.broadcast(med), "g").select(
         "g",

@@ -752,3 +752,12 @@ def test_merge_upsert_broadcasts_anti_join_only(spark, sf_dir):
     # branch (HintErrorLogger noise that masks real hint regressions)
     plan = _plan(spark, sf_dir, "merge_upsert_customers", mode="simple")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_levene_median_from_count_grid(spark, sf_dir):
+    # grid_median: no `percentile` aggregate (it buffers every group
+    # value in one buffer); the median comes from cumulative counts over
+    # the value grid
+    plan = _plan(spark, sf_dir, "stats_levene_test", mode="simple")
+    assert "percentile" not in plan.lower()
+    assert _window_sort_sits_on_aggregate(plan), plan
