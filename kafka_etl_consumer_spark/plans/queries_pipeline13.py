@@ -153,20 +153,30 @@ FROM d CROSS JOIN tot
 @register("stats_ks_test", _KS_ORACLE)
 def stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sample KS test of event value, even vs odd user cohorts.
-    Scale: the honest exact-D cost is ONE global sort of the (x, cohort)
-    projection (the ECDF); the statistic folds in the same window pass.
-    At 100 TB swap in the binned ECDF (histogram to 10k edges, same
-    code shape as quantile_histogram) — D error <= bin width."""
+    Scale: the ECDFs are step functions that change only at DISTINCT
+    values, and D is attained at a step — so the statistic computes
+    exactly from per-value cohort counts (one full-parallelism hash
+    agg) with the cumulative window running over the distinct-value
+    grid, never a per-row global sort (same count-grid substrate as
+    operators/ranks.py). At 100 TB with near-unique values, quantize x
+    to a fixed grid first (the stats_mannwhitney_u_binned pattern) — D
+    error <= bin width."""
     ev = _t(spark, sf_dir, "events")
     base = ev.select(F.col("value").alias("x"), (F.col("user_id") % 2).alias("g"))
-    tot = base.agg(
-        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).cast("double").alias("n0"),
-        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("double").alias("n1"),
+    cell = base.groupBy("x").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("a0"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("a1"),
     )
-    wc = Window.orderBy("x").rangeBetween(Window.unboundedPreceding, 0)
-    cum = base.select(
-        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).over(wc).alias("c0"),
-        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).over(wc).alias("c1"),
+    tot = cell.agg(
+        F.sum("a0").cast("double").alias("n0"),
+        F.sum("a1").cast("double").alias("n1"),
+    )
+    # one row per distinct value, so ROWS == RANGE here and the peers
+    # the row-level RANGE frame absorbed are already inside each cell
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cell.select(
+        F.sum("a0").over(wc).alias("c0"),
+        F.sum("a1").over(wc).alias("c1"),
     )
     d = (
         cum.crossJoin(F.broadcast(tot))

@@ -165,10 +165,14 @@ FROM mo
 @register("stats_spearman_corr", _SPEARMAN_ORACLE)
 def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rho between user view count and purchase count. Scale:
-    ONE user-grain hash-agg, two rank windows over the user table (the
-    unavoidable sorts — user grain, not event grain), one moment row.
-    Tie-averaged ranks keep the statistic exact under heavy ties, which
-    integer activity counts always have."""
+    ONE user-grain hash-agg, then the joint moments collapse to the
+    (x, y) CELL GRID: both rank functions are marginals (rx depends
+    only on x, ry only on y), so tie-averaged ranks come from
+    cumulative counts over each marginal's distinct-value grid
+    (integer activity counts — tiny grids) and Σ rx·ry = Σ cells
+    c·rx(x)·ry(y). No per-row rank sort anywhere; ranks are exact
+    halves so the moments match the per-row formulation bit for bit
+    under heavy ties, which integer counts always have."""
     ev = _t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
@@ -178,21 +182,28 @@ def stats_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
-    rx = F.rank().over(Window.orderBy("x")) + (
-        F.count(F.lit(1)).over(Window.partitionBy("x")) - 1
-    ) / 2.0
-    ry = F.rank().over(Window.orderBy("y")) + (
-        F.count(F.lit(1)).over(Window.partitionBy("y")) - 1
-    ) / 2.0
-    rk = u.select(rx.alias("rx"), ry.alias("ry"))
+    cell = u.groupBy("x", "y").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+
+    def _marginal_ranks(col: str, rank_name: str):
+        m = cell.groupBy(col).agg(F.sum("c").cast("bigint").alias("t"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = F.sum("t").over(w)
+        return m.select(
+            col, (cum - F.col("t") + (F.col("t") + 1) / 2.0).alias(rank_name)
+        )
+
+    rk = cell.join(_marginal_ranks("x", "rx"), "x").join(
+        _marginal_ranks("y", "ry"), "y"
+    )
+    c = F.col("c")
     mo = rk.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("c").cast("double").alias("n"),
+        F.sum(c * F.col("rx")).alias("sx"),
+        F.sum(c * F.col("ry")).alias("sy"),
+        F.sum(c * F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(c * F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(c * F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum("c").cast("bigint").alias("n_users"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(

@@ -761,3 +761,16 @@ def test_levene_median_from_count_grid(spark, sf_dir):
     plan = _plan(spark, sf_dir, "stats_levene_test", mode="simple")
     assert "percentile" not in plan.lower()
     assert _window_sort_sits_on_aggregate(plan), plan
+
+
+def test_ks_ecdf_from_count_grid(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stats_ks_test", mode="simple")
+    assert _window_sort_sits_on_aggregate(plan), plan
+
+
+def test_spearman_ranks_from_marginal_grids(spark, sf_dir):
+    # both rank functions are marginals: ranks from cumulative counts
+    # over each distinct-value grid, joint moments from the (x,y) cell
+    # grid — no per-row global rank sort
+    plan = _plan(spark, sf_dir, "stats_spearman_corr", mode="simple")
+    assert _window_sort_sits_on_aggregate(plan), plan
