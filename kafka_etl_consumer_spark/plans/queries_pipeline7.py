@@ -547,8 +547,10 @@ def agg_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mode + percentile_disc(0.5) per event type. The
     built-in ``mode()`` is tie-nondeterministic in both engines, so the
     mode is a count agg + min-struct argmax (hash-aggs only); the
-    discrete median picks the physical row at rank ceil(n/2) under a
-    TOTAL order (value, event_id) — tie-stable across engines, unlike
+    discrete median is the value at rank ceil(n/2), recovered from
+    cumulative counts over the per-type value grid (the oracle's
+    (value, event_id) row tiebreak cannot change WHICH VALUE sits at
+    that rank) — tie-stable across engines, no per-row sort, unlike
     interpolating percentile_cont on duplicated values."""
     ev = _t(spark, sf_dir, "events")
     hr = ev.select(
@@ -561,14 +563,27 @@ def agg_mode_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("h"))).alias("m"))
         .select("event_type", F.col("m.h").alias("modal_hour"))
     )
-    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
+    # the (value, event_id) tiebreak in the oracle picks a physical ROW,
+    # but the VALUE at rank ceil(n/2) is tiebreak-independent — so the
+    # discrete median is the smallest value whose cumulative count
+    # covers that rank: count grid + grid window, no per-row sort
+    cellv = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("event_type")
     med = (
-        ev.select("event_type", "value", "event_id")
-        .withColumn("rn", F.row_number().over(wv))
-        .withColumn("n", F.count(F.lit(1)).over(wn))
-        .filter(F.col("rn") == F.ceil(F.col("n") / 2.0))
-        .select("event_type", F.col("value").alias("median_disc"))
+        cellv.select(
+            "event_type",
+            "value",
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .filter(F.col("cum") >= F.ceil(F.col("n") / 2.0))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("median_disc"))
     )
     return mode_h.join(med, "event_type").select(
         "event_type", "modal_hour", "median_disc"
