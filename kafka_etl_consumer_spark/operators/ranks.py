@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["tie_avg_ranks", "tie_term", "grid_median"]
+__all__ = ["tie_avg_ranks", "tie_term", "grid_median", "grid_quantiles"]
 
 
 def tie_avg_ranks(
@@ -138,8 +138,9 @@ def grid_median(
     the order statistics come from cumulative counts over the per-group
     value grid, and the interpolation replays percentile's own
     ``lower + (upper - lower) * frac`` arithmetic so the result is the
-    identical double."""
+    identical double. NULL values are excluded, as percentile does."""
     groups = list(group_cols)
+    df = df.filter(F.col(value_col).isNotNull())
     cell = df.groupBy(*groups, value_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("__c")
     )
@@ -161,7 +162,60 @@ def grid_median(
         v1.alias("__v1"), v2.alias("__v2"), F.max("__n").alias("__nn")
     )
     frac = F.when(F.col("__nn") % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    # k+2 can exceed n (single-value group): the upper middle IS the
+    # lower middle then, not NULL
+    v2c = F.coalesce(F.col("__v2"), F.col("__v1"))
     return agg.select(
         *groups,
-        (F.col("__v1") + (F.col("__v2") - F.col("__v1")) * frac).alias(out_col),
+        (F.col("__v1") + (v2c - F.col("__v1")) * frac).alias(out_col),
     )
+
+
+def grid_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    probs: Sequence[float],
+    out_cols: Sequence[str],
+) -> DataFrame:
+    """EXACT per-group interpolated quantiles at several probabilities in
+    ONE pass over the value-count grid — :func:`grid_median`
+    generalized. Order statistics come from cumulative counts; the
+    interpolation ``v_k + (v_{k+1} - v_k) * (p*(n-1) - k)`` is spelled
+    exactly like DuckDB's ``quantile_cont`` (and the pos arithmetic like
+    Spark's ``percentile``), so oracle-paired queries keep matching.
+    Unlike the ``percentile`` aggregate there is no per-group value map
+    living in one aggregation buffer — the heavy step is a fully
+    parallel hash agg to (group, value) cells. NULLs are excluded,
+    as percentile does."""
+    groups = list(group_cols)
+    df = df.filter(F.col(value_col).isNotNull())
+    cell = df.groupBy(*groups, value_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    w_cum = Window.partitionBy(*groups).orderBy(value_col)
+    w_all = Window.partitionBy(*groups)
+    g = cell.select(
+        *groups,
+        F.col(value_col).alias("__x"),
+        F.sum("__c").over(w_cum).alias("__cum"),
+        F.sum("__c").over(w_all).alias("__n"),
+    )
+    aggs = []
+    for p, name in zip(probs, out_cols):
+        pos = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
+        k = F.floor(pos)
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= k + 1, F.col("__x"))).alias(f"__v1_{name}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("__cum") >= k + 2, F.col("__x"))).alias(f"__v2_{name}")
+        )
+        aggs.append(F.max(pos - k).alias(f"__f_{name}"))  # constant per group
+    agg = g.groupBy(*groups).agg(*aggs)
+    outs = []
+    for name in out_cols:
+        v1 = F.col(f"__v1_{name}")
+        v2 = F.coalesce(F.col(f"__v2_{name}"), v1)
+        outs.append((v1 + (v2 - v1) * F.col(f"__f_{name}")).alias(name))
+    return agg.select(*groups, *outs)

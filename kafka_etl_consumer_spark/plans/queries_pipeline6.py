@@ -408,20 +408,21 @@ def anomaly_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outliers per event type under the robust MAD rule
     |x − median| > 3·1.4826·MAD (4.4478, the normal-consistency constant).
 
-    Two exact-percentile aggregations with the one-row-per-group results
-    broadcast back to the scan — the documented sf-scale exactness choice;
-    at 100 TB swap both medians for ``approx_percentile`` (or the
-    mergeable histogram sketch, operators/sketch.py) without touching the
-    outlier rule."""
+    Both exact medians come from grid_median's value-count grids (no
+    percentile aggregate buffering a whole group in one buffer), with
+    the one-row-per-group results broadcast back to the scan; at 100 TB
+    with near-unique values swap them for ``approx_percentile`` (or the
+    mergeable histogram sketch, operators/sketch.py) without touching
+    the outlier rule."""
+    from kafka_etl_consumer_spark.operators.ranks import grid_median
+
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
+    med = grid_median(ev, ["event_type"], "value", out_col="med")
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "ad", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(ad, 0.5)").alias("mad")
+    mad = grid_median(
+        dev.select("event_type", "ad"), ["event_type"], "ad", out_col="mad"
     )
     return (
         dev.join(F.broadcast(mad), "event_type")
@@ -1200,8 +1201,9 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of ``value`` per event type between the
     month's two halves, over the reference half's exact deciles.
 
-    Scale shape: ONE percentile agg over the reference (one row per
-    event_type, broadcast back as the 9-cut array), bucket assignment is
+    Scale shape: the reference deciles come from grid_quantiles' value-
+    count grid in one pass (one row per event_type, broadcast back as
+    the 9-cut array — no percentile value-map buffer), bucket assignment is
     a codegen array fold (no join per bucket), two bounded
     (event_type, bucket) count aggs, and the PSI fold runs on the
     10·|types| cell grid. At 100 TB swap the exact decile agg for
@@ -1211,11 +1213,16 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.lit(_PSI_SPLIT).cast("timestamp")
     ref = ev.filter(F.col("ts") < split)
     cur = ev.filter(F.col("ts") >= split)
-    cuts = ref.groupBy("event_type").agg(
-        F.expr(
-            "percentile(value, array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))"
-        ).alias("cut")
-    )
+    from kafka_etl_consumer_spark.operators.ranks import grid_quantiles
+
+    dnames = [f"c{i}" for i in range(1, 10)]
+    cuts = grid_quantiles(
+        ref.select("event_type", "value"),
+        ["event_type"],
+        "value",
+        [i / 10 for i in range(1, 10)],
+        dnames,
+    ).select("event_type", F.array(*dnames).alias("cut"))
 
     def bucketed(df):
         return (
@@ -1849,13 +1856,14 @@ FROM clipped GROUP BY event_type
 def winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5%/95% winsorization of ``value`` per event type: exact percentile
     cutpoints broadcast back, clipping is a narrow CASE, one final
-    hash-agg reports clip counts and the mean shift. Same
-    exact-percentile-at-sf / approx-at-100TB trade stats_agg documents."""
+    hash-agg reports clip counts and the mean shift. The cutpoints
+    come from grid_quantiles' value-count grid (no percentile value-map
+    buffer); swap for approx_percentile at 100 TB with near-unique
+    values, per stats_agg's documented trade."""
+    from kafka_etl_consumer_spark.operators.ranks import grid_quantiles
+
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
-    cuts = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("lo"),
-        F.expr("percentile(value, 0.95)").alias("hi"),
-    )
+    cuts = grid_quantiles(ev, ["event_type"], "value", [0.05, 0.95], ["lo", "hi"])
     clipped = ev.join(F.broadcast(cuts), "event_type").withColumn(
         "w",
         F.when(F.col("value") < F.col("lo"), F.col("lo"))

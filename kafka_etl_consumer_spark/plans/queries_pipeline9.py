@@ -529,12 +529,20 @@ def funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = per_user.where(F.col("t1").isNotNull()).select(
         F.when(raw_s < _FUNLAT_WINDOW_S, raw_s).alias("s")
     )
-    return lat.agg(
+    from kafka_etl_consumer_spark.operators.ranks import grid_quantiles
+
+    counts = lat.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_viewed"),
         F.count("s").cast("bigint").alias("n_converted"),
         F.round(F.avg("s"), 6).alias("avg_s"),
-        F.round(F.percentile("s", F.lit(0.5)), 6).alias("p50_s"),
-        F.round(F.percentile("s", F.lit(0.9)), 6).alias("p90_s"),
+    )
+    q = grid_quantiles(lat.select("s"), [], "s", [0.5, 0.9], ["q50", "q90"])
+    return counts.crossJoin(F.broadcast(q)).select(
+        "n_viewed",
+        "n_converted",
+        "avg_s",
+        F.round(F.col("q50"), 6).alias("p50_s"),
+        F.round(F.col("q90"), 6).alias("p90_s"),
     )
 
 

@@ -84,3 +84,35 @@ def test_grid_median_matches_percentile(spark):
         .collect()
     }
     assert got == want  # exact doubles, not approx
+
+
+def test_grid_median_single_value_group(spark):
+    # k+2 exceeds n for a 1-row group: the upper middle must fall back
+    # to the lower middle, not NULL
+    df = _df(spark, [("solo", 0, 42.0)])
+    got = grid_median(df, ["g"], "x", out_col="md").collect()
+    assert got[0].md == 42.0
+
+
+def test_grid_quantiles_match_percentile(spark):
+    from kafka_etl_consumer_spark.operators.ranks import grid_quantiles
+
+    rows = [("a", 0, v) for v in (5, 1, 9, 3, 7, 7, 2, 8)] + [
+        ("b", 0, v) for v in (10, 20, 30)
+    ] + [("solo", 0, 4)]
+    df = _df(spark, rows)
+    probs = [0.05, 0.25, 0.5, 0.9, 0.95]
+    names = ["p05", "p25", "p50", "p90", "p95"]
+    got = {
+        r.g: [getattr(r, n) for n in names]
+        for r in grid_quantiles(df, ["g"], "x", probs, names).collect()
+    }
+    want = {
+        r.g: list(r.q)
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(x, array({','.join(map(str, probs))}))").alias("q"))
+        .collect()
+    }
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            assert abs(a - b) < 1e-12, (g, got[g], want[g])
