@@ -503,21 +503,37 @@ FROM r GROUP BY source
 @register("gini_source_concentration", _GINI_ORACLE)
 def gini_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-document length within each source (0 =
-    every doc equal, →1 = one doc carries everything). Scale: one
-    source-keyed window rank + the rollup on the SAME partitioning — one
-    Exchange total; the rank feeds the closed-form Gini sum, no pairwise
-    |x_i − x_j| grid."""
+    every doc equal, →1 = one doc carries everything). Scale: the rank
+    sum collapses to the per-source LENGTH GRID — a tie run of value x
+    at ascending positions s..e contributes x·c·(s+e)/2 = x·c·(2·cum −
+    c + 1)/2 regardless of the within-run tiebreak, so one hash agg to
+    (source, length) cells + a window over the bounded length grid
+    replaces the per-row rank of every document (exact integers, sums
+    bit-identical to the oracle's per-row form); no pairwise
+    |x_i − x_j| grid either."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    r = docs.select("source", "n_chars", F.row_number().over(w).alias("i"))
-    n = F.count(F.lit(1))
-    return r.groupBy("source").agg(
+    cell = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    g = cell.select(
+        "source",
+        "n_chars",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+    )
+    contrib = (
+        F.col("n_chars") * F.col("c") * (2 * F.col("cum") - F.col("c") + 1)
+    ) / F.lit(2.0)
+    n = F.sum("c")
+    total = F.sum(F.col("n_chars") * F.col("c"))
+    return g.groupBy("source").agg(
         n.cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        total.cast("bigint").alias("total_chars"),
         F.round(
-            F.lit(2.0)
-            * F.sum(F.col("i").cast("double") * F.col("n_chars"))
-            / (n * F.sum("n_chars").cast("double"))
+            F.lit(2.0) * F.sum(contrib) / (n * total.cast("double"))
             - (n + F.lit(1.0)) / n,
             6,
         ).alias("gini"),

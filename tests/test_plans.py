@@ -774,3 +774,11 @@ def test_spearman_ranks_from_marginal_grids(spark, sf_dir):
     # grid — no per-row global rank sort
     plan = _plan(spark, sf_dir, "stats_spearman_corr", mode="simple")
     assert _window_sort_sits_on_aggregate(plan), plan
+
+
+def test_gini_rank_sum_from_length_grid(spark, sf_dir):
+    # the per-source rank of every document collapses to the length
+    # grid: tie runs contribute x*c*(2*cum-c+1)/2 exactly
+    plan = _plan(spark, sf_dir, "gini_source_concentration", mode="simple")
+    assert "row_number" not in plan
+    assert _window_sort_sits_on_aggregate(plan), plan
