@@ -35,6 +35,9 @@ def main() -> None:
     print("== 2b. Mann-Whitney U (rank difference, no normality) ==")
     QUERIES["stats_mannwhitney_u"](spark, sf_dir).orderBy("event_type").show()
 
+    print("== 2b'. same test on 64-bucket binned ranks (the 100 TB form) ==")
+    QUERIES["stats_mannwhitney_u_binned"](spark, sf_dir).orderBy("event_type").show()
+
     print("== 2c. two-proportion z on the conversion flag ==")
     QUERIES["stats_prop_ztest"](spark, sf_dir).show()
 
