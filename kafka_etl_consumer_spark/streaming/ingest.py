@@ -652,6 +652,19 @@ def backfill_decoded(
     uses the per-write ``partitionOverwriteMode`` option and mutates no
     session conf.
 
+    Streaming-sink metadata: a silver table written by :func:`ingest`
+    carries a FileStreamSink ``_spark_metadata`` log, and a partition
+    overwrite makes that log stale (metadata-aware readers would list
+    replaced files → FileNotFound). STOP the ingest query before
+    backfilling; this function then deletes the stale log after the
+    rewrite, leaving a plain hive-partitioned table that batch readers
+    list directly. If you later RESTART a checkpointed ingest stream
+    into the same directory, FileStreamSink starts a FRESH log that
+    names only post-restart files — from that point batch readers must
+    set ``spark.sql.streaming.fileStreamSink.ignoreMetadata=true`` (or
+    you re-land into a new directory), otherwise they silently see only
+    the new files.
+
     ``reader_registry``: as in :func:`ingest` — decode writer-schema bytes
     under an upgraded reader schema (full Avro schema resolution), which
     is exactly the backfill that follows a rolling schema upgrade.
@@ -723,4 +736,13 @@ def backfill_decoded(
         )
     finally:
         out.unpersist()
+    # drop the now-stale FileStreamSink log, if the table was
+    # streaming-written: the overwrite replaced files the log names, so
+    # metadata-aware readers would FileNotFound (docstring contract)
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    meta = jvm.org.apache.hadoop.fs.Path(f"{output_path}/{topic}/_spark_metadata")
+    fs = meta.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(meta):
+        fs.delete(meta, True)
     return n

@@ -319,3 +319,88 @@ def test_backfill_bronze_partitions_requires_event_time(spark, tmp_path):
         assert "bronze_partitions" in str(err)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_backfill_matches_ingest_event_time_layout(spark, tmp_path):
+    # the ADVICE round-4 failure mode, closed end-to-end: a silver table
+    # written by ingest(event_time_col=...) must be repairable by
+    # backfill_decoded with the SAME event_time_col/date_format — the
+    # rewritten rows land in ingest's exact directories, never in
+    # bronze's processing-time ones
+    from kafka_etl_consumer_spark.streaming.ingest import ingest
+
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    raw_dir = str(tmp_path / "bronze")
+    _encoded_df(spark, 8).write.parquet(src_dir)
+
+    ev_col = F.timestamp_millis(F.col("baseProperties.timestamp"))
+    reg = DictSchemaRegistry({TOPIC: ITEM_VIEW_EVENT_AVSC})
+    queries = ingest(
+        spark.readStream.schema(ENVELOPE).parquet(src_dir),
+        reg,
+        out_dir,
+        topics=[TOPIC],
+        checkpoint_path=ckpt,
+        layout="hive",
+        date_format="yyyy-MM-dd/HH",
+        event_time_col=ev_col,
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    target = f"{out_dir}/{TOPIC}"
+    ingest_dirs = sorted(
+        d[len(target) + 1 :]
+        for d in glob.glob(f"{target}/dt0=*/dt1=*")
+    )
+    want = sorted(
+        (r.itemId, r.price) for r in spark.read.parquet(target).collect()
+    )
+
+    # bronze lands the same bytes under an unrelated processing-time day
+    schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
+    rows = [
+        Row(topic=TOPIC, value=bytearray(encode_record(schema, ev)), dt0="1999-01-01")
+        for ev in item_view_events(8)
+    ]
+    env = T.StructType([*ENVELOPE.fields, T.StructField("dt0", T.StringType())])
+    spark.createDataFrame(rows, env).write.partitionBy("dt0").parquet(
+        f"{raw_dir}/{TOPIC}"
+    )
+
+    # corrupt silver, then repair from bronze with the ingest arguments
+    bad = spark.read.parquet(target).withColumn("price", F.lit(-1).cast("long"))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        bad.write.mode("overwrite").partitionBy("dt0", "dt1").parquet(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    n = backfill_decoded(
+        spark,
+        raw_dir,
+        reg,
+        out_dir,
+        TOPIC,
+        event_time_col=ev_col,
+        date_format="yyyy-MM-dd/HH",
+    )
+    assert n == 8
+    back_dirs = sorted(
+        d[len(target) + 1 :] for d in glob.glob(f"{target}/dt0=*/dt1=*")
+    )
+    assert back_dirs == ingest_dirs, (back_dirs, ingest_dirs)
+    assert "dt0=1999-01-01" not in {d.split("/")[0] for d in back_dirs}
+    # the stale FileStreamSink log is gone: batch readers list the
+    # directory directly instead of FileNotFound-ing on replaced files
+    import os
+
+    assert not os.path.exists(f"{target}/_spark_metadata")
+    got = sorted((r.itemId, r.price) for r in spark.read.parquet(target).collect())
+    assert got == want
