@@ -24,6 +24,23 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def drop_stream_sink_log(spark: SparkSession, table_path: str) -> bool:
+    """Delete a FileStreamSink ``_spark_metadata`` log made STALE by an
+    in-place rewrite (dynamic partition overwrite replaces files the log
+    names, so metadata-aware readers FileNotFound). Returns True if a
+    log existed. The table then reads as a plain listing; see
+    backfill_decoded's docstring for the restart contract
+    (``spark.sql.streaming.fileStreamSink.ignoreMetadata``)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    meta = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_spark_metadata")
+    fs = meta.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(meta):
+        fs.delete(meta, True)
+        return True
+    return False
+
+
 def dir_bytes(path: str) -> int:
     total = 0
     for root, _, files in os.walk(path):
@@ -208,7 +225,12 @@ def forget_keys(
 
     Returns an audit dict: rows_before, rows_deleted, rows_after,
     partitions_rewritten (-1 = full rewrite). Run it on a quiesced table
-    (no concurrent writer), like compaction.
+    (no concurrent writer), like compaction. On a streaming-written
+    table the in-place partition overwrite invalidates the
+    FileStreamSink ``_spark_metadata`` log; the log is dropped afterward
+    (:func:`drop_stream_sink_log` — same contract as
+    streaming.ingest.backfill_decoded; the full-rewrite branch sheds it
+    naturally via the directory swap).
     """
     df = spark.read.parquet(table_path)
     keys = F.broadcast(keys_df.select(key_col).distinct())
@@ -248,6 +270,9 @@ def forget_keys(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # in-place partition overwrite on a streaming-written table makes
+        # the sink log stale — drop it (same contract as backfill_decoded)
+        drop_stream_sink_log(spark, table_path)
         rewritten = len(dirty_vals)
     else:
         cleaned = df.join(keys, key_col, "left_anti")

@@ -739,10 +739,7 @@ def backfill_decoded(
     # drop the now-stale FileStreamSink log, if the table was
     # streaming-written: the overwrite replaced files the log names, so
     # metadata-aware readers would FileNotFound (docstring contract)
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    meta = jvm.org.apache.hadoop.fs.Path(f"{output_path}/{topic}/_spark_metadata")
-    fs = meta.getFileSystem(jsc.hadoopConfiguration())
-    if fs.exists(meta):
-        fs.delete(meta, True)
+    from kafka_etl_consumer_spark.maintenance import drop_stream_sink_log
+
+    drop_stream_sink_log(spark, f"{output_path}/{topic}")
     return n

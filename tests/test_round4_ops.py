@@ -211,3 +211,44 @@ def test_forget_keys_unpartitioned_full_rewrite(spark, tmp_path):
     assert audit == {"rows_before": 10, "rows_deleted": 2, "rows_after": 8,
                      "partitions_rewritten": -1}
     assert {r.user_id for r in spark.read.parquet(table).collect()} == set(range(10)) - {3, 7}
+
+
+def test_forget_keys_drops_stale_stream_sink_log(spark, tmp_path):
+    # a partitioned in-place erasure on a streaming-written table must
+    # remove the FileStreamSink log the overwrite just invalidated
+    # (metadata-aware readers would FileNotFound on replaced files)
+    import os
+
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.maintenance import forget_keys
+
+    table = str(tmp_path / "t")
+    rows = [Row(user_id=u, d=d, v=u) for d in (1, 2) for u in range(1, 5)]
+    spark.createDataFrame(rows).write.partitionBy("d").parquet(table)
+    import glob as _glob
+    import json as _json
+
+    os.makedirs(f"{table}/_spark_metadata", exist_ok=True)
+    entries = [
+        _json.dumps(
+            {
+                "path": f"file://{f}",
+                "size": os.path.getsize(f),
+                "isDir": False,
+                "modificationTime": 0,
+                "blockReplication": 1,
+                "blockSize": 134217728,
+                "action": "add",
+            }
+        )
+        for f in sorted(_glob.glob(f"{table}/d=*/*.parquet"))
+    ]
+    with open(f"{table}/_spark_metadata/0", "w") as f:
+        f.write("v1\n" + "\n".join(entries) + "\n")
+
+    forget_keys(
+        spark, table, "user_id",
+        spark.createDataFrame([Row(user_id=1)]), partition_col="d",
+    )
+    assert not os.path.exists(f"{table}/_spark_metadata")
