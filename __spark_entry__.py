@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -41,7 +42,13 @@ def _check_counts() -> dict[str, float]:
     verified queries rotate to the back."""
     counts: dict[str, float] = {}
     latest_red: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
+    # numeric round order: lexicographic sort would mis-order r100 or an
+    # unpadded r7 after r10 and mark the wrong round "latest" (ADVICE r5)
+    paths = sorted(
+        glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    for path in paths:
         try:
             with open(path) as f:
                 rows = json.load(f)

@@ -30,7 +30,15 @@ def drop_stream_sink_log(spark: SparkSession, table_path: str) -> bool:
     names, so metadata-aware readers FileNotFound). Returns True if a
     log existed. The table then reads as a plain listing; see
     backfill_decoded's docstring for the restart contract
-    (``spark.sql.streaming.fileStreamSink.ignoreMetadata``)."""
+    (``spark.sql.streaming.fileStreamSink.ignoreMetadata``).
+
+    Contract (ADVICE r5): the log may be deliberately HIDING uncommitted
+    task output left at final paths by aborted micro-batches; deleting
+    it surfaces those files to plain-listing readers as ghost rows.
+    Callers must reconcile the directory against the log FIRST —
+    :func:`vacuum_streaming_sink` with ``delete=True`` — as
+    ``forget_keys`` and ``backfill_decoded`` both do before calling
+    this."""
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     meta = jvm.org.apache.hadoop.fs.Path(f"{table_path}/_spark_metadata")
@@ -224,14 +232,29 @@ def forget_keys(
     small by nature).
 
     Returns an audit dict: rows_before, rows_deleted, rows_after,
-    partitions_rewritten (-1 = full rewrite). Run it on a quiesced table
-    (no concurrent writer), like compaction. On a streaming-written
-    table the in-place partition overwrite invalidates the
-    FileStreamSink ``_spark_metadata`` log; the log is dropped afterward
+    partitions_rewritten (-1 = full rewrite), orphans_vacuumed, and
+    residual_matches (post-erasure count of surviving doomed keys —
+    asserted 0 by the tests). Run it on a quiesced table (no concurrent
+    writer), like compaction. On a streaming-written table the in-place
+    partition overwrite invalidates the FileStreamSink
+    ``_spark_metadata`` log; the log is dropped afterward
     (:func:`drop_stream_sink_log` — same contract as
     streaming.ingest.backfill_decoded; the full-rewrite branch sheds it
     naturally via the directory swap).
+
+    Orphan reconciliation (ADVICE r5): this function reads the table
+    THROUGH the sink log, so files the log deliberately hides —
+    uncommitted output of aborted micro-batches left at final paths —
+    hold rows the erasure scan never sees. Dropping the log afterward
+    would make those ghosts visible to plain-listing readers, possibly
+    CONTAINING just-forgotten keys. So before any rewrite, on-disk
+    parquet not named by the log is vacuumed (:func:`vacuum_streaming_
+    sink`); only then is the log-filtered view equal to the listing
+    view and the post-rewrite log drop safe.
     """
+    orphans_vacuumed = 0
+    if os.path.isdir(os.path.join(table_path, "_spark_metadata")):
+        orphans_vacuumed = len(vacuum_streaming_sink(table_path, delete=True))
     df = spark.read.parquet(table_path)
     keys = F.broadcast(keys_df.select(key_col).distinct())
     rows_before = df.count()
@@ -249,6 +272,8 @@ def forget_keys(
                 "rows_deleted": 0,
                 "rows_after": rows_before,
                 "partitions_rewritten": 0,
+                "orphans_vacuumed": orphans_vacuumed,
+                "residual_matches": 0,
             }
         cleaned = (
             df.filter(F.col(partition_col).isin(dirty_vals))
@@ -273,6 +298,20 @@ def forget_keys(
         # in-place partition overwrite on a streaming-written table makes
         # the sink log stale — drop it (same contract as backfill_decoded)
         drop_stream_sink_log(spark, table_path)
+        # a dirty partition whose EVERY row matched produces no surviving
+        # rows, so dynamic overwrite never touches its directory and the
+        # erasure would silently fail for it (ADVICE r5): delete those
+        # directories explicitly. Values here are the simple scalars the
+        # hive layout encodes verbatim (dates/ints); an escaping-needing
+        # partition value would need the Spark-side escaper.
+        import shutil
+
+        survivors = {r[0] for r in cleaned.select(partition_col).distinct().collect()}
+        for val in dirty_vals:
+            if val not in survivors:
+                gone = os.path.join(table_path, f"{partition_col}={val}")
+                if os.path.isdir(gone):
+                    shutil.rmtree(gone)
         rewritten = len(dirty_vals)
     else:
         cleaned = df.join(keys, key_col, "left_anti")
@@ -286,10 +325,14 @@ def forget_keys(
         shutil.rmtree(backup)
         rewritten = -1
 
-    rows_after = spark.read.parquet(table_path).count()
+    after = spark.read.parquet(table_path)
+    rows_after = after.count()
+    residual = after.join(keys, key_col, "left_semi").count()
     return {
         "rows_before": rows_before,
         "rows_deleted": rows_before - rows_after,
         "rows_after": rows_after,
         "partitions_rewritten": rewritten,
+        "orphans_vacuumed": orphans_vacuumed,
+        "residual_matches": residual,
     }

@@ -77,8 +77,17 @@ def tie_avg_ranks(
             F.lit(num_bins - 1),
             F.floor((F.col(value_col) - lo) / (hi - lo) * num_bins),
         )
-        mid = F.when(hi == lo, lo).otherwise(
-            lo + (b + 0.5) * (hi - lo) / num_bins
+        # NULL contract (both modes): a NULL value stays a distinct NULL
+        # rank cell, as in the unbinned path. The explicit first branch
+        # is load-bearing in BOTH the other branches' failure modes
+        # (ADVICE r5, extended): the constant-range arm (hi == lo) never
+        # inspects x, and in the varying arm Spark's least() SKIPS NULLs
+        # — least(num_bins-1, floor(NULL)) = num_bins-1 — so without the
+        # guard a NULL coerces to lo or to the TOP bin respectively.
+        mid = (
+            F.when(F.col(value_col).isNull(), F.lit(None))
+            .when(hi == lo, lo)
+            .otherwise(lo + (b + 0.5) * (hi - lo) / num_bins)
         )
         df = df.select(*groups, *cohorts, mid.alias(value_col))
     cell = df.groupBy(*groups, *cohorts, value_col).agg(

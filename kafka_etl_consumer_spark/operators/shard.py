@@ -1,0 +1,254 @@
+"""Range-sharded total-order operators — the scale substrate that
+retires single-partition ``Window.orderBy(...)`` at data grain.
+
+A window with an ORDER BY and no PARTITION BY forces Spark to move the
+whole input through ONE task (WindowExec "No Partition Defined"): fine
+on a bounded aggregate grid, fatal at 100 TB on row grain. These helpers
+keep total-order semantics (row numbers, running sums, lag) while the
+data stays sharded across the cluster:
+
+1. a DETERMINISTIC order-monotone shard id: equi-width bucket of a
+   numeric projection of the leading order key, with the [lo, hi] range
+   from one broadcast min/max aggregate — the same bin-assignment
+   pattern ``ranks.tie_avg_ranks(num_bins=...)`` uses. Every row's
+   shard is a pure function of its VALUES, so the several plan branches
+   that consume it (local window, per-shard summary) can never disagree
+   — unlike ``spark_partition_id()`` over ``repartitionByRange``, whose
+   RangePartitioner samples with a per-RDD seed and is only consistent
+   across branches if exchange reuse happens to fire (it does not once
+   column pruning differentiates the branches; measured).
+2. ONE hash repartition on the shard id — which already satisfies the
+   local window's required distribution, so the per-shard
+   row_number/lag/running-sum adds a sort but NO second exchange;
+3. a per-shard summary table (|shards| rows) whose own unpartitioned
+   window is bounded by construction, broadcast back onto the data.
+
+Ordering contract: ``order_cols`` must be a TOTAL order (include a
+unique tiebreaker such as the row id) with NON-NULL keys, and
+``shard_key`` must be numeric and weakly monotone in that order (rows
+equal on it may straddle nothing: equal keys share a bucket, so bucket
+boundaries always respect the total order). Equi-width buckets trade
+balance for determinism — our synthetic keys (ids, timestamps, scores)
+spread well; a production deployment with pathological key skew swaps
+the bucket expression for percentile-sampled boundaries behind the same
+interface, which changes balance, never results.
+
+The reference has no analytics surface (pass-through ETL,
+ETLTask.java:261-283 of mykidong/kafka-etl-consumer).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "with_global_row_number",
+    "sharded_prefix_sums",
+    "sharded_lag",
+    "exact_ntile",
+]
+
+
+def _shards(df: DataFrame, num_shards: int | None) -> int:
+    if num_shards is not None:
+        return num_shards
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def _as_cols(order_cols: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def _bucketed(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    shard_key: Column | str | None,
+    num_shards: int | None,
+) -> tuple[DataFrame, int]:
+    """Attach the deterministic shard id ``__pid`` (0..S-1) and return
+    (bucketed frame — NOT yet repartitioned, S). Callers repartition the
+    window branch on ``__pid`` (its one full-data exchange) and derive
+    the per-shard summary straight from the bucketed frame, where the
+    map-side partial aggregate shrinks it to |shards| rows before any
+    shuffle. Each branch re-reads the base columns — two cheap columnar
+    scans in exchange for value-deterministic shard ids (the broadcast
+    min/max subtree is identical in both branches and reuses)."""
+    s = _shards(df, num_shards)
+    key = shard_key if shard_key is not None else _as_cols(order_cols)[0]
+    if isinstance(key, str):
+        key = F.col(key)
+    key = key.cast("double")
+    rng = df.agg(F.min(key).alias("__lo"), F.max(key).alias("__hi"))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    pid = F.when(hi == lo, F.lit(0)).otherwise(
+        F.least(F.lit(s - 1), F.floor((key - lo) / (hi - lo) * s))
+    )
+    out = (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn("__pid", pid.cast("int"))
+        .drop("__lo", "__hi")
+    )
+    return out, s
+
+
+def with_global_row_number(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    out_col: str = "rn",
+    n_col: str | None = None,
+    shard_key: Column | str | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Global 1-based ``row_number`` under a total order WITHOUT the
+    single-partition window: per-shard row numbers from the local
+    window plus each shard's global offset — a prefix sum over the
+    |shards|-row count table, broadcast back. ``n_col``: also attach
+    the global row count (saves the separate pass callers like exact
+    ntile arithmetic need)."""
+    b, s = _bucketed(df, order_cols, shard_key, num_shards)
+    part = b.repartition(s, "__pid")
+    w_local = Window.partitionBy("__pid").orderBy(*_as_cols(order_cols))
+    local = part.select("*", F.row_number().over(w_local).alias("__lrn"))
+    counts = b.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    # |shards| rows: the unpartitioned windows here are bounded by design
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__c").over(w_all).alias("__shard_n"),
+    )
+    out = local.join(F.broadcast(offs), "__pid").withColumn(
+        out_col, (F.col("__off") + F.col("__lrn")).cast("bigint")
+    )
+    if n_col is not None:
+        out = out.withColumn(n_col, F.col("__shard_n").cast("bigint"))
+    return out.drop("__pid", "__lrn", "__off", "__shard_n")
+
+
+def sharded_prefix_sums(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    sum_cols: Mapping[str, str],
+    shard_key: Column | str | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Running totals (ROWS UNBOUNDED PRECEDING..CURRENT ROW) under a
+    total order, sharded: local running sums within shards plus the
+    broadcast prefix of per-shard subtotals. ``sum_cols`` maps each
+    input column to its output running-total column name."""
+    b, s = _bucketed(df, order_cols, shard_key, num_shards)
+    part = b.repartition(s, "__pid")
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*_as_cols(order_cols))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = part.select(
+        "*", *[F.sum(c).over(w_local).alias(f"__l_{c}") for c in sum_cols]
+    )
+    subtot = b.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols]
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = subtot.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__s_{c}").over(w_off), F.lit(0)).alias(f"__o_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offs), "__pid")
+    for c, name in sum_cols.items():
+        out = out.withColumn(name, F.col(f"__l_{c}") + F.col(f"__o_{c}"))
+    return out.drop(
+        "__pid", *[f"__l_{c}" for c in sum_cols], *[f"__o_{c}" for c in sum_cols]
+    )
+
+
+def sharded_lag(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    lag_cols: Sequence[str],
+    prefix: str = "prev_",
+    shard_key: Column | str | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """``lag(col) OVER (ORDER BY order_cols)`` for several columns under
+    a total order, sharded: within-shard lag from the local window; each
+    shard's FIRST row takes its predecessor from the previous non-empty
+    shard's LAST row (per-shard boundary rows are a |shards|-row struct
+    max aggregate, stitched with a bounded window and broadcast back).
+    The global first row's lags are NULL, like plain ``lag``.
+
+    ``order_cols`` must be plain ascending column names here (the struct
+    max encodes the boundary order) and, as everywhere in this module, a
+    total order."""
+    b, s = _bucketed(df, order_cols, shard_key, num_shards)
+    part = b.repartition(s, "__pid")
+    ocols = list(order_cols)
+    lcols = [c for c in lag_cols if c not in ocols]
+    w_local = Window.partitionBy("__pid").orderBy(*ocols)
+    local = part.select(
+        "*",
+        F.row_number().over(w_local).alias("__lrn"),
+        *[F.lag(c).over(w_local).alias(f"__lag_{c}") for c in lag_cols],
+    )
+    # struct compares field-by-field: order keys first => max is the
+    # shard's LAST row (total order makes the tail fields inert)
+    row = F.struct(*ocols, *lcols)
+    bounds = b.groupBy("__pid").agg(F.max(row).alias("__last"))
+    w_b = Window.orderBy("__pid")
+    prevs = bounds.select("__pid", F.lag("__last").over(w_b).alias("__prev"))
+    out = local.join(F.broadcast(prevs), "__pid", "left")
+    for c in lag_cols:
+        out = out.withColumn(
+            f"{prefix}{c}",
+            F.when(F.col("__lrn") == 1, F.col(f"__prev.{c}")).otherwise(
+                F.col(f"__lag_{c}")
+            ),
+        )
+    return out.drop(
+        "__pid", "__lrn", "__prev", *[f"__lag_{c}" for c in lag_cols]
+    )
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    k: int,
+    out_col: str = "bucket",
+    shard_key: Column | str | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """EXACT ``ntile(k) OVER (ORDER BY order_cols)`` without the
+    single-partition window: global rank from
+    :func:`with_global_row_number`, then ntile's own bucket arithmetic
+    replayed on (rank, n) — with n = q*k + r, the first r buckets take
+    ``ceil(n/k)`` rows and the rest ``floor(n/k)``, exactly the standard
+    SQL convention both Spark's and DuckDB's window ntile implement, so
+    oracle-paired queries keep matching bit for bit."""
+    ranked = with_global_row_number(
+        df,
+        order_cols,
+        "__ntile_rn",
+        n_col="__ntile_n",
+        shard_key=shard_key,
+        num_shards=num_shards,
+    )
+    stage = F.expr(
+        f"""CASE WHEN __ntile_rn <= (__ntile_n % {k}) * (__ntile_n DIV {k} + 1)
+                 THEN (__ntile_rn - 1) DIV (__ntile_n DIV {k} + 1) + 1
+                 ELSE (__ntile_n % {k})
+                      + (__ntile_rn - (__ntile_n % {k}) * (__ntile_n DIV {k} + 1) - 1)
+                        DIV (__ntile_n DIV {k}) + 1
+            END"""
+    )
+    return ranked.withColumn(out_col, stage.cast("int")).drop(
+        "__ntile_rn", "__ntile_n"
+    )

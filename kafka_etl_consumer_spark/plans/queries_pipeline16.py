@@ -168,9 +168,11 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: trigram generation is a narrow in-row transform+explode; the
     first-occurrence table is ONE hash-agg on the trigram key (the only
     corpus-sized shuffle); the growth curve lives at doc grain and the
-    fit at a single moment row. The global cumsum window over |docs|
-    rows is the intended bottleneck ceiling — at 100 TB the curve
-    coarsens to shard grain with the identical code shape."""
+    fit at a single moment row. The doc-grain cumulative sums run
+    SHARDED (operators/shard.sharded_prefix_sums: local running sums per
+    doc_id-bucket shard + broadcast per-shard subtotal prefix) — the r5
+    verdict's last global-cumsum straggler, retired; no single-partition
+    WindowExec remains in the plan."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower("text"), " ").alias("w")
     )
@@ -191,14 +193,17 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = tg.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("nt")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    curve = (
-        toks.join(newv, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("nt").over(w).cast("bigint").alias("cum_n"),
-            F.sum(F.coalesce("nv", F.lit(0))).over(w).cast("bigint").alias("cum_v"),
-        )
+    from kafka_etl_consumer_spark.operators.shard import sharded_prefix_sums
+
+    joined = toks.join(newv, "doc_id", "left").select(
+        "doc_id", "nt", F.coalesce("nv", F.lit(0)).alias("nv0")
+    )
+    curve = sharded_prefix_sums(
+        joined, ["doc_id"], {"nt": "__cn", "nv0": "__cv"}
+    ).select(
+        "doc_id",
+        F.col("__cn").cast("bigint").alias("cum_n"),
+        F.col("__cv").cast("bigint").alias("cum_v"),
     )
     lx, ly = F.log("cum_n"), F.log("cum_v")
     mo = curve.agg(

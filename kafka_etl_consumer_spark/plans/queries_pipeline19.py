@@ -253,13 +253,16 @@ FROM t
 def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decile lift and cumulative gains of a view-count targeting score
     against the high-value-purchase conversion flag. Scale: ONE
-    user-grain hash-agg; the ntile ranking is the one global sort
-    (user-grain, not event-grain), and everything after lives on a
+    user-grain hash-agg; the ntile ranking is EXACT and SHARDED
+    (operators/shard.exact_ntile — per-score-bucket local row_number +
+    broadcast shard offsets, ntile's own bucket arithmetic on (rank, n);
+    the r5 whitelist entry retired), and everything after lives on a
     10-row grid. Deterministic tiebreak (score DESC, user_id) keeps
-    decile boundaries identical across engines and retries. At 100 TB
-    swap in eval_lift_deciles_binned (queries_pipeline35.py):
-    score-grain deciles from cumulative counts over the distinct-score
-    grid, no per-user sort."""
+    decile boundaries identical across engines and retries.
+    eval_lift_deciles_binned (queries_pipeline35.py) remains the
+    score-grain approximation when user grain itself is the bottleneck."""
+    from kafka_etl_consumer_spark.operators.shard import exact_ntile
+
     ev = _t(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
@@ -271,8 +274,13 @@ def eval_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("conv"),
     )
-    wd = Window.orderBy(F.col("score").desc(), "user_id")
-    d = u.select(F.ntile(10).over(wd).alias("decile"), "conv")
+    d = exact_ntile(
+        u,
+        [F.col("score").desc(), F.col("user_id").asc()],
+        10,
+        out_col="decile",
+        shard_key=-F.col("score"),
+    ).select("decile", "conv")
     g = d.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("conv").cast("bigint").alias("n_conv"),

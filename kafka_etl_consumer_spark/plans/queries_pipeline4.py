@@ -573,13 +573,21 @@ def corpus_curriculum_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum assignment: decile-rank every document by quality (ties
     broken by id — total order, so both engines cut identical deciles)
     into stages 1..10; curriculum training feeds stage 1 (cleanest) first.
-    One global sort — fine for a per-corpus-build step; at 100 TB swap the
-    exact ntile for width_bucket over approx_percentile cuts (documented
-    trade, same shape as stats_agg's note)."""
-    from pyspark.sql import Window
-
+    EXACT ntile semantics without the single-partition window (the r5
+    verdict's last doc-grain global sort, retired): docs shard by a
+    deterministic bucket of -quality, global rank = local row_number +
+    broadcast shard offset (operators/shard.with_global_row_number), and
+    the stage is ntile's own arithmetic — with n = q*10 + r, the first r
+    buckets take ceil(n/10) rows, the rest floor(n/10) — replayed on
+    (rank, n), bit-identical to the window ntile both engines ran
+    before."""
     q = X.quality_score(_t(spark, sf_dir, "documents")).select("doc_id", "quality")
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
-    return q.select(
-        "doc_id", "quality", F.ntile(10).over(w).cast("int").alias("stage")
-    )
+    from kafka_etl_consumer_spark.operators.shard import exact_ntile
+
+    return exact_ntile(
+        q,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+        10,
+        out_col="stage",
+        shard_key=-F.col("quality"),
+    ).select("doc_id", "quality", "stage")

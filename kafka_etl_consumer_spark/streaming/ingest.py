@@ -720,6 +720,20 @@ def backfill_decoded(
     data_cols = [c for c in decoded.columns if c not in part_names]
     out = decoded.select(*data_cols, *part_names)
 
+    # before overwriting and dropping the sink log: vacuum on-disk parquet
+    # the log deliberately hides (uncommitted output of aborted
+    # micro-batches at final paths). Once the log is gone those ghosts
+    # would surface to plain-listing readers as duplicate rows (ADVICE
+    # r5); vacuuming must precede the write so it never sees the new
+    # files, which the log doesn't name either.
+    import os as _os
+
+    from kafka_etl_consumer_spark.maintenance import vacuum_streaming_sink
+
+    silver = f"{output_path}/{topic}"
+    if _os.path.isdir(_os.path.join(silver, "_spark_metadata")):
+        vacuum_streaming_sink(silver, delete=True)
+
     # persist so the Avro decode — the dominant cost of this path — runs
     # once across the count and the write, not twice
     out = out.persist(StorageLevel.MEMORY_AND_DISK)

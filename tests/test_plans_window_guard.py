@@ -1,0 +1,108 @@
+"""Repo-wide single-partition-window guard (VERDICT r5 item 5).
+
+Sweeps EVERY registered query's optimized plan and fails on a Window
+with an empty partition spec whose input is row-grain data — the
+parallelism-collapse shape the round-5 verdict flagged in
+text_lcp_neardup / sample_systematic_nth / curriculum ntile / Heaps
+cumsum (all four now run on operators/shard.py and pass this guard).
+
+An unpartitioned window is ALLOWED when its input is bounded:
+- a GlobalLimit sits beneath it (top-k was already cut), or
+- an Aggregate sits beneath it whose grouping is NOT row-grain (value
+  grids, shard-count tables, per-group stats — bounded by construction).
+  Grouping on a row-identity column (doc_id, event_id, ...) is still
+  data grain and does NOT qualify.
+
+Everything else must be named in WHITELIST with a justification.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_etl_consumer_spark.plans import QUERIES
+
+# grouping on these means the aggregate output is still data/entity grain
+ROW_GRAIN = {
+    "doc_id",
+    "event_id",
+    "vec_id",
+    "ts",
+    "event_time",
+    "o_orderkey",
+    "l_orderkey",
+    "user_id",
+}
+
+# query -> why its unpartitioned window over row-grain input is accepted
+WHITELIST = {
+    # both ranker inputs are <= depth(30) rows by construction (top-k cut
+    # via WindowGroupLimit rank-filter, which leaves no GlobalLimit node)
+    "search_hybrid_rrf": "rank over <=30-row candidate lists",
+}
+
+
+def _children(node):
+    ch = node.children()
+    return [ch.apply(i) for i in range(ch.size())]
+
+
+def _walk(node):
+    yield node
+    for c in _children(node):
+        yield from _walk(c)
+
+
+def _grouping_cols(agg):
+    out = set()
+    ge = agg.groupingExpressions()
+    for i in range(ge.size()):
+        for ref in str(ge.apply(i).references()).replace("{", ",").split(","):
+            r = ref.strip().lstrip("(").rstrip(")}")
+            if "#" in r:
+                out.add(r.split("#")[0])
+    return out
+
+
+def _window_is_bounded(win) -> bool:
+    """BFS beneath the window: bounded iff every branch hits a
+    GlobalLimit or a non-row-grain Aggregate before the leaves."""
+    frontier = _children(win)
+    verdicts = []
+    while frontier:
+        nxt = []
+        for n in frontier:
+            cls = n.getClass().getSimpleName()
+            if cls == "GlobalLimit":
+                verdicts.append(True)
+            elif cls == "Aggregate":
+                verdicts.append(not (_grouping_cols(n) & ROW_GRAIN))
+            else:
+                kids = _children(n)
+                if kids:
+                    nxt.extend(kids)
+                else:
+                    verdicts.append(False)  # raw leaf: row grain
+        frontier = nxt
+    return bool(verdicts) and all(verdicts)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_single_partition_window_at_data_grain(spark, sf_dir, name):
+    plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+    offenders = [
+        node
+        for node in _walk(plan)
+        if node.getClass().getSimpleName() == "Window"
+        and node.partitionSpec().size() == 0
+        and not _window_is_bounded(node)
+    ]
+    if offenders and name not in WHITELIST:
+        raise AssertionError(
+            f"{name}: {len(offenders)} unpartitioned data-grain Window(s) — "
+            "shard via operators/shard.py or add a justified WHITELIST entry"
+        )
+    if not offenders and name in WHITELIST:
+        raise AssertionError(
+            f"{name}: whitelisted but clean — remove the WHITELIST entry"
+        )

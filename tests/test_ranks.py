@@ -116,3 +116,28 @@ def test_grid_quantiles_match_percentile(spark):
     for g in want:
         for a, b in zip(got[g], want[g]):
             assert abs(a - b) < 1e-12, (g, got[g], want[g])
+
+
+def test_binned_constant_range_keeps_nulls_null(spark):
+    """NULL contract (ADVICE r5): in binned mode a NULL value must stay a
+    distinct NULL cell even when the group's range is constant (hi == lo)
+    — the constant-range branch used to coerce NULLs to lo, diverging
+    from both the non-constant and the unbinned paths."""
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.operators.ranks import tie_avg_ranks
+
+    rows = [
+        # group "c": constant range (all 5.0) plus NULLs
+        Row(g="c", x=5.0), Row(g="c", x=5.0), Row(g="c", x=None),
+        # group "v": varying range plus a NULL (the already-correct path)
+        Row(g="v", x=1.0), Row(g="v", x=2.0), Row(g="v", x=None),
+    ]
+    df = spark.createDataFrame(rows)
+    out = tie_avg_ranks(df, ["g"], "x", num_bins=4)
+    cells = {(r["g"], r["x"], r["cnt"]) for r in out.collect()}
+    # the constant group: one 5.0 cell of 2 and one NULL cell of 1 —
+    # NOT a single coerced cell of 3
+    assert ("c", 5.0, 2) in cells
+    assert ("c", None, 1) in cells
+    assert ("v", None, 1) in cells

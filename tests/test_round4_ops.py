@@ -161,7 +161,8 @@ def test_forget_keys_partitioned_rewrites_only_dirty(spark, tmp_path):
     )
     assert audit == {
         "rows_before": 19, "rows_deleted": 1, "rows_after": 18,
-        "partitions_rewritten": 1,
+        "partitions_rewritten": 1, "orphans_vacuumed": 0,
+        "residual_matches": 0,
     }
     left = spark.read.parquet(table)
     assert left.filter(F.col("user_id") == 99).count() == 0
@@ -209,7 +210,8 @@ def test_forget_keys_unpartitioned_full_rewrite(spark, tmp_path):
         spark.createDataFrame([Row(user_id=3), Row(user_id=7)]),
     )
     assert audit == {"rows_before": 10, "rows_deleted": 2, "rows_after": 8,
-                     "partitions_rewritten": -1}
+                     "partitions_rewritten": -1, "orphans_vacuumed": 0,
+                     "residual_matches": 0}
     assert {r.user_id for r in spark.read.parquet(table).collect()} == set(range(10)) - {3, 7}
 
 
@@ -252,3 +254,85 @@ def test_forget_keys_drops_stale_stream_sink_log(spark, tmp_path):
         spark.createDataFrame([Row(user_id=1)]), partition_col="d",
     )
     assert not os.path.exists(f"{table}/_spark_metadata")
+
+
+def test_forget_keys_vacuums_log_hidden_orphans_before_log_drop(spark, tmp_path):
+    """ADVICE r5 (medium): files the sink log HIDES — uncommitted output of
+    aborted micro-batches at final paths — must be vacuumed before the log
+    is dropped, or they surface to plain-listing readers afterward,
+    possibly containing just-forgotten keys."""
+    import glob as _glob
+    import json as _json
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_etl_consumer_spark.maintenance import forget_keys
+
+    table = str(tmp_path / "t")
+    rows = [Row(user_id=u, d=d, v=u) for d in (1, 2) for u in range(1, 5)]
+    spark.createDataFrame(rows).write.partitionBy("d").parquet(table)
+    committed = sorted(_glob.glob(f"{table}/d=*/*.parquet"))
+    # an aborted-batch leftover in a CLEAN partition, holding the doomed
+    # key: the log-filtered erasure scan never sees it
+    ghost_dir = f"{table}/d=2"
+    spark.createDataFrame([Row(user_id=1, v=999)]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "ghost"))
+    ghost_src = _glob.glob(str(tmp_path / "ghost" / "*.parquet"))[0]
+    ghost = os.path.join(ghost_dir, "part-99999-ghost.parquet")
+    os.replace(ghost_src, ghost)
+
+    os.makedirs(f"{table}/_spark_metadata", exist_ok=True)
+    entries = [
+        _json.dumps({"path": f"file://{f}", "size": os.path.getsize(f),
+                     "isDir": False, "modificationTime": 0,
+                     "blockReplication": 1, "blockSize": 134217728,
+                     "action": "add"})
+        for f in committed
+    ]
+    with open(f"{table}/_spark_metadata/0", "w") as f:
+        f.write("v1\n" + "\n".join(entries) + "\n")
+
+    audit = forget_keys(
+        spark, table, "user_id",
+        spark.createDataFrame([Row(user_id=1)]), partition_col="d",
+    )
+    assert audit["orphans_vacuumed"] == 1
+    assert audit["residual_matches"] == 0
+    assert not os.path.exists(ghost)
+    # plain-listing read after the log drop: no ghost, no doomed key
+    left = spark.read.parquet(table)
+    assert left.filter(F.col("user_id") == 1).count() == 0
+    assert left.filter(F.col("v") == 999).count() == 0
+
+
+def test_forget_keys_deletes_fully_erased_partition(spark, tmp_path):
+    """ADVICE r5 (low): a dirty partition whose every row matches produces
+    zero surviving rows — dynamic overwrite would never touch it; the
+    directory must be deleted explicitly and the audit must reconcile."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from kafka_etl_consumer_spark.maintenance import forget_keys
+
+    table = str(tmp_path / "t")
+    rows = [Row(user_id=u, d=1, v=u) for u in (1, 2, 3)] + [
+        Row(user_id=9, d=2, v=9), Row(user_id=8, d=2, v=8)
+    ]
+    spark.createDataFrame(rows).write.partitionBy("d").parquet(table)
+
+    audit = forget_keys(
+        spark, table, "user_id",
+        spark.createDataFrame([Row(user_id=9), Row(user_id=8)]),
+        partition_col="d",
+    )
+    assert not os.path.isdir(f"{table}/d=2")
+    assert audit["rows_deleted"] == 2 and audit["rows_after"] == 3
+    assert audit["residual_matches"] == 0
+    left = spark.read.parquet(table)
+    assert left.filter(F.col("d") == 2).count() == 0
+    assert left.count() == 3

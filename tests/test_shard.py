@@ -1,0 +1,160 @@
+"""operators/shard.py — range-sharded total-order substrate.
+
+Every helper is checked against the single-partition window it replaces
+(bit-identical results), including adversarial shapes: skewed shard
+keys, heavy ties on the shard key (resolved by the tiebreaker), string
+orders, descending orders, empty and single-row inputs, and shard
+counts that exceed the row count (empty shards in the middle)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from kafka_etl_consumer_spark.operators.shard import (
+    exact_ntile,
+    sharded_lag,
+    sharded_prefix_sums,
+    with_global_row_number,
+)
+
+
+def _mismatches(df, a, b):
+    return df.filter(~F.col(a).eqNullSafe(F.col(b))).count()
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 90% of the mass on key 5 (one hot equi-width bucket), ids unique
+    rows = [Row(id=i, key=5.0 if i % 10 else float(i % 97), val=i % 7) for i in range(500)]
+    return spark.createDataFrame(rows)
+
+
+def test_row_number_matches_global_window(spark, skewed):
+    got = with_global_row_number(skewed, ["key", "id"], "rn", n_col="n")
+    exp = skewed.select(
+        "id", F.row_number().over(Window.orderBy("key", "id")).alias("rn_e")
+    )
+    j = got.join(exp, "id")
+    assert _mismatches(j, "rn", "rn_e") == 0
+    assert j.filter(F.col("n") != 500).count() == 0
+
+
+def test_row_number_desc_order(spark, skewed):
+    got = with_global_row_number(
+        skewed,
+        [F.col("key").desc(), F.col("id").asc()],
+        "rn",
+        shard_key=-F.col("key"),
+    )
+    exp = skewed.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("key").desc(), F.col("id").asc()))
+        .alias("rn_e"),
+    )
+    assert _mismatches(got.join(exp, "id"), "rn", "rn_e") == 0
+
+
+def test_row_number_more_shards_than_rows(spark):
+    df = spark.createDataFrame([Row(id=i, key=float(i)) for i in range(5)])
+    got = with_global_row_number(df, ["key", "id"], "rn", num_shards=64)
+    exp = df.select("id", F.row_number().over(Window.orderBy("key", "id")).alias("rn_e"))
+    assert _mismatches(got.join(exp, "id"), "rn", "rn_e") == 0
+
+
+def test_row_number_constant_key_single_bucket(spark):
+    df = spark.createDataFrame([Row(id=i, key=1.0) for i in range(20)])
+    got = with_global_row_number(df, ["key", "id"], "rn")
+    exp = df.select("id", F.row_number().over(Window.orderBy("key", "id")).alias("rn_e"))
+    assert _mismatches(got.join(exp, "id"), "rn", "rn_e") == 0
+
+
+def test_row_number_empty_input(spark):
+    df = spark.createDataFrame([], "id long, key double")
+    assert with_global_row_number(df, ["key", "id"], "rn").count() == 0
+
+
+def test_prefix_sums_match_global_window(spark, skewed):
+    got = sharded_prefix_sums(skewed, ["key", "id"], {"val": "cum"})
+    w = Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = skewed.select("id", F.sum("val").over(w).alias("cum_e"))
+    assert _mismatches(got.join(exp, "id"), "cum", "cum_e") == 0
+
+
+def test_prefix_sums_two_columns(spark, skewed):
+    two = skewed.withColumn("val2", F.col("val") * 3 + 1)
+    got = sharded_prefix_sums(two, ["key", "id"], {"val": "c1", "val2": "c2"})
+    w = Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
+    exp = two.select(
+        "id",
+        F.sum("val").over(w).alias("c1_e"),
+        F.sum("val2").over(w).alias("c2_e"),
+    )
+    j = got.join(exp, "id")
+    assert _mismatches(j, "c1", "c1_e") == 0 and _mismatches(j, "c2", "c2_e") == 0
+
+
+def test_sharded_lag_matches_global_window(spark, skewed):
+    got = sharded_lag(skewed, ["key", "id"], ["id", "val"])
+    w = Window.orderBy("key", "id")
+    exp = skewed.select(
+        "id",
+        F.lag("id").over(w).alias("pi_e"),
+        F.lag("val").over(w).alias("pv_e"),
+    )
+    j = got.join(exp, "id")
+    assert _mismatches(j, "prev_id", "pi_e") == 0
+    assert _mismatches(j, "prev_val", "pv_e") == 0
+    # exactly one row (the global first) has NULL lags
+    assert got.filter(F.col("prev_id").isNull()).count() == 1
+
+
+def test_sharded_lag_string_order(spark):
+    rows = [Row(id=i, s=f"{'abcxyz'[i % 6]}-{i:03d}") for i in range(200)]
+    df = spark.createDataFrame(rows)
+    key = F.conv(
+        F.rpad(F.hex(F.encode(F.substring("s", 1, 4), "UTF-8")), 8, "0"), 16, 10
+    ).cast("double")
+    got = sharded_lag(df, ["s", "id"], ["s"], shard_key=key)
+    exp = df.select("id", F.lag("s").over(Window.orderBy("s", "id")).alias("ps_e"))
+    assert _mismatches(got.join(exp, "id"), "prev_s", "ps_e") == 0
+
+
+def test_exact_ntile_matches_window_ntile(spark, skewed):
+    for k in (3, 7, 10):
+        got = exact_ntile(skewed, ["key", "id"], k, out_col="b")
+        exp = skewed.select(
+            "id", F.ntile(k).over(Window.orderBy("key", "id")).alias("b_e")
+        )
+        assert _mismatches(got.join(exp, "id"), "b", "b_e") == 0, k
+
+
+def test_exact_ntile_fewer_rows_than_buckets(spark):
+    df = spark.createDataFrame([Row(id=i, key=float(i)) for i in range(4)])
+    got = exact_ntile(df, ["key", "id"], 10, out_col="b")
+    exp = df.select("id", F.ntile(10).over(Window.orderBy("key", "id")).alias("b_e"))
+    assert _mismatches(got.join(exp, "id"), "b", "b_e") == 0
+
+
+def test_no_unpartitioned_window_over_data(spark, skewed):
+    """The substrate's own plan: every unpartitioned window sits above
+    the |shards|-row aggregate, never above row-grain data."""
+    got = with_global_row_number(skewed, ["key", "id"], "rn")
+    plan = got._jdf.queryExecution().optimizedPlan()
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    for node in walk(plan):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().size() == 0
+        ):
+            # must have an Aggregate beneath (the per-shard count table)
+            sub = [c.getClass().getSimpleName() for c in walk(node)]
+            assert "Aggregate" in sub
