@@ -62,6 +62,27 @@ def _as_cols(order_cols: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
+def _zero(df: DataFrame) -> Column:
+    """Integer 0 that REFERENCES every column of ``df`` — a column-pruning
+    barrier. Each substrate helper consumes its input from several plan
+    branches (the sharded window, the range aggregate, the per-shard
+    summary); without this term the optimizer prunes each branch to its
+    own column set, the branches stop being canonically equal, and
+    Spark's exchange reuse cannot fire — the upstream (often an expensive
+    aggregate of the fact table) then re-executes once per branch.
+    Folding a data-dependent always-zero term into each auxiliary branch
+    keeps every branch referencing all columns, so AQE materializes the
+    upstream shuffle ONCE and the summaries re-read it (measured:
+    executed plan gains the ReusedExchange; asserted in test_shard.py).
+    least(0, abs(hash(...))) is not constant-foldable and is exactly 0
+    for every row (hash is never NULL; the bigint cast keeps
+    abs(Integer.MIN_VALUE) from overflowing under ANSI mode)."""
+    return F.least(
+        F.lit(0).cast("bigint"),
+        F.abs(F.hash(*[F.col(c) for c in df.columns]).cast("bigint")),
+    ).cast("int")
+
+
 def _bucketed(
     df: DataFrame,
     order_cols: Sequence[str | Column],
@@ -81,7 +102,8 @@ def _bucketed(
     if isinstance(key, str):
         key = F.col(key)
     key = key.cast("double")
-    rng = df.agg(F.min(key).alias("__lo"), F.max(key).alias("__hi"))
+    z = F.max(_zero(df))  # pruning barrier: see _zero
+    rng = df.agg((F.min(key) + z).alias("__lo"), (F.max(key) + z).alias("__hi"))
     lo, hi = F.col("__lo"), F.col("__hi")
     pid = F.when(hi == lo, F.lit(0)).otherwise(
         F.least(F.lit(s - 1), F.floor((key - lo) / (hi - lo) * s))
@@ -112,14 +134,17 @@ def with_global_row_number(
     part = b.repartition(s, "__pid")
     w_local = Window.partitionBy("__pid").orderBy(*_as_cols(order_cols))
     local = part.select("*", F.row_number().over(w_local).alias("__lrn"))
-    counts = b.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    counts = b.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__c"), F.max(_zero(b)).alias("__zb")
+    )
     # |shards| rows: the unpartitioned windows here are bounded by design
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     offs = counts.select(
-        "__pid",
+        # +__zb (always 0) keeps the barrier column referenced end-to-end
+        (F.col("__pid") + F.col("__zb")).alias("__pid"),
         F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
         F.sum("__c").over(w_all).alias("__shard_n"),
     )
@@ -153,11 +178,13 @@ def sharded_prefix_sums(
         "*", *[F.sum(c).over(w_local).alias(f"__l_{c}") for c in sum_cols]
     )
     subtot = b.groupBy("__pid").agg(
-        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols]
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+        F.max(_zero(b)).alias("__zb"),
     )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = subtot.select(
-        "__pid",
+        # +__zb (always 0) keeps the barrier column referenced end-to-end
+        (F.col("__pid") + F.col("__zb")).alias("__pid"),
         *[
             F.coalesce(F.sum(f"__s_{c}").over(w_off), F.lit(0)).alias(f"__o_{c}")
             for c in sum_cols
@@ -202,9 +229,15 @@ def sharded_lag(
     # struct compares field-by-field: order keys first => max is the
     # shard's LAST row (total order makes the tail fields inert)
     row = F.struct(*ocols, *lcols)
-    bounds = b.groupBy("__pid").agg(F.max(row).alias("__last"))
+    bounds = b.groupBy("__pid").agg(
+        F.max(row).alias("__last"), F.max(_zero(b)).alias("__zb")
+    )
     w_b = Window.orderBy("__pid")
-    prevs = bounds.select("__pid", F.lag("__last").over(w_b).alias("__prev"))
+    prevs = bounds.select(
+        # +__zb (always 0) keeps the barrier column referenced end-to-end
+        (F.col("__pid") + F.col("__zb")).alias("__pid"),
+        F.lag("__last").over(w_b).alias("__prev"),
+    )
     out = local.join(F.broadcast(prevs), "__pid", "left")
     for c in lag_cols:
         out = out.withColumn(

@@ -235,17 +235,28 @@ def orders_abc_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").cast("bigint").alias("sq"),
         F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
     )
-    wcum = Window.orderBy(F.col("rev").desc(), "p").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wall = Window.partitionBy()
-    abc = pr.select(
-        "p",
-        "rev",
-        (
-            F.sum("rev").over(wcum).cast("double")
-            / F.sum("rev").over(wall).cast("double")
-        ).alias("cum_share"),
+    # sharded running revenue over (rev desc, p) — the part-grain
+    # cumulative share without a single-partition window; the total is a
+    # broadcast one-row aggregate and decimal sums stay exact (r6
+    # substrate, operators/shard.sharded_prefix_sums)
+    from kafka_etl_consumer_spark.operators.shard import sharded_prefix_sums
+
+    tot = pr.agg(F.sum("rev").alias("__tot"))
+    abc = (
+        sharded_prefix_sums(
+            pr,
+            [F.col("rev").desc(), F.col("p").asc()],
+            {"rev": "__cum"},
+            shard_key=-F.col("rev"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p",
+            "rev",
+            (F.col("__cum").cast("double") / F.col("__tot").cast("double")).alias(
+                "cum_share"
+            ),
+        )
     )
     cvx = F.sqrt(
         F.greatest(

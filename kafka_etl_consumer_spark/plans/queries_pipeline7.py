@@ -1197,19 +1197,26 @@ FROM ranked
 def pareto_revenue_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer revenue concentration: total customers, how many top
     customers reach 80% of revenue, and the top decile's share. One
-    hash-agg to the customer grain (sublinear), then windows over the
-    customer table under a total order (rev desc, key). At 100 TB the
-    customer grain is still the small side — the windows never see raw
-    orders."""
+    hash-agg to the customer grain (sublinear), then SHARDED running
+    sums over (rev desc, key) — global rank rides as a prefix sum of
+    ones, totals are a broadcast one-row aggregate, and the customer
+    shuffle materializes once for all branches (the r6 substrate +
+    pruning barrier; no single-partition window, exact decimal cums)."""
+    from kafka_etl_consumer_spark.operators.shard import sharded_prefix_sums
+
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    wr = Window.orderBy(F.col("rev").desc(), "o_custkey")
-    ranked = cust.select(
-        "rev",
-        F.row_number().over(wr).alias("rn"),
-        F.sum("rev").over(wr.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
-        F.sum("rev").over(Window.partitionBy()).alias("total"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    totals = cust.agg(
+        F.sum("rev").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    pr = sharded_prefix_sums(
+        cust.withColumn("__one", F.lit(1).cast("bigint")),
+        [F.col("rev").desc(), F.col("o_custkey").asc()],
+        {"rev": "cum", "__one": "rn"},
+        shard_key=-F.col("rev"),
+    )
+    ranked = pr.crossJoin(F.broadcast(totals)).select(
+        "rev", "rn", "cum", "total", "n"
     )
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),

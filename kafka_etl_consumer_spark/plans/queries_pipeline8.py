@@ -250,12 +250,14 @@ FROM q GROUP BY 1, 2, 3
 @register("rfm_segments", _RFM_ORACLE)
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM quintile grid over ordering customers. Scale: one custkey
-    aggregate (the only data-sized shuffle), then three ntile windows over
-    the CUSTOMER-grain table — each a single-partition sort of customers,
-    the honest cost of global quantile ranks (swap ntile for
-    percent_rank-on-sampled-bounds when the customer table itself is
-    huge); the anchor date is a broadcast one-row aggregate, never a
-    driver collect."""
+    aggregate (the only data-sized shuffle; materialized once — the r6
+    pruning barrier keeps all three quantile branches canonically equal,
+    so the exchange reuses), then three SHARDED exact ntiles over the
+    CUSTOMER-grain table (operators/shard.exact_ntile: per-metric-bucket
+    local row_number + broadcast shard offsets — the r5 "honest
+    single-partition sort of customers" is retired) joined back on the
+    customer key; the anchor date is a broadcast one-row aggregate,
+    never a driver collect."""
     o = _t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("max_d"))
     c = (
@@ -273,12 +275,21 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    q = c.select(
-        "o_custkey",
-        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")).alias("r_q"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_q"),
-        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).alias("m_q"),
-    )
+    from kafka_etl_consumer_spark.operators.shard import exact_ntile
+
+    # each quantile gets its own shard pass over the full-column frame
+    # (full columns keep the three branches' upstream canonically equal
+    # for exchange reuse), then the quintiles join back on the key
+    r_q = exact_ntile(
+        c, ["recency_days", "o_custkey"], 5, "r_q", shard_key="recency_days"
+    ).select("o_custkey", "r_q")
+    f_q = exact_ntile(
+        c, ["frequency", "o_custkey"], 5, "f_q", shard_key="frequency"
+    ).select("o_custkey", "f_q")
+    m_q = exact_ntile(
+        c, ["monetary", "o_custkey"], 5, "m_q", shard_key="monetary"
+    ).select("o_custkey", "m_q")
+    q = r_q.join(f_q, "o_custkey").join(m_q, "o_custkey")
     return q.groupBy("r_q", "f_q", "m_q").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers")
     )

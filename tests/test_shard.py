@@ -158,3 +158,22 @@ def test_no_unpartitioned_window_over_data(spark, skewed):
             # must have an Aggregate beneath (the per-shard count table)
             sub = [c.getClass().getSimpleName() for c in walk(node)]
             assert "Aggregate" in sub
+
+
+def test_upstream_exchange_reused_across_branches(spark):
+    """The pruning-barrier zero term (shard._zero) must keep the substrate's
+    auxiliary branches canonically equal to the main branch, so the
+    upstream aggregate's shuffle materializes ONCE (ReusedExchange in the
+    executed adaptive plan) instead of once per branch."""
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.operators.shard import exact_ntile
+
+    ev = spark.createDataFrame(
+        [Row(user_id=i % 37, v=float(i % 11)) for i in range(2000)]
+    )
+    u = ev.groupBy("user_id").agg(F.sum("v").alias("score"))
+    got = exact_ntile(u, ["score", "user_id"], 5, out_col="b", shard_key="score")
+    got.collect()
+    executed = got._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
