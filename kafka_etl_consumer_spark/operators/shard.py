@@ -94,9 +94,11 @@ def _bucketed(
     window branch on ``__pid`` (its one full-data exchange) and derive
     the per-shard summary straight from the bucketed frame, where the
     map-side partial aggregate shrinks it to |shards| rows before any
-    shuffle. Each branch re-reads the base columns — two cheap columnar
-    scans in exchange for value-deterministic shard ids (the broadcast
-    min/max subtree is identical in both branches and reuses)."""
+    shuffle. When ``df`` bottoms out in a plain scan, each branch
+    re-reads those columns (cheap, columnar); when it contains an
+    exchange (an upstream aggregate/join), the :func:`_zero` barrier
+    keeps the branches canonically equal so that exchange materializes
+    ONCE and every branch re-reads the shuffle, not the lineage."""
     s = _shards(df, num_shards)
     key = shard_key if shard_key is not None else _as_cols(order_cols)[0]
     if isinstance(key, str):
