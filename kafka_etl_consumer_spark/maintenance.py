@@ -325,6 +325,23 @@ def forget_keys(
         shutil.rmtree(backup)
         rewritten = -1
 
+    # an erasure that matched EVERY row of EVERY partition leaves no
+    # parquet files at all — a plain read would fail schema inference;
+    # that outcome is a fully-successful erasure, not an error
+    has_files = any(
+        f.endswith(".parquet") and not f.startswith(("_", "."))
+        for _, _, files in os.walk(table_path)
+        for f in files
+    )
+    if not has_files:
+        return {
+            "rows_before": rows_before,
+            "rows_deleted": rows_before,
+            "rows_after": 0,
+            "partitions_rewritten": rewritten,
+            "orphans_vacuumed": orphans_vacuumed,
+            "residual_matches": 0,
+        }
     after = spark.read.parquet(table_path)
     rows_after = after.count()
     residual = after.join(keys, key_col, "left_semi").count()

@@ -336,3 +336,23 @@ def test_forget_keys_deletes_fully_erased_partition(spark, tmp_path):
     left = spark.read.parquet(table)
     assert left.filter(F.col("d") == 2).count() == 0
     assert left.count() == 3
+
+
+def test_forget_keys_total_erasure_leaves_readable_state(spark, tmp_path):
+    """Erasing EVERY row of EVERY partition leaves no parquet files —
+    the audit must report the fully-successful erasure instead of
+    failing schema inference on the empty directory."""
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.maintenance import forget_keys
+
+    table = str(tmp_path / "t")
+    rows = [Row(user_id=u, d=d, v=u) for d in (1, 2) for u in (d, d + 10)]
+    spark.createDataFrame(rows).write.partitionBy("d").parquet(table)
+    audit = forget_keys(
+        spark, table, "user_id",
+        spark.createDataFrame([Row(user_id=u) for u in (1, 2, 11, 12)]),
+        partition_col="d",
+    )
+    assert audit["rows_before"] == 4 and audit["rows_after"] == 0
+    assert audit["rows_deleted"] == 4 and audit["residual_matches"] == 0
