@@ -88,3 +88,42 @@ def test_grid_quantiles_match_duckdb_quantile_cont(spark):
         for a, b, n in zip(got[grp], want[grp], names):
             # round(6) is what every oracle applies before hashing
             assert round(a, 6) == round(b, 6), (grp, n, a, b)
+
+
+def test_exact_ntile_matches_duckdb_window_ntile(spark):
+    """The r6 sharded exact_ntile replays ntile's (rank, n) bucket
+    arithmetic instead of running a window — pin it against DuckDB's
+    actual window ntile on adversarial sizes: n < k, n == k, n a
+    multiple of k, n = k*q + r for every r, plus heavy key ties broken
+    only by the id. A convention drift in either engine (first-buckets-
+    bigger) fails here instead of as an oracle mismatch."""
+    import duckdb as _duck
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.operators.shard import exact_ntile
+
+    rng = np.random.default_rng(20260816)
+    for k in (3, 5, 10):
+        for n in (1, k - 1, k, k + 1, 4 * k, 4 * k + 3):
+            if n < 1:
+                continue
+            keys = rng.integers(0, max(2, n // 3), n)  # heavy ties
+            pdf = pd.DataFrame({"id": np.arange(n), "key": keys.astype(np.float64)})
+            got = {
+                r["id"]: r["b"]
+                for r in exact_ntile(
+                    spark.createDataFrame(pdf),
+                    ["key", "id"],
+                    k,
+                    out_col="b",
+                    num_shards=7,
+                ).collect()
+            }
+            con = _duck.connect()
+            con.register("t", pdf)
+            exp = dict(
+                con.execute(
+                    f"SELECT id, ntile({k}) OVER (ORDER BY key, id) FROM t"
+                ).fetchall()
+            )
+            assert got == exp, (k, n)
