@@ -177,3 +177,22 @@ def test_upstream_exchange_reused_across_branches(spark):
     got.collect()
     executed = got._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_substrate_keeps_column_pruning_at_the_scan(spark, sf_dir):
+    """The pruning barrier must not widen the SCAN: it references all
+    columns of the (already projected) input frame, so the parquet
+    reader still reads only the query's columns — asserted on
+    sample_systematic_nth (4 of events' 6 columns) for every branch."""
+    from kafka_etl_consumer_spark.plans import QUERIES
+
+    df = QUERIES["sample_systematic_nth"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schemas, "no scans found"
+    for line in schemas:
+        assert "props" not in line and "user_id" not in line, line
