@@ -76,11 +76,49 @@ def _zero(df: DataFrame) -> Column:
     executed plan gains the ReusedExchange; asserted in test_shard.py).
     least(0, abs(hash(...))) is not constant-foldable and is exactly 0
     for every row (hash is never NULL; the bigint cast keeps
-    abs(Integer.MIN_VALUE) from overflowing under ANSI mode)."""
+    abs(Integer.MIN_VALUE) from overflowing under ANSI mode).
+
+    The barrier is ADAPTIVE (:func:`_has_reusable_exchange`): when the
+    input bottoms out in a plain scan there is no exchange to reuse —
+    the term would only WIDEN the auxiliary branches' column reads (the
+    summary branch would scan payload bytes it never needs) — so the
+    helpers substitute a literal 0 there and let each branch prune
+    freely; two thin columnar scans beat one wide one."""
     return F.least(
         F.lit(0).cast("bigint"),
         F.abs(F.hash(*[F.col(c) for c in df.columns]).cast("bigint")),
     ).cast("int")
+
+
+_EXCHANGE_SHAPES = {
+    "Aggregate",
+    "Join",
+    "Window",
+    "Deduplicate",
+    "Repartition",
+    "RepartitionByExpression",
+    "RepartitionOperation",
+    "Sort",
+    "GlobalLimit",
+}
+
+
+def _has_reusable_exchange(df: DataFrame) -> bool:
+    """True when ``df``'s optimized plan contains a node that plans an
+    exchange (aggregate/join/window/sort/repartition) — only then does
+    the pruning barrier buy anything (see :func:`_zero`)."""
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() in _EXCHANGE_SHAPES:
+            return True
+        ch = node.children()
+        stack.extend(ch.apply(i) for i in range(ch.size()))
+    return False
+
+
+def _maybe_zero(df: DataFrame, use_barrier: bool) -> Column:
+    return _zero(df) if use_barrier else F.lit(0)
 
 
 def _bucketed(
@@ -88,7 +126,7 @@ def _bucketed(
     order_cols: Sequence[str | Column],
     shard_key: Column | str | None,
     num_shards: int | None,
-) -> tuple[DataFrame, int]:
+) -> tuple[DataFrame, int, bool]:
     """Attach the deterministic shard id ``__pid`` (0..S-1) and return
     (bucketed frame — NOT yet repartitioned, S). Callers repartition the
     window branch on ``__pid`` (its one full-data exchange) and derive
@@ -100,11 +138,12 @@ def _bucketed(
     keeps the branches canonically equal so that exchange materializes
     ONCE and every branch re-reads the shuffle, not the lineage."""
     s = _shards(df, num_shards)
+    use_barrier = _has_reusable_exchange(df)
     key = shard_key if shard_key is not None else _as_cols(order_cols)[0]
     if isinstance(key, str):
         key = F.col(key)
     key = key.cast("double")
-    z = F.max(_zero(df))  # pruning barrier: see _zero
+    z = F.max(_maybe_zero(df, use_barrier))  # pruning barrier: see _zero
     rng = df.agg((F.min(key) + z).alias("__lo"), (F.max(key) + z).alias("__hi"))
     lo, hi = F.col("__lo"), F.col("__hi")
     pid = F.when(hi == lo, F.lit(0)).otherwise(
@@ -115,7 +154,7 @@ def _bucketed(
         .withColumn("__pid", pid.cast("int"))
         .drop("__lo", "__hi")
     )
-    return out, s
+    return out, s, use_barrier
 
 
 def with_global_row_number(
@@ -132,12 +171,13 @@ def with_global_row_number(
     |shards|-row count table, broadcast back. ``n_col``: also attach
     the global row count (saves the separate pass callers like exact
     ntile arithmetic need)."""
-    b, s = _bucketed(df, order_cols, shard_key, num_shards)
+    b, s, barrier = _bucketed(df, order_cols, shard_key, num_shards)
     part = b.repartition(s, "__pid")
     w_local = Window.partitionBy("__pid").orderBy(*_as_cols(order_cols))
     local = part.select("*", F.row_number().over(w_local).alias("__lrn"))
     counts = b.groupBy("__pid").agg(
-        F.count(F.lit(1)).alias("__c"), F.max(_zero(b)).alias("__zb")
+        F.count(F.lit(1)).alias("__c"),
+        F.max(_maybe_zero(b, barrier)).alias("__zb"),
     )
     # |shards| rows: the unpartitioned windows here are bounded by design
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -169,7 +209,7 @@ def sharded_prefix_sums(
     total order, sharded: local running sums within shards plus the
     broadcast prefix of per-shard subtotals. ``sum_cols`` maps each
     input column to its output running-total column name."""
-    b, s = _bucketed(df, order_cols, shard_key, num_shards)
+    b, s, barrier = _bucketed(df, order_cols, shard_key, num_shards)
     part = b.repartition(s, "__pid")
     w_local = (
         Window.partitionBy("__pid")
@@ -181,7 +221,7 @@ def sharded_prefix_sums(
     )
     subtot = b.groupBy("__pid").agg(
         *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
-        F.max(_zero(b)).alias("__zb"),
+        F.max(_maybe_zero(b, barrier)).alias("__zb"),
     )
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = subtot.select(
@@ -218,7 +258,7 @@ def sharded_lag(
     ``order_cols`` must be plain ascending column names here (the struct
     max encodes the boundary order) and, as everywhere in this module, a
     total order."""
-    b, s = _bucketed(df, order_cols, shard_key, num_shards)
+    b, s, barrier = _bucketed(df, order_cols, shard_key, num_shards)
     part = b.repartition(s, "__pid")
     ocols = list(order_cols)
     lcols = [c for c in lag_cols if c not in ocols]
@@ -232,7 +272,8 @@ def sharded_lag(
     # shard's LAST row (total order makes the tail fields inert)
     row = F.struct(*ocols, *lcols)
     bounds = b.groupBy("__pid").agg(
-        F.max(row).alias("__last"), F.max(_zero(b)).alias("__zb")
+        F.max(row).alias("__last"),
+        F.max(_maybe_zero(b, barrier)).alias("__zb"),
     )
     w_b = Window.orderBy("__pid")
     prevs = bounds.select(
