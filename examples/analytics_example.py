@@ -52,6 +52,19 @@ def main() -> None:
         right_ts="o_orderdate",
     ).show(5)
 
+    print("== sharded total-order ops: global rank / ntile without a single-partition window ==")
+    from kafka_etl_consumer_spark.operators import exact_ntile, sharded_prefix_sums
+
+    cust = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    exact_ntile(
+        cust, [F.col("rev").desc(), "o_custkey"], 10,
+        out_col="rev_decile", shard_key=-F.col("rev"),
+    ).groupBy("rev_decile").count().orderBy("rev_decile").show(10)
+    sharded_prefix_sums(
+        cust, [F.col("rev").desc(), "o_custkey"], {"rev": "running_rev"},
+        shard_key=-F.col("rev"),
+    ).orderBy(F.col("rev").desc()).show(3)
+
     print("== skew-safe aggregation + theta-sketch distinct users ==")
     salted_agg(
         ev, ["event_type"], [("count", "*", "n"), ("avg", "value", "avg_v")],

@@ -44,6 +44,12 @@ from kafka_etl_consumer_spark.operators.multimodal import (
     sample_frames,
 )
 from kafka_etl_consumer_spark.operators.rollup import refresh_rollup, time_bucket
+from kafka_etl_consumer_spark.operators.shard import (
+    exact_ntile,
+    sharded_lag,
+    sharded_prefix_sums,
+    with_global_row_number,
+)
 from kafka_etl_consumer_spark.operators.text import bpe_token_count
 
 __all__ = [
