@@ -84,9 +84,18 @@ def _zero(df: DataFrame) -> Column:
     summary branch would scan payload bytes it never needs) — so the
     helpers substitute a literal 0 there and let each branch prune
     freely; two thin columnar scans beat one wide one."""
+    # hash() rejects MapType (no deterministic element order): skip any
+    # column whose type contains a map — it may then be pruned from an
+    # auxiliary branch, which degrades exchange reuse for plans that
+    # carry maps, never correctness (the shard id stays value-based)
+    hashable = [
+        f.name for f in df.schema.fields if "map<" not in f.dataType.simpleString()
+    ]
+    if not hashable:
+        return F.lit(0)
     return F.least(
         F.lit(0).cast("bigint"),
-        F.abs(F.hash(*[F.col(c) for c in df.columns]).cast("bigint")),
+        F.abs(F.hash(*[F.col(c) for c in hashable]).cast("bigint")),
     ).cast("int")
 
 

@@ -196,3 +196,20 @@ def test_substrate_keeps_column_pruning_at_the_scan(spark, sf_dir):
     assert schemas, "no scans found"
     for line in schemas:
         assert "props" not in line and "user_id" not in line, line
+
+
+def test_substrate_tolerates_map_columns(spark):
+    """hash() rejects MapType; the barrier must skip map columns (it may
+    cost exchange reuse, never correctness) instead of failing analysis
+    — events-like frames carry a props map."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=i, key=float(i % 9), props={"a": str(i)}) for i in range(60)]
+    )
+    agg = df.groupBy("key", "id").agg(F.first("props").alias("props"))
+    got = with_global_row_number(agg, ["key", "id"], "rn")
+    exp = agg.select(
+        "id", F.row_number().over(Window.orderBy("key", "id")).alias("rn_e")
+    )
+    assert _mismatches(got.join(exp, "id"), "rn", "rn_e") == 0
