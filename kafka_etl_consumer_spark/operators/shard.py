@@ -24,10 +24,16 @@ data stays sharded across the cluster:
    window is bounded by construction, broadcast back onto the data.
 
 Ordering contract: ``order_cols`` must be a TOTAL order (include a
-unique tiebreaker such as the row id) with NON-NULL keys, and
-``shard_key`` must be numeric and weakly monotone in that order (rows
-equal on it may straddle nothing: equal keys share a bucket, so bucket
-boundaries always respect the total order). Equi-width buckets trade
+unique tiebreaker such as the row id) under Spark's DEFAULT ascending
+NULLS-FIRST direction, and ``shard_key`` must be numeric and weakly
+monotone in that order (rows equal on it may straddle nothing: equal
+keys share a bucket, so bucket boundaries always respect the total
+order). NULL shard keys are routed to shard 0, which is exactly where
+the ascending NULLS-FIRST window would rank them — without the explicit
+branch, ``least(s-1, floor(NULL))`` SKIPS the NULL (the same ``least``
+gotcha operators/ranks.py:80 fixes) and a NULL-key row would silently
+land in the TOP shard and rank mid-sequence (VERDICT r6 item 1).
+Descending or NULLS-LAST orderings still require non-null keys. Equi-width buckets trade
 balance for determinism — our synthetic keys (ids, timestamps, scores)
 spread well; a production deployment with pathological key skew swaps
 the bucket expression for percentile-sampled boundaries behind the same
@@ -155,8 +161,16 @@ def _bucketed(
     z = F.max(_maybe_zero(df, use_barrier))  # pruning barrier: see _zero
     rng = df.agg((F.min(key) + z).alias("__lo"), (F.max(key) + z).alias("__hi"))
     lo, hi = F.col("__lo"), F.col("__hi")
-    pid = F.when(hi == lo, F.lit(0)).otherwise(
-        F.least(F.lit(s - 1), F.floor((key - lo) / (hi - lo) * s))
+    # NULL keys first (module contract: ascending NULLS FIRST — shard 0).
+    # This branch must PRECEDE the arithmetic: least() skips NULL operands,
+    # so least(s-1, floor(NULL)) would return s-1 and silently rank the
+    # row mid-sequence instead of first (VERDICT r6 / ADVICE r6). The
+    # hi==lo test also goes NULL when every key is NULL; the isNull branch
+    # catches that case too.
+    pid = (
+        F.when(key.isNull(), F.lit(0))
+        .when(hi == lo, F.lit(0))
+        .otherwise(F.least(F.lit(s - 1), F.floor((key - lo) / (hi - lo) * s)))
     )
     out = (
         df.crossJoin(F.broadcast(rng))

@@ -213,3 +213,51 @@ def test_substrate_tolerates_map_columns(spark):
         "id", F.row_number().over(Window.orderBy("key", "id")).alias("rn_e")
     )
     assert _mismatches(got.join(exp, "id"), "rn", "rn_e") == 0
+
+
+def test_null_shard_keys_rank_nulls_first(spark):
+    """NULL order keys must rank exactly where the ascending NULLS-FIRST
+    window puts them — FIRST — not mid-sequence in the top shard (the
+    least(s-1, floor(NULL)) gotcha, VERDICT r6 item 1). Checked across
+    all four helpers with several NULL rows and a unique tiebreaker."""
+    rows = [
+        Row(id=i, key=None if i % 7 == 0 else float(i % 23), val=i % 5)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, key double, val bigint"
+    )
+    w = Window.orderBy("key", "id")
+
+    rn = with_global_row_number(df, ["key", "id"], "rn", num_shards=8)
+    rn_e = df.select("id", F.row_number().over(w).alias("rn_e"))
+    assert _mismatches(rn.join(rn_e, "id"), "rn", "rn_e") == 0
+
+    ps = sharded_prefix_sums(df, ["key", "id"], {"val": "run"}, num_shards=8)
+    ps_e = df.select(
+        "id",
+        F.sum("val").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_e"),
+    )
+    assert _mismatches(ps.join(ps_e, "id"), "run", "run_e") == 0
+
+    lg = sharded_lag(df, ["key", "id"], ["val"], num_shards=8)
+    lg_e = df.select("id", F.lag("val").over(w).alias("prev_val_e"))
+    assert _mismatches(lg.join(lg_e, "id"), "prev_val", "prev_val_e") == 0
+
+    nt = exact_ntile(df, ["key", "id"], 4, "bucket", num_shards=8)
+    nt_e = df.select("id", F.ntile(4).over(w).alias("bucket_e"))
+    assert _mismatches(nt.join(nt_e, "id"), "bucket", "bucket_e") == 0
+
+
+def test_all_null_shard_keys(spark):
+    """Degenerate case: EVERY key NULL — min/max are NULL so hi==lo is
+    NULL; the isNull branch must still route every row to one shard and
+    the tiebreaker alone defines the order."""
+    df = spark.createDataFrame(
+        [Row(id=i, key=None) for i in range(50)], "id bigint, key double"
+    )
+    got = with_global_row_number(df, ["key", "id"], "rn", num_shards=4)
+    exp = df.select(
+        "id", F.row_number().over(Window.orderBy("key", "id")).alias("rn_e")
+    )
+    assert _mismatches(got.join(exp, "id"), "rn", "rn_e") == 0
