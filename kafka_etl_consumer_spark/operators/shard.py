@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "with_global_row_number",
     "sharded_prefix_sums",
+    "sharded_prefix_extrema",
     "sharded_lag",
     "exact_ntile",
 ]
@@ -260,6 +261,61 @@ def sharded_prefix_sums(
         out = out.withColumn(name, F.col(f"__l_{c}") + F.col(f"__o_{c}"))
     return out.drop(
         "__pid", *[f"__l_{c}" for c in sum_cols], *[f"__o_{c}" for c in sum_cols]
+    )
+
+
+def sharded_prefix_extrema(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    cols: Mapping[str, str],
+    kind: str = "min",
+    inclusive: bool = True,
+    shard_key: Column | str | None = None,
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Running ``min``/``max`` under a total order, sharded: the local
+    running extremum within each shard combined with the broadcast
+    prefix-extremum of the per-shard totals. ``inclusive=False`` gives
+    the ROWS UNBOUNDED PRECEDING..1 PRECEDING frame (NULL for the global
+    first row, exactly like the window form) — the frame the sort-scan
+    skyline and "has anything better come before me" audits need.
+
+    The final combine uses ``least``/``greatest``, whose NULL-skipping
+    is the WANTED semantics here (an empty local or shard prefix
+    contributes nothing; both empty → NULL), unlike the shard-id
+    arithmetic above where it had to be defended against."""
+    if kind not in ("min", "max"):
+        raise ValueError(f"kind must be 'min' or 'max', got {kind!r}")
+    agg_fn = F.min if kind == "min" else F.max
+    pick = F.least if kind == "min" else F.greatest
+    b, s, barrier = _bucketed(df, order_cols, shard_key, num_shards)
+    part = b.repartition(s, "__pid")
+    lo_end = 0 if inclusive else -1
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*_as_cols(order_cols))
+        .rowsBetween(Window.unboundedPreceding, lo_end)
+    )
+    local = part.select(
+        "*", *[agg_fn(c).over(w_local).alias(f"__l_{c}") for c in cols]
+    )
+    totals = b.groupBy("__pid").agg(
+        *[agg_fn(c).alias(f"__s_{c}") for c in cols],
+        F.max(_maybe_zero(b, barrier)).alias("__zb"),
+    )
+    # EXCLUSIVE prefix over the |shards|-row table: earlier shards only —
+    # the current shard's contribution is already in the local window
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        # +__zb (always 0) keeps the barrier column referenced end-to-end
+        (F.col("__pid") + F.col("__zb")).alias("__pid"),
+        *[agg_fn(f"__s_{c}").over(w_off).alias(f"__o_{c}") for c in cols],
+    )
+    out = local.join(F.broadcast(offs), "__pid")
+    for c, name in cols.items():
+        out = out.withColumn(name, pick(F.col(f"__l_{c}"), F.col(f"__o_{c}")))
+    return out.drop(
+        "__pid", *[f"__l_{c}" for c in cols], *[f"__o_{c}" for c in cols]
     )
 
 

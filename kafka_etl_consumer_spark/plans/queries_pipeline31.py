@@ -163,12 +163,18 @@ def skyline_parts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline of parts minimizing (retail price, size). The
     sort-scan algorithm: after sorting by (price, size), a row is
     Pareto-optimal iff its size is strictly below every earlier row's
-    size — one running-min window, no pairwise dominance join (the
-    naive NOT EXISTS is O(N^2)). Scale: distinct-(price,size) collapse
-    first, ONE bounded sort of that grain; at 100 TB the frontier of a
-    range-partitioned sort merges per-partition frontiers with the
-    same rule. Duplicate (price,size) points collapse to one frontier
-    row carrying their count."""
+    size — one running-min, no pairwise dominance join (the naive
+    NOT EXISTS is O(N^2)). Scale: distinct-(price,size) collapse
+    first; the exclusive running min then runs on the SHARD SUBSTRATE
+    (operators/shard.py sharded_prefix_extrema — local running min per
+    price-range shard + the broadcast prefix-min of per-shard minima),
+    so the grain table never funnels through one task the way the
+    plain unpartitioned window did (the tightened data-derived window
+    guard caught exactly that: p_retailprice is data grain, r7).
+    Duplicate (price,size) points collapse to one frontier row
+    carrying their count."""
+    from kafka_etl_consumer_spark.operators.shard import sharded_prefix_extrema
+
     p = _t(spark, sf_dir, "part")
     g = p.groupBy(
         F.col("p_retailprice").alias("price"),
@@ -177,10 +183,13 @@ def skyline_parts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_partkey").cast("bigint").alias("keeper_partkey"),
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
     )
-    w = Window.orderBy("price", "sz", "keeper_partkey").rowsBetween(
-        Window.unboundedPreceding, -1
+    r = sharded_prefix_extrema(
+        g,
+        ["price", "sz", "keeper_partkey"],
+        {"sz": "prev_min_sz"},
+        kind="min",
+        inclusive=False,
     )
-    r = g.withColumn("prev_min_sz", F.min("sz").over(w))
     return r.filter(
         F.col("prev_min_sz").isNull() | (F.col("sz") < F.col("prev_min_sz"))
     ).select("price", F.col("sz").alias("size"), "keeper_partkey", "n_parts")

@@ -592,6 +592,7 @@ def backfill_decoded(
     event_time_col: str | Column | None = None,
     date_format: str = "yyyy-MM-dd/HH/mm",
     bronze_partitions: Iterable[str] | None = None,
+    vacuum_force: bool = False,
 ) -> int:
     """Re-decode landed bronze bytes into the hive-layout silver table,
     atomically replacing ONLY the named ``dt0`` partitions (dynamic
@@ -725,14 +726,21 @@ def backfill_decoded(
     # micro-batches at final paths). Once the log is gone those ghosts
     # would surface to plain-listing readers as duplicate rows (ADVICE
     # r5); vacuuming must precede the write so it never sees the new
-    # files, which the log doesn't name either.
-    import os as _os
-
-    from kafka_etl_consumer_spark.maintenance import vacuum_streaming_sink
+    # files, which the log doesn't name either. The vacuum's restart
+    # guard applies (ADVICE r6): if the silver directory looks like a
+    # sink restarted with a fresh checkpoint — whose "orphans" are really
+    # pre-restart COMMITTED files — it raises instead of deleting them;
+    # re-land that data first or pass vacuum_force=True after verifying.
+    from kafka_etl_consumer_spark.maintenance import (
+        _fs as _hadoop_fs,
+        _jpath as _hpath,
+        vacuum_streaming_sink,
+    )
 
     silver = f"{output_path}/{topic}"
-    if _os.path.isdir(_os.path.join(silver, "_spark_metadata")):
-        vacuum_streaming_sink(silver, delete=True)
+    _sfs, _sjvm = _hadoop_fs(spark, silver)
+    if _sfs.exists(_hpath(_sjvm, f"{silver}/_spark_metadata")):
+        vacuum_streaming_sink(silver, delete=True, force=vacuum_force, spark=spark)
 
     # persist so the Avro decode — the dominant cost of this path — runs
     # once across the count and the write, not twice

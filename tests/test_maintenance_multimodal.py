@@ -224,3 +224,87 @@ def test_vacuum_streaming_sink_removes_phantom_files(spark, tmp_path):
     vacuum_streaming_sink(out, delete=True)
     assert duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0] == 10
     assert spark.read.parquet(out).count() == 10  # committed files untouched
+
+
+def test_vacuum_restart_guard_refuses_pre_restart_committed_data(spark, tmp_path):
+    """ADVICE r6 (high): a stream restarted into the same directory with a
+    fresh checkpoint writes a FRESH _spark_metadata naming only post-restart
+    files — the pre-restart COMMITTED files then look like orphans and an
+    unconditional delete would destroy them. The vacuum must refuse unless
+    force=True."""
+    import time
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from kafka_etl_consumer_spark.maintenance import vacuum_streaming_sink
+
+    schema = T.StructType([T.StructField("x", T.LongType())])
+    out = str(tmp_path / "out")
+
+    def _run(src, ckpt, lo, hi):
+        spark.createDataFrame(
+            [Row(x=i) for i in range(lo, hi)], schema
+        ).coalesce(1).write.parquet(src)
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _run(str(tmp_path / "src1"), str(tmp_path / "ck1"), 0, 10)
+    old_files = glob.glob(os.path.join(out, "*.parquet"))
+    assert old_files
+    # the restart flow: log dropped (e.g. after a backfill's partition
+    # overwrite), then a NEW stream with a fresh checkpoint lands here
+    import shutil
+
+    shutil.rmtree(os.path.join(out, "_spark_metadata"))
+    time.sleep(0.2)  # pre-restart files must predate the fresh log
+    _run(str(tmp_path / "src2"), str(tmp_path / "ck2"), 100, 105)
+
+    # the fresh log hides the 10 pre-restart rows; they are NOT orphans
+    with pytest.raises(RuntimeError, match="restart"):
+        vacuum_streaming_sink(out, delete=True)
+    # non-destructive listing still reports them, and nothing was deleted
+    listed = vacuum_streaming_sink(out)
+    assert set(listed) == {os.path.abspath(f) for f in old_files}
+    assert all(os.path.exists(f) for f in old_files)
+    # explicit opt-in after manual verification proceeds
+    vacuum_streaming_sink(out, delete=True, force=True)
+    assert not any(os.path.exists(f) for f in old_files)
+
+
+def test_forget_keys_escaped_partition_directory(spark, tmp_path):
+    """ADVICE r6 (low): a fully-erased partition whose VALUE needs Hive
+    escaping ('/' ':') must still have its directory deleted — the dir on
+    disk is the ESCAPED spelling the writer produced, not the raw value."""
+    from pyspark.sql import Row
+
+    from kafka_etl_consumer_spark.maintenance import forget_keys
+
+    table = str(tmp_path / "t")
+    rows = [
+        Row(user_id=u, s="x/y:z" if u <= 2 else "plain", v=u)
+        for u in range(1, 7)
+    ]
+    spark.createDataFrame(rows).write.partitionBy("s").parquet(table)
+    assert os.path.isdir(f"{table}/s=x%2Fy%3Az")  # writer escaped it
+
+    audit = forget_keys(
+        spark, table, "user_id",
+        spark.createDataFrame([Row(user_id=1), Row(user_id=2)]),
+        partition_col="s",
+    )
+    # strict=True (default) did not raise => residual is provably 0
+    assert audit["residual_matches"] == 0
+    assert audit["rows_deleted"] == 2
+    assert not os.path.exists(f"{table}/s=x%2Fy%3Az")
+    left = spark.read.parquet(table)
+    assert left.filter(F.col("s") == "x/y:z").count() == 0
+    assert left.count() == 4

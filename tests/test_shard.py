@@ -261,3 +261,27 @@ def test_all_null_shard_keys(spark):
         "id", F.row_number().over(Window.orderBy("key", "id")).alias("rn_e")
     )
     assert _mismatches(got.join(exp, "id"), "rn", "rn_e") == 0
+
+
+def test_prefix_extrema_matches_global_window(spark, skewed):
+    """Running min/max, inclusive and exclusive frames, vs the plain
+    unpartitioned window — including NULL results for the global first
+    row(s) under the exclusive frame."""
+    from kafka_etl_consumer_spark.operators.shard import sharded_prefix_extrema
+
+    w = Window.orderBy("key", "id")
+    for kind, fn in (("min", F.min), ("max", F.max)):
+        for inclusive, frame_end in ((True, 0), (False, -1)):
+            got = sharded_prefix_extrema(
+                skewed, ["key", "id"], {"val": "run"},
+                kind=kind, inclusive=inclusive, num_shards=8,
+            )
+            exp = skewed.select(
+                "id",
+                fn("val")
+                .over(w.rowsBetween(Window.unboundedPreceding, frame_end))
+                .alias("run_e"),
+            )
+            assert _mismatches(got.join(exp, "id"), "run", "run_e") == 0, (
+                kind, inclusive,
+            )
