@@ -291,6 +291,17 @@ HEADLINE = [
     "bin_quantile_deciles_hist",
     "eval_auc_rank_binned",
     "eval_lift_deciles_binned",
+    # round-7: regression-as-aggregation, survey sampling, sequential
+    # testing on the shard substrate, corpus/embedding accounting
+    "ml_ols_normal_eq",
+    "ts_fourier_seasonal_fit",
+    "embedding_isotropy",
+    "corpus_domain_reweight",
+    "text_token_fertility",
+    "stats_bayes_ab_beta",
+    "sample_horvitz_thompson",
+    "eval_pinball_quantiles",
+    "stats_sprt_boundary",
 ]
 
 

@@ -155,9 +155,19 @@ def _bucketed(
     ONCE and every branch re-reads the shuffle, not the lineage."""
     s = _shards(df, num_shards)
     use_barrier = _has_reusable_exchange(df)
-    key = shard_key if shard_key is not None else _as_cols(order_cols)[0]
+    key = shard_key if shard_key is not None else order_cols[0]
+    # temporal keys can't cast straight to double (ANSI): take the
+    # strictly monotone epoch projection instead, so ts-ordered streams
+    # shard without callers hand-rolling a surrogate
     if isinstance(key, str):
-        key = F.col(key)
+        dt = dict(df.dtypes).get(key, "")
+        col = F.col(key)
+        if dt.startswith("timestamp"):
+            key = F.unix_micros(col.cast("timestamp"))
+        elif dt == "date":
+            key = F.datediff(col, F.lit("1970-01-01").cast("date"))
+        else:
+            key = col
     key = key.cast("double")
     z = F.max(_maybe_zero(df, use_barrier))  # pruning barrier: see _zero
     rng = df.agg((F.min(key) + z).alias("__lo"), (F.max(key) + z).alias("__hi"))

@@ -52,4 +52,8 @@ from kafka_etl_consumer_spark.plans import queries_pipeline34 as _qp34  # noqa: 
 # last for the same rotation reason
 from kafka_etl_consumer_spark.plans import queries_pipeline35 as _qp35  # noqa: F401,E402
 
+# round-7 additions import last so the 24 older never-checked queries
+# drain FIRST in the driver's 50-slot rotation (24 + 9 new = 33 <= 50)
+from kafka_etl_consumer_spark.plans import queries_pipeline36 as _qp36  # noqa: F401,E402
+
 __all__ = ["QUERIES", "ORACLES"]
