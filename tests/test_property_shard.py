@@ -138,3 +138,72 @@ def test_sharded_lag_property(sess, data, s):
         expected[i] = (None, None) if prev is None else prev
         prev = (i, v)
     assert got == expected
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=rows_strategy, s=shards_strategy, inclusive=st.booleans())
+def test_prefix_extrema_property(sess, data, s, inclusive):
+    """Running min under randomized ties/skew/shard counts vs an
+    independent Python fold (exclusive frame: None for the first row)."""
+    from kafka_etl_consumer_spark.operators.shard import sharded_prefix_extrema
+
+    got = {
+        r["id"]: r["run"]
+        for r in sharded_prefix_extrema(
+            _df(sess, data), ["key", "id"], {"val": "run"},
+            kind="min", inclusive=inclusive, num_shards=s,
+        ).collect()
+    }
+    expected = {}
+    cur = None
+    for _, i, v in _sorted_rows(data):
+        if inclusive:
+            cur = v if cur is None else min(cur, v)
+            expected[i] = cur
+        else:
+            expected[i] = cur
+            cur = v if cur is None else min(cur, v)
+    assert got == expected
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    s=shards_strategy,
+)
+def test_row_number_null_keys_property(sess, data, s):
+    """NULL keys anywhere in the distribution must rank NULLS FIRST
+    (Python: None sorts before every int here), per the r7 contract."""
+    df = sess.createDataFrame(
+        [
+            Row(id=i, key=None if k is None else float(k), val=int(v))
+            for i, (k, v) in enumerate(data)
+        ],
+        "id bigint, key double, val bigint",
+    )
+    got = {
+        r["id"]: r["rn"]
+        for r in with_global_row_number(
+            df, ["key", "id"], "rn", num_shards=s
+        ).collect()
+    }
+    ordered = sorted(
+        ((k is not None, k if k is not None else 0.0, i) for i, (k, _) in enumerate(data)),
+    )
+    expected = {i: pos + 1 for pos, (_, _, i) in enumerate(ordered)}
+    assert got == expected
