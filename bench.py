@@ -302,6 +302,10 @@ HEADLINE = [
     "sample_horvitz_thompson",
     "eval_pinball_quantiles",
     "stats_sprt_boundary",
+    "stats_cohens_kappa",
+    "ts_ljung_box",
+    "ml_decision_stump",
+    "ml_naive_bayes_langid",
 ]
 
 
