@@ -62,6 +62,15 @@ def main() -> None:
     print("== 5d. average precision (PR area) and its prevalence floor ==")
     QUERIES["eval_pr_auc"](spark, sf_dir).show()
 
+    print("== 6a. Bayesian read-out: P(B beats A) per event type (r7) ==")
+    QUERIES["stats_bayes_ab_beta"](spark, sf_dir).orderBy("event_type").show()
+
+    print("== 6b. sequential alternative: Wald SPRT crossing point (r7) ==")
+    QUERIES["stats_sprt_boundary"](spark, sf_dir).show()
+
+    print("== 6c. label quality: Cohen's kappa between two labelers (r7) ==")
+    QUERIES["stats_cohens_kappa"](spark, sf_dir).show()
+
     spark.stop()
 
 
