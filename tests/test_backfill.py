@@ -404,3 +404,50 @@ def test_backfill_matches_ingest_event_time_layout(spark, tmp_path):
     assert not os.path.exists(f"{target}/_spark_metadata")
     got = sorted((r.itemId, r.price) for r in spark.read.parquet(target).collect())
     assert got == want
+
+
+def test_backfill_refuses_restarted_sink_vacuum(spark, tmp_path):
+    """ADVICE r6 (high), end-to-end through backfill_decoded: when the
+    silver _spark_metadata is a FRESH log (stream restarted with a new
+    checkpoint) that names only post-restart files, the pre-vacuum must
+    refuse rather than delete the pre-restart committed files; passing
+    vacuum_force=True after verification proceeds and converges."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    raw_dir, events = _bronze_by_hand(spark, tmp_path)
+    out_dir = str(tmp_path / "silver")
+    reg = DictSchemaRegistry({TOPIC: ITEM_VIEW_EVENT_AVSC})
+    backfill_decoded(spark, raw_dir, reg, out_dir, TOPIC)
+    silver = f"{out_dir}/{TOPIC}"
+    pre_restart = glob.glob(f"{silver}/**/*.parquet", recursive=True)
+    assert pre_restart
+
+    # the restart: a fresh log that names ONLY a newly-committed file
+    time.sleep(0.2)  # pre-restart files must predate the log entries
+    part_dir = sorted(glob.glob(f"{silver}/dt0=*"))[0]
+    fresh = os.path.join(part_dir, "part-00000-postrestart.snappy.parquet")
+    shutil.copy(pre_restart[0], fresh)
+    os.makedirs(f"{silver}/_spark_metadata")
+    entry = json.dumps(
+        {"path": f"file://{fresh}", "size": os.path.getsize(fresh),
+         "isDir": False, "modificationTime": 0, "blockReplication": 1,
+         "blockSize": 134217728, "action": "add"}
+    )
+    with open(f"{silver}/_spark_metadata/0", "w") as f:
+        f.write("v1\n" + entry + "\n")
+
+    with _pytest.raises(RuntimeError, match="restart"):
+        backfill_decoded(spark, raw_dir, reg, out_dir, TOPIC)
+    # nothing was deleted by the refused run
+    assert all(os.path.exists(p) for p in pre_restart)
+
+    n = backfill_decoded(
+        spark, raw_dir, reg, out_dir, TOPIC, vacuum_force=True
+    )
+    assert n == len(events)
+    back = spark.read.parquet(silver)
+    got = sorted((r.itemId, r.price) for r in back.collect())
+    assert got == sorted((ev["itemId"], ev["price"]) for ev in events)
