@@ -306,6 +306,9 @@ HEADLINE = [
     "ts_ljung_box",
     "ml_decision_stump",
     "ml_naive_bayes_langid",
+    "stats_cmh_test",
+    "stats_noninferiority_tost",
+    "graph_hits_hubs_auth",
 ]
 
 

@@ -169,6 +169,68 @@ def pagerank(
     return ranks.select(F.col("vid").alias(id_col), "rank")
 
 
+def hits(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 3,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Kleinberg HITS: (id, hub, auth) after ``iterations`` mutual
+    power-iteration rounds with L1 normalization —
+
+        auth_v = sum_{(u,v) in E} hub_u   (then auth /= sum auth)
+        hub_u  = sum_{(u,v) in E} auth_v  (then hub  /= sum hub)
+
+    Same plan economics as :func:`pagerank`: per half-round one
+    edge-keyed join + one grouped partial+final sum. Unlike pagerank,
+    each half-round's per-node sums are consumed TWICE (the L1
+    normalizer aggregate and the division), so a fully-lazy chain
+    doubles per half-round — 2^(2*iterations) leaf evaluations
+    (measured 28.7s vs ~2s at sf0.001) — and even a cache leaves
+    Catalyst re-analyzing the exponentially nested plan. The house rule
+    for iterative graph state applies (same as connected_components /
+    label_propagation): ``localCheckpoint(eager=False)`` each
+    half-round's |V|-row dense table, truncating lineage so every
+    round plans and runs against flat state. Nodes with no in-links
+    (no out-links) carry auth 0 (hub 0) by the coalesce, exactly like
+    the textbook adjacency-matrix form on a non-negative graph."""
+    v = vertices.select(F.col(id_col).alias("vid"))
+    e = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ew"))
+    n_row = F.broadcast(vertices.agg(F.count("*").cast("double").alias("__n")))
+    hub = v.crossJoin(n_row).select(
+        "vid", (F.lit(1.0) / F.col("__n")).alias("score")
+    )
+    auth = hub
+
+    def _step(frm: DataFrame, edge_key: str, group_key: str) -> DataFrame:
+        raw = (
+            e.join(frm.withColumnRenamed("vid", "__j"), F.col(edge_key) == F.col("__j"))
+            .groupBy(F.col(group_key).alias("gid"))
+            .agg(F.sum("score").alias("x"))
+        )
+        dense = v.join(raw, v.vid == raw.gid, "left").select(
+            "vid", F.coalesce(F.col("x"), F.lit(0.0)).alias("x")
+        )
+        # consumed twice (normalizer aggregate + division): truncate
+        # lineage so the join/agg chain runs once and stays flat
+        dense = dense.localCheckpoint(eager=False)
+        tot = F.broadcast(dense.agg(F.sum("x").alias("s")))
+        return dense.crossJoin(tot).select(
+            "vid", (F.col("x") / F.col("s")).alias("score")
+        )
+
+    for _ in range(iterations):
+        auth = _step(hub, "eu", "ew")   # auth from hubs pointing IN
+        hub = _step(auth, "ew", "eu")   # hub from auths pointed AT
+    return (
+        hub.withColumnRenamed("score", "hub")
+        .join(auth.withColumnRenamed("score", "auth"), "vid")
+        .select(F.col("vid").alias(id_col), "hub", "auth")
+    )
+
+
 def oriented_adjacency(
     e: DataFrame, deg: DataFrame
 ) -> tuple[DataFrame, DataFrame]:

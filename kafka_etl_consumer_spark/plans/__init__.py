@@ -56,5 +56,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline35 as _qp35  # noqa: 
 # drain FIRST in the driver's 50-slot rotation (24 + 9 new = 33 <= 50)
 from kafka_etl_consumer_spark.plans import queries_pipeline36 as _qp36  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline37 as _qp37  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline38 as _qp38  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]
