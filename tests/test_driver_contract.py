@@ -1,0 +1,113 @@
+"""Driver-contract invariants that protect the correctness rotation:
+
+- every bench HEADLINE name is a registered query (a typo would make
+  the driver's bench abort mid-run);
+- the rotation puts never-checked queries ahead of green ones, and
+  within the never-checked tie, registration order — so the 24 queries
+  carried from round 6 drain BEFORE this round's additions (the
+  round-7 drain plan depends on it);
+- new-batch modules import last (their names come after the r6
+  never-checked prefix in the registry's iteration order).
+
+No Spark session needed: this is pure registry/rotation logic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import __spark_entry__ as entry
+from kafka_etl_consumer_spark.plans import ORACLES, QUERIES
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+R7_NEW = [
+    # queries_pipeline36/37/38 — registered after every round-6 entry
+    "ml_ols_normal_eq",
+    "ts_fourier_seasonal_fit",
+    "embedding_isotropy",
+    "corpus_domain_reweight",
+    "text_token_fertility",
+    "stats_bayes_ab_beta",
+    "sample_horvitz_thompson",
+    "eval_pinball_quantiles",
+    "stats_sprt_boundary",
+    "stats_cohens_kappa",
+    "ts_ljung_box",
+    "ml_decision_stump",
+    "ml_naive_bayes_langid",
+    "stats_cmh_test",
+    "stats_noninferiority_tost",
+    "graph_hits_hubs_auth",
+]
+
+
+def _checked_names() -> set[str]:
+    import glob
+
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                names |= set(json.load(f))
+        except (OSError, ValueError):
+            continue
+    return names
+
+
+def test_bench_headline_names_are_registered():
+    import bench
+
+    unknown = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not unknown, f"bench.HEADLINE names not in the registry: {unknown}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE"
+
+
+def test_oracles_subset_of_queries():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_rotation_never_checked_lead_and_new_batches_trail():
+    order = list(entry.queries())
+    checked = _checked_names()
+    never = [n for n in order if n not in checked]
+    # every never-checked name must come before every checked-green name
+    if never:
+        last_never = max(order.index(n) for n in never)
+        first_checked = min(
+            (order.index(n) for n in order if n in checked), default=None
+        )
+        # greens rotate to the back: no checked-green query may sit in
+        # front of a never-checked one (reds score -1 and legitimately
+        # lead; exclude them)
+        reds = {
+            n
+            for n in checked
+            if entry._check_counts().get(n, 0) < 0
+        }
+        greens_before = [
+            n
+            for n in order[:last_never]
+            if n in checked and n not in reds
+        ]
+        assert not greens_before, (
+            "checked-green queries ahead of never-checked ones: "
+            f"{greens_before[:5]}"
+        )
+    # registration order breaks never-checked ties: the round-7 batches
+    # (registered last) must trail every OTHER never-checked query
+    r7 = set(R7_NEW)
+    older_never = [n for n in never if n not in r7]
+    if older_never and set(R7_NEW) & set(never):
+        last_old = max(order.index(n) for n in older_never)
+        first_new = min(order.index(n) for n in R7_NEW if n in never)
+        assert last_old < first_new, (
+            "a round-7 query would drain before an older never-checked one"
+        )
+
+
+def test_r7_new_queries_all_registered_with_oracles():
+    missing = [n for n in R7_NEW if n not in QUERIES]
+    no_oracle = [n for n in R7_NEW if n not in ORACLES]
+    assert not missing and not no_oracle, (missing, no_oracle)
