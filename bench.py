@@ -309,6 +309,8 @@ HEADLINE = [
     "stats_cmh_test",
     "stats_noninferiority_tost",
     "graph_hits_hubs_auth",
+    "stats_mcnemar_test",
+    "stats_hill_tail_index",
 ]
 
 

@@ -40,6 +40,8 @@ R7_NEW = [
     "stats_cmh_test",
     "stats_noninferiority_tost",
     "graph_hits_hubs_auth",
+    "stats_mcnemar_test",
+    "stats_hill_tail_index",
 ]
 
 
