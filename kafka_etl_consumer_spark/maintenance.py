@@ -130,6 +130,8 @@ def drop_stream_sink_log(spark: SparkSession, table_path: str) -> bool:
 
 
 def dir_bytes(path: str, spark: SparkSession | None = None) -> int:
+    """Total bytes under ``path`` via one recursive Hadoop FS listing
+    (works on file:/hdfs:/s3a: alike); sizing input for compaction."""
     spark = _active_spark(spark)
     fs, jvm = _fs(spark, path)
     return sum(size for _, size, _ in _list_files(fs, jvm, path))
