@@ -42,6 +42,9 @@ R7_NEW = [
     "graph_hits_hubs_auth",
     "stats_mcnemar_test",
     "stats_hill_tail_index",
+    "eval_mrr_map_at10",
+    "text_gopher_rules",
+    "corpus_dsir_weights",
 ]
 
 
