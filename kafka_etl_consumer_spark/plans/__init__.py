@@ -53,12 +53,15 @@ from kafka_etl_consumer_spark.plans import queries_pipeline34 as _qp34  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline35 as _qp35  # noqa: F401,E402
 
 # round-7 additions import last so the 24 older never-checked queries
-# drain FIRST in the driver's 50-slot rotation (24 + 21 new = 45 <= 50;
-# tests/test_driver_contract.py pins this ordering)
+# drain FIRST in the driver's 50-slot rotation (24 + 26 new = 50 — the
+# rotation is EXACTLY full; adding another query this round would push
+# one past the round-7 drain. tests/test_driver_contract.py pins this
+# ordering and the cap.)
 from kafka_etl_consumer_spark.plans import queries_pipeline36 as _qp36  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline37 as _qp37  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline38 as _qp38  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline39 as _qp39  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline40 as _qp40  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline41 as _qp41  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -45,6 +45,11 @@ R7_NEW = [
     "eval_mrr_map_at10",
     "text_gopher_rules",
     "corpus_dsir_weights",
+    "stats_kendall_tau_b",
+    "eval_qini_uplift",
+    "ts_page_hinkley",
+    "ts_pettitt_changepoint",
+    "graph_closeness_harmonic",
 ]
 
 
