@@ -311,6 +311,14 @@ HEADLINE = [
     "graph_hits_hubs_auth",
     "stats_mcnemar_test",
     "stats_hill_tail_index",
+    "eval_mrr_map_at10",
+    "text_gopher_rules",
+    "corpus_dsir_weights",
+    "stats_kendall_tau_b",
+    "eval_qini_uplift",
+    "ts_page_hinkley",
+    "ts_pettitt_changepoint",
+    "graph_closeness_harmonic",
 ]
 
 
