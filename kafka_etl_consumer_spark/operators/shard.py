@@ -122,7 +122,13 @@ _EXCHANGE_SHAPES = {
 def _has_reusable_exchange(df: DataFrame) -> bool:
     """True when ``df``'s optimized plan contains a node that plans an
     exchange (aggregate/join/window/sort/repartition) — only then does
-    the pruning barrier buy anything (see :func:`_zero`)."""
+    the pruning barrier buy anything (see :func:`_zero`).
+
+    Cost: this inspection forces ONE extra Catalyst optimize pass of the
+    input plan via py4j (driver-side, data-free, milliseconds at query
+    sizes seen here). It runs once per substrate helper call, so a query
+    stacking three orderings pays it three times — negligible next to
+    the stages it saves, but worth knowing when profiling driver time."""
     stack = [df._jdf.queryExecution().optimizedPlan()]
     while stack:
         node = stack.pop()
