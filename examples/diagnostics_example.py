@@ -68,6 +68,15 @@ def main() -> None:
         "event_type", "cohort"
     ).show(10)
 
+    print("== Page-Hinkley drift alarm on the daily mean value (r7) ==")
+    QUERIES["ts_page_hinkley"](spark, sf_dir).show()
+
+    print("== Pettitt rank changepoint per event type (r7) ==")
+    QUERIES["ts_pettitt_changepoint"](spark, sf_dir).orderBy("event_type").show()
+
+    print("== harmonic closeness of the 5 smallest co-order parts (r7) ==")
+    QUERIES["graph_closeness_harmonic"](spark, sf_dir).orderBy("source").show()
+
     spark.stop()
 
 

@@ -71,6 +71,12 @@ def main() -> None:
     print("== 6c. label quality: Cohen's kappa between two labelers (r7) ==")
     QUERIES["stats_cohens_kappa"](spark, sf_dir).show()
 
+    print("== 7a. uplift: Qini gains of the targeting score vs control (r7) ==")
+    QUERIES["eval_qini_uplift"](spark, sf_dir).orderBy("decile").show()
+
+    print("== 7b. rank association: Kendall tau-b views vs purchases (r7) ==")
+    QUERIES["stats_kendall_tau_b"](spark, sf_dir).show()
+
     spark.stop()
 
 

@@ -43,6 +43,15 @@ def main() -> None:
     print("== PQ code occupancy ==")
     QUERIES["embedding_pq_codes"](spark, sf_dir).orderBy("subspace", "code").show(32)
 
+    print("== retrieval quality: MRR@10 / MAP@10 of the tf ranking (r7) ==")
+    QUERIES["eval_mrr_map_at10"](spark, sf_dir).show()
+
+    print("== Gopher quality-rule battery over the corpus (r7) ==")
+    QUERIES["text_gopher_rules"](spark, sf_dir).show(truncate=False)
+
+    print("== DSIR importance-weight histogram (target: lang=en) (r7) ==")
+    QUERIES["corpus_dsir_weights"](spark, sf_dir).orderBy("bin").show()
+
     spark.stop()
 
 
