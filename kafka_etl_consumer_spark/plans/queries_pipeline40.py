@@ -257,10 +257,12 @@ WITH toks AS (
   SELECT doc_id, lang, unnest({tokens_sql("text")}) AS t FROM documents
 ),
 feat AS (
-  SELECT doc_id, lang, {hash64_sql("t")} % {_DSIR_BUCKETS} AS b FROM toks
+  SELECT doc_id, lang, {hash64_sql("t")} % {_DSIR_BUCKETS} AS b,
+         count(*) AS cnt
+  FROM toks GROUP BY 1, 2, 3
 ),
-raw_c AS (SELECT b, count(*) AS c FROM feat GROUP BY b),
-tgt_c AS (SELECT b, count(*) AS c FROM feat
+raw_c AS (SELECT b, sum(cnt) AS c FROM feat GROUP BY b),
+tgt_c AS (SELECT b, sum(cnt) AS c FROM feat
           WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
 tot AS (SELECT (SELECT sum(c) FROM raw_c) AS n_raw,
                (SELECT sum(c) FROM tgt_c) AS n_tgt),
@@ -274,7 +276,7 @@ ratio AS (
   FROM raw_c LEFT JOIN tgt_c USING (b) CROSS JOIN tot
 ),
 w AS (
-  SELECT feat.doc_id, round(sum(ratio.log_ratio), 6) AS wt
+  SELECT feat.doc_id, round(sum(feat.cnt * ratio.log_ratio), 6) AS wt
   FROM feat JOIN ratio USING (b)
   GROUP BY feat.doc_id
 ),
@@ -296,25 +298,39 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling weights (Xie et al. 2023): hashed
     unigram features (md5-derived bucket in [0, 64)), add-one-smoothed
     bucket distributions for the target domain (lang = 'en') vs the raw
-    corpus, and per-document weight = sum of per-bucket log ratios —
-    reported as a 10-bin equal-width histogram of the weights. The
-    standard "resample raw crawl toward a target domain" curation
-    primitive. Scale: bucket counts are a 64-row aggregate (broadcast
-    back as the log-ratio table); per-doc weights are one hash agg on
-    doc_id; the histogram bins on broadcast min/max bounds — no
-    total-order operation anywhere. Per-bucket log-ratios round to 6dp
-    BEFORE the per-doc sum so tie structure is cross-engine identical."""
+    corpus, and per-document weight = sum of cnt * log-ratio over the
+    doc's (bucket, count) profile — reported as a 10-bin equal-width
+    histogram of the weights. The standard "resample raw crawl toward a
+    target domain" curation primitive. Scale: ONE tokenize+explode pass
+    pre-aggregated to (doc, lang, bucket) counts — the corpus-width
+    subplan all three downstream branches share (exchange planned once
+    and reused) instead of re-exploding the corpus per branch; the
+    bucket distributions are 64-row aggregates broadcast back as the
+    log-ratio table; per-doc weights are one hash agg on doc_id; the
+    histogram bins on broadcast min/max bounds — no total-order
+    operation anywhere. Log-ratios round to 6dp and BOTH engines sum
+    the same cnt * ratio term set, so tie structure is cross-engine
+    identical."""
     toks = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("t")
     )
-    feat = toks.select(
-        "doc_id", "lang", (hash64(F.col("t")) % _DSIR_BUCKETS).alias("b")
+    # ONE tokenize+explode pass: pre-aggregate to (doc, lang, bucket)
+    # counts — the corpus-scan-width subplan every downstream branch
+    # (raw distribution, target distribution, per-doc weights) shares,
+    # so the exchange is planned once and reused instead of re-running
+    # the explode per branch (3 corpus scans -> 1 at 100 TB).
+    feat = (
+        toks.select(
+            "doc_id", "lang", (hash64(F.col("t")) % _DSIR_BUCKETS).alias("b")
+        )
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    raw_c = feat.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    raw_c = feat.groupBy("b").agg(F.sum("cnt").alias("c_raw"))
     tgt_c = (
         feat.filter(F.col("lang") == _DSIR_TARGET_LANG)
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("c_tgt"))
+        .agg(F.sum("cnt").alias("c_tgt"))
     )
     tot = raw_c.join(tgt_c, "b", "left").agg(
         F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt")
@@ -342,7 +358,7 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         feat.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
-        .agg(F.round(F.sum("log_ratio"), 6).alias("wt"))
+        .agg(F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias("wt"))
     )
     bounds = w.agg(F.min("wt").alias("lo"), F.max("wt").alias("hi"))
     binned = w.crossJoin(F.broadcast(bounds)).select(
