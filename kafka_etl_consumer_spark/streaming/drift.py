@@ -1,0 +1,122 @@
+"""Online drift detection over a stream: a stateful Page-Hinkley monitor.
+
+The batch twin is the ``ts_page_hinkley`` query
+(plans/queries_pipeline41.py): cumulative deviation of each observation
+from the RUNNING mean (tolerance ``delta``), alarm when the deviation
+rises more than ``lam`` above its running minimum (Page 1954; the
+default drift monitor in river/MOA). The streaming form keeps the
+recurrence's state — (count, sum, u, min_u, max_ph, alarm stamp) — per
+key in the state store, consumes observations in event-time order, and
+re-emits the live statistic every micro-batch the key appears in, so a
+sink/dashboard sees drift the batch it happens.
+
+Parity contract (asserted in tests/test_stream_drift.py): fed the SAME
+ordered series the batch query reduces (the 6dp-rounded daily means),
+the final emission's ``max_ph``, ``drift_detected`` and ``alarm_seq``
+equal the batch query's answer — both sides accumulate sum-then-divide
+running means over identical sequences, so the doubles agree to the 6dp
+the contract rounds to.
+
+Scale: state is six scalars per key — O(#keys), event volume only
+streams through; the shuffle is on the key column. The per-observation
+loop runs over one micro-batch's rows for one key inside an Arrow
+batch (pandas), the same cost class as every applyInPandasWithState
+operator here. Reference has no analytics surface (pass-through ETL,
+ETLTask.java:261-283 of mykidong/kafka-etl-consumer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["page_hinkley_monitor"]
+
+
+def page_hinkley_monitor(
+    df: DataFrame,
+    key_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "m",
+    delta: float = 0.1,
+    lam: float = 5.0,
+) -> DataFrame:
+    """Per-key streaming Page-Hinkley state machine (increase direction).
+
+    Emits one row per key per micro-batch it appears in:
+    ``(key, n_obs, ph, max_ph, drift_detected, alarm_seq)`` where
+    ``ph`` is the statistic after the batch's last observation,
+    ``max_ph`` its historical peak, and ``alarm_seq`` the 1-based
+    observation index of the FIRST crossing (0 while undetected —
+    the streaming stand-in for the batch twin's alarm_day).
+
+    Observations are applied in ``ts_col`` order within each batch;
+    cross-batch order is the arrival order (late data is the stream's
+    problem — put a watermark-deduped, time-bucketed aggregation in
+    front if observations can arrive out of order)."""
+    import pandas as pd  # local import: streaming module stays light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n_obs", T.LongType()),
+            T.StructField("ph", T.DoubleType()),
+            T.StructField("max_ph", T.DoubleType()),
+            T.StructField("drift_detected", T.BooleanType()),
+            T.StructField("alarm_seq", T.LongType()),
+        ]
+    )
+    # n, sum_x, u, min_u, max_ph, alarm_seq — sum (not incremental mean)
+    # so the running mean is sum/n exactly like the batch window avg
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("sum_x", T.DoubleType()),
+            T.StructField("u", T.DoubleType()),
+            T.StructField("min_u", T.DoubleType()),
+            T.StructField("max_ph", T.DoubleType()),
+            T.StructField("alarm_seq", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, sum_x, u, min_u, max_ph, alarm = state.get
+        else:
+            n, sum_x, u, min_u, max_ph, alarm = 0, 0.0, 0.0, 0.0, 0.0, 0
+        ph = max_ph
+        for pdf in pdfs:
+            for x in pdf.sort_values(ts_col)[value_col]:
+                n += 1
+                sum_x += float(x)
+                u += float(x) - sum_x / n - delta
+                min_u = min(min_u, u)
+                ph = u - min_u
+                max_ph = max(max_ph, ph)
+                if alarm == 0 and ph > lam:
+                    alarm = n
+        state.update((n, sum_x, u, min_u, max_ph, alarm))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_obs": [n],
+                "ph": [ph],
+                "max_ph": [max_ph],
+                "drift_detected": [alarm > 0],
+                "alarm_seq": [alarm],
+            }
+        )
+
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(ts_col),
+            F.col(value_col),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
