@@ -99,6 +99,86 @@ def test_stream_matches_batch_twin(spark, sf_dir, tmp_path):
     assert rows[0].n_obs == cut
 
 
+def _python_ph(series, delta=0.1, lam=5.0):
+    """Independent reference recurrence (plain Python, no Spark)."""
+    n = 0
+    sum_x = u = min_u = max_ph = 0.0
+    alarm = 0
+    ph = 0.0
+    for x in series:
+        n += 1
+        sum_x += x
+        u += x - sum_x / n - delta
+        min_u = min(min_u, u)
+        ph = u - min_u
+        max_ph = max(max_ph, ph)
+        if alarm == 0 and ph > lam:
+            alarm = n
+    return n, max_ph, alarm
+
+
+def test_stream_restart_recovers_state(spark, tmp_path):
+    # stop the query mid-series and restart from the SAME checkpoint: the
+    # state store must restore the recurrence, not restart it — the final
+    # answer must equal the unbroken pure-Python reference.
+    base = dt.datetime(2024, 1, 1)
+    series = [50.0] * 10 + [70.0] * 5
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def stage(vals, offset):
+        rows = [
+            Row(series="s", ts=base + dt.timedelta(days=offset + i), m=v)
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        out = page_hinkley_monitor(
+            stream, key_col="series", ts_col="ts", value_col="m"
+        )
+
+        def dump(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        return (
+            out.writeStream.foreachBatch(dump)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+
+    stage(series[:10], 0)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stage(series[10:], 10)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    final = (
+        spark.read.parquet(sink)
+        .orderBy(F.col("n_obs").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    n_ref, max_ph_ref, alarm_ref = _python_ph(series)
+    assert final.n_obs == n_ref == len(series)
+    assert abs(final.max_ph - max_ph_ref) < 1e-9
+    assert final.alarm_seq == alarm_ref
+    assert final.drift_detected is (alarm_ref > 0)
+
+
 def test_drift_tws_matches_v1(spark, tmp_path):
     # v2 (transformWithStateInPandas) must emit the same final state as
     # the v1 path on the injected-drift series. Same protobuf/RocksDB env
