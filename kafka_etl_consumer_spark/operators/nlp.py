@@ -241,45 +241,74 @@ def bm25_topk(
     Returns (id, score) with score rounded to 6 (ordering ties broken by
     id, so the cut is deterministic cross-engine).
 
-    Scale shape: the corpus-level scalars (N, avgdl) are a ONE-ROW
-    aggregate crossJoin-broadcast back; term frequencies FILTER to the
-    query's terms BEFORE any shuffle (per-doc tf of |q| terms, not the
-    vocabulary); document-frequency is a |q|-row aggregate broadcast to the
-    scorer; the cut is TakeOrderedAndProject. One real shuffle — the
-    (doc, term) tf hash-agg over query-term hits only.
+    Scale shape: ZERO data-scale shuffles and exactly TWO corpus passes.
+    The query terms are literals, so per-doc term frequencies are in-row
+    higher-order functions over the token array
+    (``size(filter(toks, t == term))`` — whole-stage codegen, no
+    explode); every global the scorer needs (N, avgdl, per-term df) is
+    ONE single-row aggregate crossJoin-broadcast back; the cut is
+    TakeOrderedAndProject. The earlier explode→(doc, term) hash-agg
+    form paid THREE tokenize passes (corpus scalars, hits, dl join)
+    plus a hits shuffle. Docs containing none of the terms never reach
+    the ranking (score would be 0), matching the tf-rows-only semantics
+    of the SQL oracles.
     """
-    terms = F.array(*[F.lit(t) for t in query_terms])
     docs = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
-    dl = docs.select(F.col(id_col), F.size("__toks").alias("__dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).alias("__n"), F.avg("__dl").alias("__avgdl")
+
+    def _tf(term: str):
+        # factory closure: a default-arg lambda would grow a second
+        # parameter, which F.filter would read as the (element, index)
+        # two-arg form and silently compare tokens against indices
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
+
+    tf_cols = [
+        _tf(term).alias(f"__tf_{i}") for i, term in enumerate(query_terms)
+    ]
+    per_doc = docs.select(
+        F.col(id_col), F.size("__toks").alias("__dl"), *tf_cols
     )
-    hits = docs.select(
-        F.col(id_col), F.explode("__toks").alias("__t")
-    ).filter(F.array_contains(terms, F.col("__t")))
-    tf = hits.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
-    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    # ONE single-row aggregate for every global the scorer needs (N,
+    # avgdl, per-term df) — the stats branch and the scorer branch are
+    # then the only two corpus passes in the whole plan
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("bigint")).alias(f"__df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+
+    def _idf(i: int):
+        return F.log(
+            (F.col("__n") - F.col(f"__df_{i}") + 0.5)
+            / (F.col(f"__df_{i}") + 0.5)
+            + 1.0
+        )
+
+    def _sat(i: int):
+        return (F.col(f"__tf_{i}") * (k1 + 1)) / (
+            F.col(f"__tf_{i}")
+            + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+        )
+
+    contrib = [
+        F.when(F.col(f"__tf_{i}") > 0, _idf(i) * _sat(i)).otherwise(F.lit(0.0))
+        for i in range(len(query_terms))
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
     scored = (
-        tf.join(F.broadcast(dfreq), "__t")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(corpus))
-        .withColumn(
-            "__idf",
-            F.log(
-                (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
-            ),
+        per_doc.filter(
+            sum(
+                (F.col(f"__tf_{i}") > 0).cast("int")
+                for i in range(len(query_terms))
+            )
+            > 0
         )
-        .withColumn(
-            "__s",
-            F.col("__idf")
-            * (F.col("__tf") * (k1 + 1))
-            / (
-                F.col("__tf")
-                + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
-            ),
-        )
-        .groupBy(id_col)
-        .agg(F.round(F.sum("__s"), 6).alias("score"))
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), F.round(total, 6).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.col(id_col).asc()).limit(k)
 
