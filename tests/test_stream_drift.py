@@ -233,6 +233,39 @@ def test_drift_tws_matches_v1(spark, tmp_path):
     assert final.max_ph > 5.0
 
 
+def test_keys_keep_independent_state(spark, tmp_path):
+    # two series in one stream: a drifting one and a flat one — per-key
+    # state must not bleed (the flat key stays quiet)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i, v in enumerate([50.0] * 10 + [70.0] * 5):
+        rows.append(Row(series="drifting", ts=base + dt.timedelta(days=i), m=v))
+    for i in range(15):
+        rows.append(Row(series="flat", ts=base + dt.timedelta(days=i), m=50.0))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = page_hinkley_monitor(stream, key_col="series", ts_col="ts", value_col="m")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ph_keys")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        by_key = {
+            r.key: r
+            for r in spark.sql("SELECT * FROM ph_keys").collect()
+        }
+    finally:
+        q.stop()
+    assert by_key["drifting"].drift_detected is True
+    assert by_key["flat"].drift_detected is False
+    assert by_key["flat"].max_ph == 0.0
+    assert by_key["flat"].n_obs == 15
+
+
 def test_stream_detects_injected_drift(spark, tmp_path):
     # a flat series then a level shift must set drift_detected with the
     # alarm inside the shifted region
