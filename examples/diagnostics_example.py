@@ -77,6 +77,66 @@ def main() -> None:
     print("== harmonic closeness of the 5 smallest co-order parts (r7) ==")
     QUERIES["graph_closeness_harmonic"](spark, sf_dir).orderBy("source").show()
 
+    print("== LIVE drift monitor: the same Page-Hinkley recurrence as a ==")
+    print("== stateful stream (state survives across micro-batches)     ==")
+    import shutil
+    import tempfile
+
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from kafka_etl_consumer_spark.streaming.drift import page_hinkley_monitor
+
+    schema = T.StructType(
+        [
+            T.StructField("series", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("m", T.DoubleType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1)
+    flat = [50.0 + (i % 3) * 0.2 for i in range(10)]  # stationary regime
+    shifted = [58.0 + (i % 3) * 0.2 for i in range(5)]  # level shift
+    work = tempfile.mkdtemp(prefix="drift_demo_")
+    src = os.path.join(work, "src")
+    try:
+
+        def arrive(vals, offset):
+            rows = [
+                Row(series="daily_metric", ts=base + dt.timedelta(days=offset + i), m=v)
+                for i, v in enumerate(vals)
+            ]
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        arrive(flat, 0)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            page_hinkley_monitor(stream, key_col="series", ts_col="ts", value_col="m")
+            .writeStream.format("memory")
+            .queryName("drift_demo")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            arrive(shifted, len(flat))  # the drift arrives in batch 2
+            q.processAllAvailable()
+            spark.sql(
+                "SELECT * FROM drift_demo ORDER BY n_obs"
+            ).show(truncate=False)
+        finally:
+            q.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     spark.stop()
 
 
