@@ -253,6 +253,15 @@ def bm25_topk(
     the ranking (score would be 0), matching the tf-rows-only semantics
     of the SQL oracles.
     """
+    # An empty query has no scorable docs; duplicated terms contribute
+    # once (the classic bag-of-words (doc, term)-distinct semantics the
+    # earlier explode form had) — dedupe order-preserving.
+    query_terms = list(dict.fromkeys(query_terms))
+    if not query_terms:
+        return (
+            df.select(F.col(id_col), F.lit(0.0).alias("score"))
+            .limit(0)
+        )
     docs = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
 
     def _tf(term: str):

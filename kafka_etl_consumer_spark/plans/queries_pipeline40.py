@@ -71,8 +71,9 @@ ap AS (
 per_q AS (
   SELECT ap.term,
          coalesce(1.0 / first_rel, 0.0) AS rr,
-         coalesce(prec_sum, 0.0)
-           / least(coalesce(nrel.n_rel, 0), {_MRR_K}) AS ap_at_k
+         CASE WHEN coalesce(nrel.n_rel, 0) = 0 THEN 0.0
+              ELSE coalesce(prec_sum, 0.0)
+                     / least(nrel.n_rel, {_MRR_K}) END AS ap_at_k
   FROM ap LEFT JOIN nrel USING (term)
 )
 SELECT CAST(count(*) AS BIGINT) AS n_queries,
@@ -92,7 +93,9 @@ def eval_mrr_map_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     (term, doc) count shuffle; the per-term top-10 is a rank<=k filter
     Spark rewrites to WindowGroupLimit (map-side top-k per partition,
     never a full sort); everything after runs on the <= 40-row topk
-    grid. AP uses the min(R, k) denominator (TREC convention)."""
+    grid. AP uses the min(R, k) denominator (TREC convention); a query
+    with tf rows but zero relevant docs contributes AP = 0 to the MAP
+    average (not a silently-dropped NULL)."""
     docs = _t(spark, sf_dir, "documents")
     hits = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("t")
@@ -125,10 +128,15 @@ def eval_mrr_map_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_q = ap.join(nrel, "term", "left").select(
         F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)).alias("rr"),
-        (
+        # a query with hits but NO relevant docs contributes AP = 0 (TREC
+        # min(R,k) convention) instead of a 0/0 NULL silently dropped
+        # from the MAP average
+        F.when(F.coalesce(F.col("n_rel"), F.lit(0)) == 0, F.lit(0.0))
+        .otherwise(
             F.coalesce(F.col("prec_sum"), F.lit(0.0))
-            / F.least(F.coalesce(F.col("n_rel"), F.lit(0)), F.lit(_MRR_K))
-        ).alias("ap_at_k"),
+            / F.least(F.col("n_rel"), F.lit(_MRR_K))
+        )
+        .alias("ap_at_k"),
     )
     return per_q.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),

@@ -87,8 +87,19 @@ def page_hinkley_monitor(
         else:
             n, sum_x, u, min_u, max_ph, alarm = 0, 0.0, 0.0, 0.0, 0.0, 0
         ph = max_ph
-        for pdf in pdfs:
-            for x in pdf.sort_values(ts_col)[value_col]:
+        # One key's micro-batch can span several Arrow chunks (rows >
+        # arrow.maxRecordsPerBatch); sorting per-chunk would fold
+        # observations in shuffle order across chunk boundaries. Concat
+        # first (bounded by one key's micro-batch) then sort ONCE so the
+        # in-batch event-time ordering contract holds regardless of
+        # chunking.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else (chunks[0] if chunks else None)
+        )
+        if batch is not None:
+            for x in batch.sort_values(ts_col, kind="mergesort")[value_col]:
                 n += 1
                 sum_x += float(x)
                 u += float(x) - sum_x / n - delta
@@ -174,8 +185,15 @@ def page_hinkley_monitor_tws(
             else:
                 n, sum_x, u, min_u, max_ph, alarm = 0, 0.0, 0.0, 0.0, 0.0, 0
             ph = max_ph
-            for pdf in rows:
-                for x in pdf.sort_values(ts_col)[value_col]:
+            # Same chunk-spanning contract as update() above: concat all
+            # Arrow chunks for this key before the single event-time sort.
+            chunks = [pdf for pdf in rows if len(pdf)]
+            batch = (
+                pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+                else (chunks[0] if chunks else None)
+            )
+            if batch is not None:
+                for x in batch.sort_values(ts_col, kind="mergesort")[value_col]:
                     n += 1
                     sum_x += float(x)
                     u += float(x) - sum_x / n - delta

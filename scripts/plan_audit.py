@@ -78,8 +78,22 @@ def main() -> None:
         i = args.index("--markdown")
         md_out = args[i + 1]
         del args[i : i + 2]
-    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
-    names = [a for a in args if not os.path.isdir(a)] or sorted(QUERIES)
+    # Positional contract: first arg IS the sf_dir (error if it isn't a
+    # directory — a typo must not be silently reinterpreted as a query
+    # name), the rest are query names validated against the registry (a
+    # query name that happens to match a local directory must not be
+    # silently swallowed as a second sf_dir).
+    sf_dir = "/root/testdata/sf0.01"
+    names = sorted(QUERIES)
+    if args:
+        if not os.path.isdir(args[0]):
+            sys.exit(f"plan_audit: sf_dir {args[0]!r} is not a directory")
+        sf_dir = args[0]
+        if args[1:]:
+            unknown = [a for a in args[1:] if a not in QUERIES]
+            if unknown:
+                sys.exit(f"plan_audit: unknown queries: {', '.join(unknown)}")
+            names = args[1:]
 
     # AQE off ON PURPOSE: with AQE the pre-execution plan is an
     # AdaptiveSparkPlan placeholder — no codegen "*(n)" markers, and

@@ -303,3 +303,22 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     ids = [r.doc_id for r in got]
     assert set(ids) == {2, 3}
     assert ids[0] == 3 and got[0].score > got[1].score
+
+
+def test_bm25_empty_query_and_duplicate_terms(spark):
+    """r8 edge guards: an empty query returns an empty frame (not
+    IndexError), and a duplicated query term scores once — identical to
+    the distinct-terms run (bag-of-words (doc, term) semantics)."""
+    from kafka_etl_consumer_spark.operators.nlp import bm25_topk
+
+    rows = [
+        (1, "needle in a haystack"),
+        (2, "needle needle thread"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert bm25_topk(df, [], k=5).collect() == []
+    dup = bm25_topk(df, ["needle", "needle", "thread"], k=5).collect()
+    ref = bm25_topk(df, ["needle", "thread"], k=5).collect()
+    assert [(r.doc_id, r.score) for r in dup] == [
+        (r.doc_id, r.score) for r in ref
+    ]

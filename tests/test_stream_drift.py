@@ -295,3 +295,49 @@ def test_stream_detects_injected_drift(spark, tmp_path):
     assert final.drift_detected is True
     assert 11 <= final.alarm_seq <= 15
     assert final.max_ph > 5.0
+
+
+def test_multi_chunk_batch_sorts_across_chunks(spark, tmp_path):
+    # One key's micro-batch arriving as SEVERAL Arrow chunks (rows >
+    # arrow.maxRecordsPerBatch) must still be folded in ts order across
+    # chunk boundaries — the r7 per-chunk sort folded in shuffle order.
+    # Shrink the Arrow batch size so a 40-row micro-batch spans >= 14
+    # chunks, feed the rows REVERSED, and require the unbroken Python
+    # recurrence on the ts-ordered series.
+    base = dt.datetime(2024, 1, 1)
+    series = [50.0] * 25 + [75.0] * 15
+    rows = [
+        Row(series="s", ts=base + dt.timedelta(days=i), m=v)
+        for i, v in enumerate(series)
+    ]
+    rows.reverse()  # arrival order is the anti-sorted order
+    src = str(tmp_path / "src_chunks")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        out = page_hinkley_monitor(
+            stream, key_col="series", ts_col="ts", value_col="m"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ph_chunks")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            final = spark.sql(
+                "SELECT * FROM ph_chunks ORDER BY n_obs DESC LIMIT 1"
+            ).collect()[0]
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    n_ref, max_ph_ref, alarm_ref = _python_ph(series)
+    assert final.n_obs == n_ref
+    assert abs(final.max_ph - max_ph_ref) < 1e-9
+    assert final.alarm_seq == alarm_ref
