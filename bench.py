@@ -319,6 +319,78 @@ HEADLINE = [
     "ts_page_hinkley",
     "ts_pettitt_changepoint",
     "graph_closeness_harmonic",
+    # round-8: HEADLINE completeness — every registered query is benched
+    # (tests/test_driver_contract.py asserts set equality with the
+    # registry), closing the 57-query gap the r7 verdict flagged. These
+    # are the function batteries / set ops / samplers that were skipped
+    # as "cheap"; cheap queries cost seconds and completeness is worth
+    # more than the runtime.
+    "agg_approx_distinct",
+    "agg_listagg",
+    "agg_minmax_by",
+    "array_funcs",
+    "bit_ops",
+    "cube_agg",
+    "date_arith_funcs",
+    "date_funcs",
+    "dedup_apply_exact",
+    "dedup_lsh_recall",
+    "dedup_ngram_jaccard",
+    "distinct_rows",
+    "ingest_roundtrip_decode",
+    "join_anti",
+    "join_null_safe",
+    "join_outer_full",
+    "join_semi",
+    "join_theta",
+    "json_struct_parse",
+    "lateral_topk_per_order",
+    "map_funcs",
+    "math_funcs",
+    "multimodal_frames",
+    "null_semantics",
+    "pos_explode_tokens",
+    "regr_agg",
+    "rollup_agg",
+    "sample_hash_10pct",
+    "sample_stratified",
+    "sample_weighted_quality",
+    "scalar_subquery",
+    "scd2_customer_segment",
+    "set_except",
+    "set_except_all",
+    "set_intersect",
+    "set_intersect_all",
+    "set_union",
+    "sketch_distinct_theta",
+    "sort_topk",
+    "string_funcs",
+    "str_levenshtein_pairs",
+    "str_pad_trim",
+    "text_bpe_tokens",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_token_stats",
+    "ts_gapfill_ffill",
+    "udf_grouped_centroid",
+    "udf_pandas_cosine",
+    "udf_udtf_sentences",
+    "union_all_counts",
+    "unpivot_measures",
+    "variant_extract",
+    "width_bucket_hist",
+    "win_range_frame",
+    "win_sliding",
+    "win_tumbling",
+    # round-8 batch (queries_pipeline42)
+    "stats_breslow_day",
+    "stats_dunn_posthoc",
+    "ml_gbdt_stump_boost",
+    "graph_random_walk_ppr",
+    "text_rake_keywords",
+    "eval_uplift_at_k_curve",
+    "stats_anderson_darling",
+    "ts_pettitt_values",
 ]
 
 

@@ -447,3 +447,67 @@ def kcore(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sym.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    seed_mass_col: str = "sm",
+) -> DataFrame:
+    """(id, ppr) after ``iterations`` rounds of power iteration with the
+    teleport concentrated on a SEED distribution instead of uniform:
+
+        r_v = (1 - d) * seed_mass(v) + d * sum_{(u,v) in E} r_u / outdeg(u)
+
+    ``seeds`` is (id_col, seed_mass_col) summing to 1 — the personalization
+    vector of Jeh & Widom's personalized PageRank / random walk with
+    restart. r0 IS the seed vector, so after k rounds every vertex holds
+    exactly the damped k-step restart-walk mass, the "relevance to the
+    seed set" score used for seed-expansion retrieval and local community
+    detection — the seeded complement to :func:`pagerank`'s global rank.
+
+    Plan economics are identical to :func:`pagerank` (per round: one
+    src-keyed edge⋈rank shuffle, one dst-keyed partial+final sum, one
+    left join back to vertices); the seed vector is a broadcast left join
+    applied once per round, so the whole thing stays one lazy DAG with
+    |V|-linear state. Mass on vertices the walk never reaches stays
+    exactly 0.0 — keep or filter downstream.
+    """
+    v = vertices.select(F.col(id_col).alias("vid"))
+    sd = F.broadcast(
+        seeds.select(F.col(id_col).alias("vid"), F.col(seed_mass_col).alias("__sm"))
+    )
+    v = v.join(sd, "vid", "left").select(
+        "vid", F.coalesce("__sm", F.lit(0.0)).alias("__sm")
+    )
+
+    deg = edges.groupBy(F.col(src).alias("u")).agg(
+        F.count("*").cast("double").alias("outdeg")
+    )
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("vdst")).join(
+        deg, "u"
+    )
+
+    ranks = v.select("vid", "__sm", F.col("__sm").alias("ppr"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks.select("vid", "ppr"), e.u == F.col("vid"))
+            .select(F.col("vdst"), (F.col("ppr") / F.col("outdeg")).alias("c"))
+            .groupBy("vdst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = v.join(contrib, v.vid == contrib.vdst, "left").select(
+            "vid",
+            "__sm",
+            (
+                (1.0 - damping) * F.col("__sm")
+                + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("ppr"),
+        )
+    return ranks.select(F.col("vid").alias(id_col), "ppr")

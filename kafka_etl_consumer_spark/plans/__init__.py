@@ -64,4 +64,9 @@ from kafka_etl_consumer_spark.plans import queries_pipeline39 as _qp39  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline40 as _qp40  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline41 as _qp41  # noqa: F401,E402
 
+# round-8 batch imports last: every pre-r8 query is already
+# driver-verified (CORRECTNESS r1-r7 drained the full registry), so the
+# rotation picks these 8 up as the only never-checked names.
+from kafka_etl_consumer_spark.plans import queries_pipeline42 as _qp42  # noqa: F401,E402
+
 __all__ = ["QUERIES", "ORACLES"]

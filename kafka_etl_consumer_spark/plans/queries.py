@@ -617,15 +617,43 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # rows-only: HLL estimates differ across engines
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           1 AS approx_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=2%) per order status —
     the mergeable constant-memory distinct for 100 TB interactive use.
-    Deliberately NO DuckDB oracle: each engine's HLL yields different
-    estimates (the deterministic cross-engine alternative is
-    sketch_distinct_theta); driver records the weaker rows-only check."""
+    HLL estimates are engine-specific, so the raw estimate can't be
+    hash-compared; instead the query emits a BOUNDS CHECK (VERDICT r7
+    item 3): approx_ok = 1 iff |estimate - exact| <= 5*rsd*exact (5
+    standard errors — an estimate that far out means the sketch is
+    broken, not unlucky). The oracle emits the literal 1, so the driver
+    row goes red exactly when Spark's estimate leaves the bound, while
+    exact_customers pins the true distinct on both sides. The exact
+    branch exists to VALIDATE the sketch; at 100 TB production use only
+    the approx branch (the deterministic cross-engine sketch alternative
+    is sketch_distinct_theta)."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    agg = o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "n_orders",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= 5 * 0.02 * F.col("exact_customers")
+        )
+        .cast("int")
+        .alias("approx_ok"),
     )

@@ -52,6 +52,18 @@ R7_NEW = [
     "graph_closeness_harmonic",
 ]
 
+R8_NEW = [
+    # queries_pipeline42 — registered after every round-7 entry
+    "stats_breslow_day",
+    "stats_dunn_posthoc",
+    "ml_gbdt_stump_boost",
+    "graph_random_walk_ppr",
+    "text_rake_keywords",
+    "eval_uplift_at_k_curve",
+    "stats_anderson_darling",
+    "ts_pettitt_values",
+]
+
 
 def _checked_names() -> set[str]:
     import glob
@@ -72,6 +84,18 @@ def test_bench_headline_names_are_registered():
     unknown = [n for n in bench.HEADLINE if n not in QUERIES]
     assert not unknown, f"bench.HEADLINE names not in the registry: {unknown}"
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate HEADLINE"
+
+
+def test_bench_headline_is_complete():
+    """Every registered query must be benched (r7 verdict item 2): a new
+    batch can't land without its bench rows. All registry entries are
+    batch-queryable by construction (they take (spark, sf_dir)), so there
+    is no exclusion set; streaming-only operators live outside the
+    registry."""
+    import bench
+
+    missing = sorted(set(QUERIES) - set(bench.HEADLINE))
+    assert not missing, f"registered queries absent from bench.HEADLINE: {missing}"
 
 
 def test_oracles_subset_of_queries():
@@ -105,19 +129,25 @@ def test_rotation_never_checked_lead_and_new_batches_trail():
             "checked-green queries ahead of never-checked ones: "
             f"{greens_before[:5]}"
         )
-    # registration order breaks never-checked ties: the round-7 batches
+    # registration order breaks never-checked ties: the newest batch
     # (registered last) must trail every OTHER never-checked query
-    r7 = set(R7_NEW)
-    older_never = [n for n in never if n not in r7]
-    if older_never and set(R7_NEW) & set(never):
+    newest = set(R8_NEW)
+    older_never = [n for n in never if n not in newest]
+    if older_never and newest & set(never):
         last_old = max(order.index(n) for n in older_never)
-        first_new = min(order.index(n) for n in R7_NEW if n in never)
+        first_new = min(order.index(n) for n in R8_NEW if n in never)
         assert last_old < first_new, (
-            "a round-7 query would drain before an older never-checked one"
+            "a round-8 query would drain before an older never-checked one"
         )
 
 
 def test_r7_new_queries_all_registered_with_oracles():
     missing = [n for n in R7_NEW if n not in QUERIES]
     no_oracle = [n for n in R7_NEW if n not in ORACLES]
+    assert not missing and not no_oracle, (missing, no_oracle)
+
+
+def test_r8_new_queries_all_registered_with_oracles():
+    missing = [n for n in R8_NEW if n not in QUERIES]
+    no_oracle = [n for n in R8_NEW if n not in ORACLES]
     assert not missing and not no_oracle, (missing, no_oracle)

@@ -42,3 +42,22 @@ def test_audit_metrics_on_known_plans(audit_mod, spark, sf_dir):
     # the audit session in main() disables AQE for codegen markers; under
     # the test session (AQE on) codegen may be 0 — only assert type sanity
     assert isinstance(row["codegen"], int)
+
+
+def test_plan_audit_md_covers_registry():
+    """Staleness guard (VERDICT r7 item 8): a new query batch cannot land
+    without regenerating PLAN_AUDIT.md — every registered query must have
+    a row in the committed inventory."""
+    from kafka_etl_consumer_spark.plans import QUERIES
+
+    with open(os.path.join(REPO, "PLAN_AUDIT.md")) as f:
+        rows = {
+            line.split("|")[1].strip()
+            for line in f
+            if line.startswith("| ")
+        }
+    missing = sorted(set(QUERIES) - rows)
+    assert not missing, (
+        f"PLAN_AUDIT.md lacks rows for {missing} — regenerate with "
+        "python scripts/plan_audit.py <sf_dir> --markdown PLAN_AUDIT.md"
+    )

@@ -55,6 +55,19 @@ WHITELIST = {
     "search_hybrid_rrf": "rank over <=30-row candidate lists",
 }
 
+# query -> why a non-equi/cross join with no statically-bounded side is
+# accepted (VERDICT r7 item 6: an unbounded BroadcastNestedLoopJoin is a
+# cartesian time bomb at 100 TB — every BNL build side must be a bounded
+# aggregate, a limit, or a fixed-cardinality dimension)
+BNL_WHITELIST: dict[str, str] = {
+    # all three broadcast a literal id-filter of embeddings (vec_id == 0
+    # / vec_id < codebook_size): <= 4 rows by predicate, which the
+    # static walker can't prove (a Filter isn't an Aggregate/Limit).
+    "embedding_pq_codes": "codebook = vec_id < 4 filter (4 rows)",
+    "embedding_matryoshka_eval": "query vector = vec_id == 0 filter (1 row)",
+    "sample_coreset_kcenter": "seed center = vec_id == 0 filter (1 row)",
+}
+
 
 @pytest.fixture(scope="module")
 def row_grain(spark):
@@ -149,6 +162,49 @@ def _window_is_bounded(win, row_grain) -> bool:
     return bool(verdicts) and all(verdicts)
 
 
+def _subtree_is_bounded(root, row_grain) -> bool:
+    """Like :func:`_window_is_bounded` but rooted AT the node and with a
+    leaf rule: a raw relation leaf is bounded iff NONE of its output
+    columns is row grain — which admits the fixed-cardinality dimensions
+    (region/nation: nothing grows with sf) while every fact/entity table
+    (events, documents, lineitem, ...) carries an identity key and stays
+    unbounded."""
+    frontier = [root]
+    verdicts = []
+    while frontier:
+        nxt = []
+        for n in frontier:
+            cls = n.getClass().getSimpleName()
+            if cls == "GlobalLimit":
+                verdicts.append(True)
+            elif cls == "Aggregate":
+                verdicts.append(not (_grouping_cols(n) & row_grain))
+            else:
+                kids = _children(n)
+                if kids:
+                    nxt.extend(kids)
+                else:
+                    out = n.output()
+                    cols = {
+                        out.apply(i).name() for i in range(out.size())
+                    }
+                    verdicts.append(not (cols & row_grain))
+        frontier = nxt
+    return bool(verdicts) and all(verdicts)
+
+
+def _is_equi_join(join) -> bool:
+    """True when the join condition carries at least one equality —
+    Catalyst's ExtractEquiJoinKeys will then plan a hash/sort-merge
+    join, not a nested loop. EqualTo prints as ' = ', null-safe as
+    ' <=> '; '>=' / '<=' don't match either pattern."""
+    cond = join.condition()
+    if not cond.isDefined():
+        return False
+    s = str(cond.get())
+    return " = " in s or " <=> " in s
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_single_partition_window_at_data_grain(spark, sf_dir, name, row_grain):
     plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan()
@@ -167,4 +223,30 @@ def test_no_single_partition_window_at_data_grain(spark, sf_dir, name, row_grain
     if not offenders and name in WHITELIST:
         raise AssertionError(
             f"{name}: whitelisted but clean — remove the WHITELIST entry"
+        )
+
+    # VERDICT r7 item 6: every join that will plan as a nested loop
+    # (cross, or a condition with no equality) must have at least one
+    # statically-bounded side — a bounded aggregate, a limit, or a
+    # fixed-cardinality dimension. Both-sides-unbounded is the
+    # cartesian shape that detonates at 100 TB.
+    bnl_offenders = [
+        node
+        for node in _walk(plan)
+        if node.getClass().getSimpleName() == "Join"
+        and not _is_equi_join(node)
+        and not any(
+            _subtree_is_bounded(side, row_grain)
+            for side in _children(node)
+        )
+    ]
+    if bnl_offenders and name not in BNL_WHITELIST:
+        raise AssertionError(
+            f"{name}: {len(bnl_offenders)} nested-loop join(s) with no "
+            "bounded side — aggregate/limit the broadcast side or add a "
+            "justified BNL_WHITELIST entry"
+        )
+    if not bnl_offenders and name in BNL_WHITELIST:
+        raise AssertionError(
+            f"{name}: BNL-whitelisted but clean — remove the entry"
         )
