@@ -391,6 +391,7 @@ HEADLINE = [
     "eval_uplift_at_k_curve",
     "stats_anderson_darling",
     "ts_pettitt_values",
+    "ts_cusum_oneside",
 ]
 
 

@@ -1154,3 +1154,78 @@ def ts_pettitt_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_cusum_oneside — sequential decision-interval CUSUM (streaming twin)
+# ---------------------------------------------------------------------------
+
+_CUSUM1_TARGET = 49.0
+_CUSUM1_SLACK = 0.25
+_CUSUM1_H = 3.0
+
+_CUSUM1_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+         round(avg(value), 6) AS m
+  FROM events GROUP BY 1
+),
+run AS (
+  SELECT d,
+         sum(m - {_CUSUM1_TARGET} - {_CUSUM1_SLACK})
+           OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS u,
+         row_number() OVER (ORDER BY d) AS t
+  FROM daily
+),
+st AS (
+  SELECT d, t,
+         u - least(0, min(u) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)) AS s
+  FROM run
+)
+SELECT CAST(max(t) AS BIGINT) AS n_days,
+       round(max(s), 6) AS max_cusum,
+       strftime(min(CASE WHEN s > {_CUSUM1_H} THEN d END),
+                '%Y-%m-%d') AS alarm_day,
+       CAST(max(s) > {_CUSUM1_H} AS INT) AS drift_detected
+FROM st
+"""
+
+
+@register("ts_cusum_oneside", _CUSUM1_ORACLE)
+def ts_cusum_oneside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided (increase) CUSUM in Page's decision-interval form on
+    the daily mean event value: S_t = max(0, S_{t-1} + (m_t - target -
+    slack)), alarm when S_t > h — the SEQUENTIAL, fixed-reference
+    changepoint detector (ts_cusum_changepoint's retrospective |CUSUM|
+    peak needs the whole series' mean; this one is streamable, and IS
+    the batch twin of streaming/drift.cusum_monitor, which
+    tests/test_stream_drift.py holds to exact final-state parity). The
+    max(0, .) recurrence reduces to prefix passes via S_t = U_t -
+    min(0, min_j U_j). Scale: one day-grain hash-agg, two prefix
+    windows over the bounded day grid; daily means round to 6dp in both
+    engines before the prefix arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date(F.date_trunc("day", "ts")).alias("d"), "value")
+        .groupBy("d")
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    wp = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.select(
+        "d",
+        F.sum(F.col("m") - _CUSUM1_TARGET - _CUSUM1_SLACK).over(wp).alias("u"),
+        F.row_number().over(Window.orderBy("d")).alias("t"),
+    )
+    st = run.select(
+        "d",
+        "t",
+        (F.col("u") - F.least(F.lit(0.0), F.min("u").over(wp))).alias("s"),
+    )
+    return st.agg(
+        F.max("t").cast("bigint").alias("n_days"),
+        F.round(F.max("s"), 6).alias("max_cusum"),
+        F.date_format(
+            F.min(F.when(F.col("s") > _CUSUM1_H, F.col("d"))), "yyyy-MM-dd"
+        ).alias("alarm_day"),
+        (F.max("s") > _CUSUM1_H).cast("int").alias("drift_detected"),
+    )

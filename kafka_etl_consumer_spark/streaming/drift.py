@@ -1,6 +1,7 @@
-"""Online drift detection over a stream: a stateful Page-Hinkley monitor.
+"""Online drift detection over a stream: stateful Page-Hinkley and
+decision-interval CUSUM monitors.
 
-The batch twin is the ``ts_page_hinkley`` query
+The Page-Hinkley batch twin is the ``ts_page_hinkley`` query
 (plans/queries_pipeline41.py): cumulative deviation of each observation
 from the RUNNING mean (tolerance ``delta``), alarm when the deviation
 rises more than ``lam`` above its running minimum (Page 1954; the
@@ -31,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["page_hinkley_monitor", "page_hinkley_monitor_tws"]
+__all__ = ["page_hinkley_monitor", "page_hinkley_monitor_tws", "cusum_monitor"]
 
 
 def page_hinkley_monitor(
@@ -229,5 +230,103 @@ def page_hinkley_monitor_tws(
             outputStructType=out_schema,
             outputMode="Update",
             timeMode="None",
+        )
+    )
+
+
+def cusum_monitor(
+    df: DataFrame,
+    key_col: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "m",
+    target: float = 49.0,
+    slack: float = 0.25,
+    h: float = 3.0,
+) -> DataFrame:
+    """Per-key streaming one-sided (increase) CUSUM in Page's
+    decision-interval form: S_t = max(0, S_{t-1} + (x_t - target -
+    slack)), alarm when S_t > h — the fixed-target complement to
+    :func:`page_hinkley_monitor`'s running-mean drift (CUSUM detects a
+    shift ABOVE a known reference level; PH detects a shift relative to
+    the series' own history). State uses the same running-sum-minus-
+    running-min closed form as PH (S_t = U_t - min(0, min_j U_j) with
+    U_t the prefix sum of deviations), so the batch twin
+    ``ts_cusum_oneside`` reduces the identical recurrence with prefix
+    windows and tests/test_stream_drift.py asserts exact final-state
+    parity on the same rounded daily series.
+
+    Emits one row per key per micro-batch it appears in:
+    ``(key, n_obs, s, max_s, drift_detected, alarm_seq)``; alarm_seq is
+    the 1-based index of the FIRST threshold crossing (0 while
+    undetected). Observations apply in ``ts_col`` order within each
+    micro-batch (all Arrow chunks concatenated first — same contract as
+    the PH monitor); cross-batch order is arrival order.
+
+    Scale: five scalars of state per key; the only shuffle keys on the
+    monitored series."""
+    import pandas as pd  # local import: streaming module stays light
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("key", T.StringType()),
+            T.StructField("n_obs", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("max_s", T.DoubleType()),
+            T.StructField("drift_detected", T.BooleanType()),
+            T.StructField("alarm_seq", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("u", T.DoubleType()),
+            T.StructField("min_u", T.DoubleType()),
+            T.StructField("max_s", T.DoubleType()),
+            T.StructField("alarm_seq", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        if state.exists:
+            n, u, min_u, max_s, alarm = state.get
+        else:
+            n, u, min_u, max_s, alarm = 0, 0.0, 0.0, 0.0, 0
+        s = max_s
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1
+            else (chunks[0] if chunks else None)
+        )
+        if batch is not None:
+            for x in batch.sort_values(ts_col, kind="mergesort")[value_col]:
+                n += 1
+                u += float(x) - target - slack
+                min_u = min(min_u, u)
+                s = u - min_u
+                max_s = max(max_s, s)
+                if alarm == 0 and s > h:
+                    alarm = n
+        state.update((n, u, min_u, max_s, alarm))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_obs": [n],
+                "s": [s],
+                "max_s": [max_s],
+                "drift_detected": [alarm > 0],
+                "alarm_seq": [alarm],
+            }
+        )
+
+    return (
+        df.select(
+            F.col(key_col).cast("string").alias(key_col),
+            F.col(ts_col),
+            F.col(value_col),
+        )
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
     )

@@ -62,6 +62,7 @@ R8_NEW = [
     "eval_uplift_at_k_curve",
     "stats_anderson_darling",
     "ts_pettitt_values",
+    "ts_cusum_oneside",
 ]
 
 

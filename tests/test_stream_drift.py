@@ -341,3 +341,147 @@ def test_multi_chunk_batch_sorts_across_chunks(spark, tmp_path):
     assert final.n_obs == n_ref
     assert abs(final.max_ph - max_ph_ref) < 1e-9
     assert final.alarm_seq == alarm_ref
+
+
+# ---------------------------------------------------------------------------
+# CUSUM monitor (r8): parity with the ts_cusum_oneside batch twin +
+# restart recovery against an independent reference recurrence
+# ---------------------------------------------------------------------------
+
+_CUSUM_TARGET, _CUSUM_SLACK, _CUSUM_H = 49.0, 0.25, 3.0
+
+
+def _python_cusum(series, target=_CUSUM_TARGET, slack=_CUSUM_SLACK, h=_CUSUM_H):
+    """Independent reference recurrence (plain Python, max(0,.) form —
+    deliberately NOT the running-min closed form the engine uses)."""
+    n, s, max_s, alarm = 0, 0.0, 0.0, 0
+    for x in series:
+        n += 1
+        s = max(0.0, s + x - target - slack)
+        max_s = max(max_s, s)
+        if alarm == 0 and s > h:
+            alarm = n
+    return n, max_s, alarm
+
+
+def test_cusum_stream_matches_batch_twin(spark, sf_dir, tmp_path):
+    from kafka_etl_consumer_spark.streaming.drift import cusum_monitor
+
+    series = _daily_series(spark, sf_dir)
+    assert len(series) >= 5
+    batch = QUERIES["ts_cusum_oneside"](spark, sf_dir).collect()[0]
+
+    src = str(tmp_path / "src_cusum")
+
+    def stage(chunk):
+        rows = [
+            Row(
+                series="daily_value",
+                ts=dt.datetime.combine(d, dt.time(0, 0)),
+                m=m,
+            )
+            for d, m in chunk
+        ]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    cut = len(series) // 2
+    stage(series[:cut])
+    stream = (
+        spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    out = cusum_monitor(stream, key_col="series", ts_col="ts", value_col="m")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_monitor")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        stage(series[cut:])
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM cusum_monitor ORDER BY n_obs"
+        ).collect()
+    finally:
+        q.stop()
+
+    assert [r.n_obs for r in rows] == [cut, len(series)]
+    final = rows[-1]
+    # parity with the batch twin: same peak, same verdict, same alarm day
+    assert round(final.max_s, 6) == float(batch.max_cusum)
+    assert final.drift_detected == bool(batch.drift_detected)
+    if batch.alarm_day is not None:
+        days = [d.isoformat() for d, _ in series]
+        assert final.alarm_seq == days.index(batch.alarm_day) + 1
+    else:
+        assert final.alarm_seq == 0
+    # also: the max(0,.) reference recurrence agrees with the engine's
+    # running-min closed form on the same series (the identity the batch
+    # twin's prefix-window rewrite rests on)
+    n_ref, max_s_ref, alarm_ref = _python_cusum([m for _, m in series])
+    assert final.n_obs == n_ref
+    assert abs(final.max_s - max_s_ref) < 1e-9
+    assert final.alarm_seq == alarm_ref
+
+
+def test_cusum_restart_recovers_state(spark, tmp_path):
+    from kafka_etl_consumer_spark.streaming.drift import cusum_monitor
+
+    base = dt.datetime(2024, 1, 1)
+    series = [48.5] * 10 + [51.0] * 6  # drift begins at obs 11
+    src = str(tmp_path / "src_cr")
+    ckpt = str(tmp_path / "ckpt_cr")
+    sink = str(tmp_path / "sink_cr")
+
+    def stage(vals, offset):
+        rows = [
+            Row(series="s", ts=base + dt.timedelta(days=offset + i), m=v)
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        out = cusum_monitor(stream, key_col="series", ts_col="ts", value_col="m")
+
+        def dump(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        return (
+            out.writeStream.foreachBatch(dump)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+
+    stage(series[:10], 0)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stage(series[10:], 10)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    final = (
+        spark.read.parquet(sink)
+        .orderBy(F.col("n_obs").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    n_ref, max_s_ref, alarm_ref = _python_cusum(series)
+    assert final.n_obs == n_ref == len(series)
+    assert abs(final.max_s - max_s_ref) < 1e-9
+    assert final.alarm_seq == alarm_ref
+    assert final.drift_detected is (alarm_ref > 0)
+    assert alarm_ref > 10  # the alarm must land in the drifted regime
