@@ -392,6 +392,8 @@ HEADLINE = [
     "stats_anderson_darling",
     "ts_pettitt_values",
     "ts_cusum_oneside",
+    "text_textrank_keywords",
+    "stats_friedman_test",
 ]
 
 

@@ -74,6 +74,12 @@ def main() -> None:
     print("== Pettitt rank changepoint per event type (r7) ==")
     QUERIES["ts_pettitt_changepoint"](spark, sf_dir).orderBy("event_type").show()
 
+    print("== Pettitt changepoint on the daily MEAN VALUE (r8) ==")
+    QUERIES["ts_pettitt_values"](spark, sf_dir).orderBy("event_type").show()
+
+    print("== sequential decision-interval CUSUM vs a fixed target (r8) ==")
+    QUERIES["ts_cusum_oneside"](spark, sf_dir).show()
+
     print("== harmonic closeness of the 5 smallest co-order parts (r7) ==")
     QUERIES["graph_closeness_harmonic"](spark, sf_dir).orderBy("source").show()
 
@@ -134,6 +140,33 @@ def main() -> None:
             ).show(truncate=False)
         finally:
             q.stop()
+
+        print("== LIVE CUSUM monitor on the same stream (r8): fixed    ==")
+        print("== target 51, alarm when the one-sided sum clears h=3   ==")
+        from kafka_etl_consumer_spark.streaming.drift import cusum_monitor
+
+        stream2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q2 = (
+            cusum_monitor(
+                stream2, key_col="series", ts_col="ts", value_col="m",
+                target=51.0, slack=0.25, h=3.0,
+            )
+            .writeStream.format("memory")
+            .queryName("cusum_demo")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+            spark.sql(
+                "SELECT * FROM cusum_demo ORDER BY n_obs"
+            ).show(truncate=False)
+        finally:
+            q2.stop()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -68,5 +68,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline41 as _qp41  # noqa: 
 # driver-verified (CORRECTNESS r1-r7 drained the full registry), so the
 # rotation picks these 8 up as the only never-checked names.
 from kafka_etl_consumer_spark.plans import queries_pipeline42 as _qp42  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline43 as _qp43  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

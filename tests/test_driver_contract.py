@@ -63,6 +63,9 @@ R8_NEW = [
     "stats_anderson_darling",
     "ts_pettitt_values",
     "ts_cusum_oneside",
+    # queries_pipeline43 — round-8 second wave
+    "text_textrank_keywords",
+    "stats_friedman_test",
 ]
 
 
