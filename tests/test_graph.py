@@ -203,3 +203,61 @@ def test_triangle_stats_known_graph(spark):
     assert row.n_wedges == 15
     assert row.n_triangles == 4
     assert row.global_clustering == round(3 * 4 / 15, 6)
+
+
+def test_personalized_pagerank_seed_locality(spark):
+    """PPR on a path graph 0-1-2-3-4 (directed both ways) with seed 0:
+    mass must decay with distance from the seed, unreached = 0 exactly,
+    and the engine must match a hand-rolled power iteration."""
+    from kafka_etl_consumer_spark.operators.graph import personalized_pagerank
+    from pyspark.sql import functions as F
+
+    edges = [(i, i + 1) for i in range(4)] + [(i + 1, i) for i in range(4)]
+    e = spark.createDataFrame(edges, "src int, dst int")
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id int")  # 5 isolated
+    seeds = spark.createDataFrame([(0, 1.0)], "id int, sm double")
+
+    got = {
+        r.id: r.ppr
+        for r in personalized_pagerank(e, verts, seeds, iterations=5).collect()
+    }
+    # reference power iteration
+    import collections
+
+    out = collections.defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    r = {i: 0.0 for i in range(6)}
+    r[0] = 1.0
+    for _ in range(5):
+        nxt = {i: 0.15 * (1.0 if i == 0 else 0.0) for i in range(6)}
+        for s, ds in out.items():
+            for d in ds:
+                nxt[d] += 0.85 * r[s] / len(ds)
+        r = nxt
+    for i in range(6):
+        assert abs(got[i] - r[i]) < 1e-12, i
+    # locality: the seed's neighborhood holds most of the mass (note:
+    # r(1) > r(0) is CORRECT on a path — 0's entire out-flow lands on 1
+    # while 0 keeps only teleport + half of 1's out-flow), every reached
+    # vertex is positive, the isolated vertex is exactly 0, and total
+    # mass never exceeds 1 (out-edges exist everywhere on the path, so
+    # nothing leaks here)
+    assert got[0] + got[1] > got[3] + got[4]
+    assert all(got[i] > 0 for i in range(5))
+    assert got[5] == 0.0
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_gbdt_boost_mse_monotone(spark, sf_dir):
+    """Squared-loss boosting with a stump per round can never increase
+    train MSE (each round's leaf values are the residual means, the
+    exact minimizers given the split), and every gain is positive by
+    construction (the best split beats the no-split variance)."""
+    from kafka_etl_consumer_spark.plans import QUERIES
+
+    rows = QUERIES["ml_gbdt_stump_boost"](spark, sf_dir).collect()
+    assert [r.boost_round for r in rows] == [1, 2, 3]
+    mses = [r.train_mse for r in rows]
+    assert mses[0] >= mses[1] >= mses[2]
+    assert all(r.gain >= 0 for r in rows)
