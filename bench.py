@@ -394,6 +394,8 @@ HEADLINE = [
     "ts_cusum_oneside",
     "text_textrank_keywords",
     "stats_friedman_test",
+    "stats_page_trend",
+    "ts_mann_kendall",
 ]
 
 
@@ -414,6 +416,15 @@ def main() -> None:
         # region and LRU-evict the CURRENT query's cache between its two
         # runs (observed: graph_triangles 9.8s in-suite vs 2.4s isolated)
         spark.catalog.clearCache()
+        # ... and clearCache only drops SQL-cached relations: every
+        # localCheckpoint(eager=False) in the iterative family (connected
+        # components, PageRank loops, k-core) leaks a persistent RDD per
+        # run (r8 measured 1-3 blocks per canonical-pick run), and a few
+        # hundred queries of leakage puts the storage region into
+        # eviction churn exactly when the graph queries bench. Unpersist
+        # them too.
+        for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            jrdd.unpersist(False)
         # min of 2: the first run pays one-time whole-stage-codegen JIT
         # compile (measured 0.3-4s/query, constant regardless of data
         # volume); the min reflects the per-data throughput that scales.

@@ -390,6 +390,7 @@ def canonical_pick(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 6,
+    loop_partitions: int = 32,
 ) -> DataFrame:
     """(id, component_id, n_members, is_canonical) — turn near-duplicate
     PAIRS into dedup DECISIONS: cluster the pair graph into components
@@ -411,7 +412,13 @@ def canonical_pick(
     from kafka_etl_consumer_spark.operators.graph import connected_components
 
     comp = connected_components(
-        pairs, docs.select(id_col), id_col=id_col, src=src, dst=dst, max_iter=max_iter
+        pairs,
+        docs.select(id_col),
+        id_col=id_col,
+        src=src,
+        dst=dst,
+        max_iter=max_iter,
+        loop_partitions=loop_partitions,
     )
     joined = docs.select(id_col, quality_col).join(comp, id_col)
     w_pick = Window.partitionBy("component_id").orderBy(

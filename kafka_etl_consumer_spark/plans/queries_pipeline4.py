@@ -89,8 +89,14 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # max_iter=4 covers diameter 15 — measured ample (the sf0.1 pair graph
     # converges at 3; near-dup clusters are chained cliques, not paths) and
-    # two rounds (6 shuffle stages) cheaper than the operator's default 6
-    return D.canonical_pick(pairs, docs, quality_col="n_chars", max_iter=4)
+    # two rounds (6 shuffle stages) cheaper than the operator's default 6.
+    # loop_partitions=8: the CC loop state is the near-dup pair ENDPOINTS
+    # (docs with duplicate evidence — a small fraction of any corpus), so
+    # the loop's ~12 micro-stages don't each need 32 tasks; production
+    # corpora with wide duplicate fronts raise it via the operator param.
+    return D.canonical_pick(
+        pairs, docs, quality_col="n_chars", max_iter=4, loop_partitions=8
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -12,6 +12,13 @@ extraction and the repeated-measures rank test.
   mean value when each DAY is its own block? The repeated-measures
   complement to stats_kruskal_wallis (which treats rows as
   independent, not blocked).
+- stats_page_trend — Page's L test for an ORDERED alternative in the
+  same complete-block design (Friedman answers "differ at all",
+  Page answers "increase along this order").
+- ts_mann_kendall — the Mann-Kendall monotone-trend test per event
+  type on the daily mean series (tie-corrected variance, continuity
+  correction) — the significance test beside ts_theilsen_trend's
+  slope estimate.
 
 The reference has no analytics surface (pass-through ETL,
 ETLTask.java:261-283 of mykidong/kafka-etl-consumer).
@@ -259,4 +266,257 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("qs", 6).alias("q_stat"),
         (F.col("k") - 1).cast("int").alias("df"),
         F.round(_normal_sf(z), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_page_trend — Page's L test for an ORDERED alternative in the
+# same complete-block rank design as stats_friedman_test
+# ---------------------------------------------------------------------------
+
+_PAGE_ORACLE = f"""
+WITH cellt AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+         event_type AS g, round(avg(value), 6) AS m
+  FROM events GROUP BY 1, 2
+),
+full_blocks AS (
+  SELECT d FROM cellt GROUP BY d
+  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM events)
+),
+b AS (SELECT cellt.* FROM cellt JOIN full_blocks USING (d)),
+rk AS (
+  SELECT d, g,
+         rank() OVER (PARTITION BY d ORDER BY m)
+           + (count(*) OVER (PARTITION BY d, m) - 1) / 2.0 AS r
+  FROM b
+),
+ord_g AS (
+  SELECT g, CAST(row_number() OVER (ORDER BY g) AS DOUBLE) AS w
+  FROM (SELECT DISTINCT g FROM rk)
+),
+dims AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n,
+                CAST(count(DISTINCT g) AS BIGINT) AS k
+         FROM rk),
+l AS (
+  SELECT sum(w * rsum) AS lstat, n, k
+  FROM (SELECT rk.g, sum(r) AS rsum FROM rk GROUP BY rk.g) rj
+  JOIN ord_g ON ord_g.g = rj.g CROSS JOIN dims
+  GROUP BY n, k
+),
+z AS (
+  SELECT n, k, lstat,
+         (12 * lstat - 3 * n * k * (k + 1.0) * (k + 1.0))
+           / sqrt(CAST(n AS DOUBLE) * k * k * (k + 1)
+                  * (k * k - 1.0) * (k + 1)) AS zl
+  FROM l
+)
+SELECT n AS n_blocks, CAST(k AS INT) AS k_treatments,
+       round(lstat, 1) AS l_stat, round(zl, 6) AS z_stat,
+       round({_normal_sf_sql('zl')}, 6) AS p_value
+FROM z
+"""
+
+
+@register("stats_page_trend", _PAGE_ORACLE)
+def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative (Page 1963): in the same
+    complete-day-block rank design as stats_friedman_test, weight each
+    treatment's rank sum by its hypothesized order position (here the
+    alphabetical event-type order — the deterministic stand-in for a
+    dose/level ordering) and test L = sum_j w_j R_j against its null
+    normal approximation z = (12L - 3nk(k+1)^2) / sqrt(n k^2 (k+1)
+    (k^2-1)(k+1)). Friedman asks "do they differ AT ALL"; Page asks
+    "do they INCREASE along this order" — far more powerful when the
+    alternative is monotone. Scale: identical substrate (one (day,
+    type)-grid hash-agg + bounded-grid midrank windows); L is an exact
+    multiple of 0.5."""
+    ev = _t(spark, sf_dir, "events")
+    cellt = (
+        ev.select(
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            F.col("event_type").alias("g"),
+            "value",
+        )
+        .groupBy("d", "g")
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    k_row = ev.agg(F.countDistinct("event_type").alias("kk"))
+    full = (
+        cellt.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(k_row))
+        .filter(F.col("c") == F.col("kk"))
+        .select("d")
+    )
+    b = cellt.join(full, "d")
+    rk = b.select(
+        "d",
+        "g",
+        (
+            F.rank().over(Window.partitionBy("d").orderBy("m"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("d", "m")) - 1) / 2.0
+        ).alias("r"),
+    )
+    ord_g = (
+        rk.select("g")
+        .distinct()
+        .select(
+            "g",
+            F.row_number().over(Window.orderBy("g")).cast("double").alias("w"),
+        )
+    )
+    dims = rk.agg(
+        F.countDistinct("d").cast("bigint").alias("n"),
+        F.countDistinct("g").cast("bigint").alias("k"),
+    )
+    rj = rk.groupBy("g").agg(F.sum("r").alias("rsum"))
+    l = (
+        rj.join(F.broadcast(ord_g), "g")
+        .crossJoin(F.broadcast(dims))
+        .groupBy("n", "k")
+        .agg(F.sum(F.col("w") * F.col("rsum")).alias("lstat"))
+    )
+    n, k = F.col("n").cast("double"), F.col("k").cast("double")
+    zl = (12 * F.col("lstat") - 3 * n * k * (k + 1) * (k + 1)) / F.sqrt(
+        n * k * k * (k + 1) * (k * k - 1) * (k + 1)
+    )
+    return l.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").cast("int").alias("k_treatments"),
+        F.round("lstat", 1).alias("l_stat"),
+        F.round(zl, 6).alias("z_stat"),
+        F.round(_normal_sf(zl), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_mann_kendall — monotone-trend test on the daily mean series
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+         round(avg(value), 6) AS m
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.m > a.m THEN 1
+                       WHEN b.m < a.m THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.d > a.d
+  GROUP BY a.event_type
+),
+nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM daily GROUP BY 1),
+tie AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+  FROM (SELECT event_type, m, CAST(count(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, m)
+  GROUP BY event_type
+),
+v AS (
+  SELECT p.event_type, s, n,
+         (n * (n - 1.0) * (2 * n + 5) - tt) / 18.0 AS var_s
+  FROM pairs p JOIN nn USING (event_type) JOIN tie USING (event_type)
+),
+z AS (
+  SELECT event_type, s, n, var_s,
+         CASE WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+              WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+              ELSE 0.0 END AS zmk
+  FROM v
+),
+az AS (SELECT *, abs(zmk) AS azmk FROM z)
+SELECT event_type, n AS n_days, s AS s_stat, round(zmk, 6) AS z_stat,
+       round(least(1.0, 2 * {_normal_sf_sql('azmk')}), 6) AS p_value,
+       CASE WHEN s > 0 THEN 'increasing' WHEN s < 0 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM az
+"""
+
+
+@register("ts_mann_kendall", _MK_ORACLE)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type on the daily mean
+    value series: S = sum over day pairs of sgn(m_j - m_i), tie-corrected
+    variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, continuity-corrected
+    z, two-sided p — the distribution-free "is there ANY monotone trend"
+    test that complements ts_theilsen_trend's slope estimate (same
+    sgn-pair foundation; Kendall 1975). Scale: one hash-agg to the day
+    grain; the pair sum is an equi-join on event_type over the BOUNDED
+    per-type day grid (30 days = 435 pairs per type — never a cartesian
+    over events); S and the tie term are exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.d") > F.col("a.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.m") > F.col("a.m"), 1)
+                .when(F.col("b.m") < F.col("a.m"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tie = (
+        daily.groupBy("event_type", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tt")
+        )
+    )
+    v = pairs.join(nn, "event_type").join(tie, "event_type").select(
+        "event_type",
+        "s",
+        "n",
+        (
+            (
+                F.col("n") * (F.col("n") - 1.0) * (2 * F.col("n") + 5)
+                - F.col("tt")
+            )
+            / 18.0
+        ).alias("var_s"),
+    )
+    zmk = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    z = v.select("event_type", "s", "n", zmk.alias("zmk"))
+    return z.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round("zmk", 6).alias("z_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2 * _normal_sf(F.abs(F.col("zmk")))), 6
+        ).alias("p_value"),
+        F.when(F.col("s") > 0, "increasing")
+        .when(F.col("s") < 0, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
     )

@@ -66,6 +66,8 @@ R8_NEW = [
     # queries_pipeline43 — round-8 second wave
     "text_textrank_keywords",
     "stats_friedman_test",
+    "stats_page_trend",
+    "ts_mann_kendall",
 ]
 
 
