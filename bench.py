@@ -396,6 +396,8 @@ HEADLINE = [
     "stats_friedman_test",
     "stats_page_trend",
     "ts_mann_kendall",
+    "stats_cochran_q",
+    "ts_runs_test",
 ]
 
 

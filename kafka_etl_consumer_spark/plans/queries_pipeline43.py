@@ -19,6 +19,11 @@ extraction and the repeated-measures rank test.
   type on the daily mean series (tie-corrected variance, continuity
   correction) — the significance test beside ts_theilsen_trend's
   slope estimate.
+- stats_cochran_q — the BINARY repeated-measures test in the same
+  day blocks (Friedman: ordinal; Page: ordered; Q: 0/1 outcomes).
+- ts_runs_test — Wald-Wolfowitz runs test for randomness of the
+  daily series around its exact median (clustering vs oscillation),
+  the gate beside ts_mann_kendall and ts_ljung_box.
 
 The reference has no analytics surface (pass-through ETL,
 ETLTask.java:261-283 of mykidong/kafka-etl-consumer).
@@ -519,4 +524,306 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("s") < 0, "decreasing")
         .otherwise("none")
         .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats_cochran_q — binary repeated measures in the same day blocks
+# ---------------------------------------------------------------------------
+
+_COCHRAN_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type AS g,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+         round(avg(value), 6) AS m
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT g, avg(m) AS med
+  FROM (
+    SELECT g, m,
+           row_number() OVER (PARTITION BY g ORDER BY m, d) AS rn,
+           count(*) OVER (PARTITION BY g) AS n
+    FROM daily
+  )
+  WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+  GROUP BY g
+),
+cellt AS (
+  SELECT d, daily.g,
+         CAST(CASE WHEN m > med THEN 1 ELSE 0 END AS BIGINT) AS x
+  FROM daily JOIN med ON med.g = daily.g
+),
+full_blocks AS (
+  SELECT d FROM cellt GROUP BY d
+  HAVING count(*) = (SELECT count(DISTINCT event_type) FROM events)
+),
+b AS (SELECT cellt.* FROM cellt JOIN full_blocks USING (d)),
+dims AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_blocks,
+                CAST(count(DISTINCT g) AS BIGINT) AS k
+         FROM b),
+cj AS (SELECT g, CAST(sum(x) AS BIGINT) AS c FROM b GROUP BY g),
+ri AS (SELECT d, CAST(sum(x) AS BIGINT) AS r FROM b GROUP BY d),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS nt,
+               CAST(sum(c * c) AS BIGINT) AS sc2 FROM cj),
+rr AS (SELECT CAST(sum(r * r) AS BIGINT) AS sr2 FROM ri),
+q AS (
+  SELECT n_blocks, k, nt,
+         CASE WHEN k * nt - sr2 = 0 THEN 0.0
+              ELSE (k - 1.0) * (k * sc2 - CAST(nt AS DOUBLE) * nt)
+                     / (k * nt - sr2) END AS qs
+  FROM dims CROSS JOIN tot CROSS JOIN rr
+),
+wh AS (
+  SELECT n_blocks, k, nt, qs, k - 1 AS df,
+         (pow(qs / (k - 1.0), 1.0 / 3) - (1 - 2.0 / (9 * (k - 1.0))))
+           / sqrt(2.0 / (9 * (k - 1.0))) AS z
+  FROM q
+)
+SELECT n_blocks, CAST(k AS INT) AS k_treatments, nt AS n_successes,
+       round(qs, 6) AS q_stat, CAST(df AS INT) AS df,
+       round({_normal_sf_sql('z')}, 6) AS p_value
+FROM wh
+"""
+
+
+@register("stats_cochran_q", _COCHRAN_ORACLE)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: the BINARY repeated-measures test completing the
+    blocked family (Friedman handles ordinal ranks, Page the ordered
+    alternative, Q the 0/1 outcome) — here "was type g's daily mean
+    value above its own all-days median on day d", blocked by day. The
+    above-own-median indicator guarantees within-block variation at any
+    data volume (a raw threshold like value > 150 saturates to all-1
+    cells at sf0.1, degenerating the denominator to 0 — both engines
+    now also guard that with an explicit Q = 0). Q = (k-1)(k*sum C_j^2
+    - N^2) / (k*N - sum R_i^2) over column (treatment) and row (block)
+    success totals — medians are exact order statistics of 6dp-rounded
+    daily means and every total is an exact integer, so Q is
+    deterministic cross-engine; p via the shared Wilson-Hilferty
+    chi-square at k-1 df. Scale: one hash-agg to the (day, type) grid,
+    rank/marginal passes on the bounded grid after."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            "value",
+        )
+        .groupBy("g", "d")
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    wt = Window.partitionBy("g")
+    ranked = daily.select(
+        "g",
+        "d",
+        "m",
+        F.row_number().over(wt.orderBy("m", "d")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("g")
+        .agg(F.avg("m").alias("med"))
+    )
+    cellt = daily.join(F.broadcast(med), "g").select(
+        "d",
+        "g",
+        (F.col("m") > F.col("med")).cast("bigint").alias("x"),
+    )
+    k_row = ev.agg(F.countDistinct("event_type").alias("kk"))
+    full = (
+        cellt.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(k_row))
+        .filter(F.col("c") == F.col("kk"))
+        .select("d")
+    )
+    b = cellt.join(full, "d")
+    dims = b.agg(
+        F.countDistinct("d").cast("bigint").alias("n_blocks"),
+        F.countDistinct("g").cast("bigint").alias("k"),
+    )
+    cj = b.groupBy("g").agg(F.sum("x").cast("bigint").alias("c"))
+    ri = b.groupBy("d").agg(F.sum("x").cast("bigint").alias("r"))
+    tot = cj.agg(
+        F.sum("c").cast("bigint").alias("nt"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    rr = ri.agg(F.sum(F.col("r") * F.col("r")).cast("bigint").alias("sr2"))
+    q = (
+        dims.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rr))
+        .select(
+            "n_blocks",
+            "k",
+            "nt",
+            F.when(F.col("k") * F.col("nt") - F.col("sr2") == 0, F.lit(0.0))
+            .otherwise(
+                (F.col("k") - 1.0)
+                * (F.col("k") * F.col("sc2") - F.col("nt").cast("double") * F.col("nt"))
+                / (F.col("k") * F.col("nt") - F.col("sr2"))
+            )
+            .alias("qs"),
+        )
+    )
+    dfree = (F.col("k") - 1).cast("double")
+    z = (
+        F.pow(F.col("qs") / dfree, F.lit(1.0 / 3)) - (1 - 2.0 / (9 * dfree))
+    ) / F.sqrt(2.0 / (9 * dfree))
+    return q.select(
+        "n_blocks",
+        F.col("k").cast("int").alias("k_treatments"),
+        F.col("nt").alias("n_successes"),
+        F.round("qs", 6).alias("q_stat"),
+        (F.col("k") - 1).cast("int").alias("df"),
+        F.round(_normal_sf(z), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_runs_test — Wald-Wolfowitz randomness test on the daily mean series
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+         round(avg(value), 6) AS m
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type,
+         avg(m) AS med
+  FROM (
+    SELECT event_type, m,
+           row_number() OVER (PARTITION BY event_type ORDER BY m, d) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+  )
+  WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+  GROUP BY event_type
+),
+sgn AS (
+  SELECT daily.event_type, d,
+         CASE WHEN m > med THEN 1 WHEN m < med THEN -1 ELSE 0 END AS s
+  FROM daily JOIN med ON med.event_type = daily.event_type
+),
+nz AS (SELECT event_type, d, s FROM sgn WHERE s <> 0),
+runs AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN s <> prev_s OR prev_s IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS r,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM (SELECT event_type, s,
+               lag(s) OVER (PARTITION BY event_type ORDER BY d) AS prev_s
+        FROM nz)
+  GROUP BY event_type
+),
+z AS (
+  SELECT event_type, r, n1, n2,
+         1 + 2.0 * n1 * n2 / (n1 + n2) AS mu,
+         sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+              / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))) AS sd
+  FROM runs
+),
+zz AS (
+  SELECT event_type, r, n1, n2,
+         (r - mu) / sd AS zr
+  FROM z
+),
+az AS (SELECT *, abs(zr) AS azr FROM zz)
+SELECT event_type, r AS n_runs, n1 AS n_above, n2 AS n_below,
+       round(zr, 6) AS z_stat,
+       round(least(1.0, 2 * {_normal_sf_sql('azr')}), 6) AS p_value
+FROM az
+"""
+
+
+@register("ts_runs_test", _RUNS_ORACLE)
+def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: is the daily mean value
+    series RANDOM around its median, or does it cluster (trend/regime
+    structure -> too few runs; oscillation -> too many)? Signs come
+    from the exact median of the 6dp-rounded daily means (average of
+    the two middle order statistics — identical order-statistic
+    selection in both engines), median-equal days are dropped (the
+    standard convention), runs counted by a lag pass, and z uses the
+    exact run-count mean 1 + 2*n1*n2/(n1+n2) and variance. The
+    randomness gate that complements ts_mann_kendall (monotone trend)
+    and ts_ljung_box (autocorrelation). Scale: one day-grain hash-agg,
+    then rank/lag windows over the bounded per-type day grid; run
+    counts and n1/n2 are exact integers."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.round(F.avg("value"), 6).alias("m"))
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "d",
+        "m",
+        F.row_number().over(wt.orderBy("m", "d")).alias("rn"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("m").alias("med"))
+    )
+    sgn = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "d",
+        F.when(F.col("m") > F.col("med"), 1)
+        .when(F.col("m") < F.col("med"), -1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    nz = sgn.filter(F.col("s") != 0)
+    lagged = nz.select(
+        "event_type",
+        "s",
+        F.lag("s").over(wt.orderBy("d")).alias("prev_s"),
+    )
+    runs = lagged.groupBy("event_type").agg(
+        F.sum(
+            F.when(
+                F.col("prev_s").isNull() | (F.col("s") != F.col("prev_s")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("bigint").alias("n2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    mu = 1 + 2.0 * n1 * n2 / (n1 + n2)
+    sd = F.sqrt(
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0))
+    )
+    zz = runs.select(
+        "event_type", "r", "n1", "n2", ((F.col("r") - mu) / sd).alias("zr")
+    )
+    return zz.select(
+        "event_type",
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.round("zr", 6).alias("z_stat"),
+        F.round(
+            F.least(F.lit(1.0), 2 * _normal_sf(F.abs(F.col("zr")))), 6
+        ).alias("p_value"),
     )

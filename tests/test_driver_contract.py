@@ -68,6 +68,8 @@ R8_NEW = [
     "stats_friedman_test",
     "stats_page_trend",
     "ts_mann_kendall",
+    "stats_cochran_q",
+    "ts_runs_test",
 ]
 
 
