@@ -77,6 +77,27 @@ def main() -> None:
     print("== 7b. rank association: Kendall tau-b views vs purchases (r7) ==")
     QUERIES["stats_kendall_tau_b"](spark, sf_dir).show()
 
+    print("== 8. the blocked-design battery (r8): day blocks, k event types ==")
+    print("== 8a. Friedman — do the types differ AT ALL (ordinal ranks)?   ==")
+    QUERIES["stats_friedman_test"](spark, sf_dir).show()
+
+    print("== 8b. Page's L — do they INCREASE along the type order?        ==")
+    QUERIES["stats_page_trend"](spark, sf_dir).show()
+
+    print("== 8c. Cochran's Q — the 0/1 outcome version                    ==")
+    QUERIES["stats_cochran_q"](spark, sf_dir).show()
+
+    print("== 8d. OR homogeneity: may stats_cmh_test pool its strata?      ==")
+    QUERIES["stats_breslow_day"](spark, sf_dir).show()
+
+    print("== 8e. Dunn post-hoc: WHICH priority pairs differ after KW      ==")
+    QUERIES["stats_dunn_posthoc"](spark, sf_dir).orderBy(
+        "o_orderstatus", "g1", "g2"
+    ).show(10)
+
+    print("== 8f. uplift summary: AUUC + Qini coefficient (r8)             ==")
+    QUERIES["eval_uplift_at_k_curve"](spark, sf_dir).show()
+
     spark.stop()
 
 

@@ -538,27 +538,27 @@ WITH daily AS (
          round(avg(value), 6) AS m
   FROM events GROUP BY 1, 2
 ),
-med AS (
-  SELECT g, avg(m) AS med
-  FROM (
-    SELECT g, m,
-           row_number() OVER (PARTITION BY g ORDER BY m, d) AS rn,
-           count(*) OVER (PARTITION BY g) AS n
-    FROM daily
-  )
-  WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
-  GROUP BY g
-),
-cellt AS (
-  SELECT d, daily.g,
-         CAST(CASE WHEN m > med THEN 1 ELSE 0 END AS BIGINT) AS x
-  FROM daily JOIN med ON med.g = daily.g
-),
 full_blocks AS (
-  SELECT d FROM cellt GROUP BY d
+  SELECT d FROM daily GROUP BY d
   HAVING count(*) = (SELECT count(DISTINCT event_type) FROM events)
 ),
-b AS (SELECT cellt.* FROM cellt JOIN full_blocks USING (d)),
+fb AS (SELECT daily.* FROM daily JOIN full_blocks USING (d)),
+med AS (
+  SELECT d, avg(m) AS med
+  FROM (
+    SELECT d, m,
+           row_number() OVER (PARTITION BY d ORDER BY m, g) AS rn,
+           count(*) OVER (PARTITION BY d) AS k
+    FROM fb
+  )
+  WHERE rn IN ((k + 1) // 2, (k + 2) // 2)
+  GROUP BY d
+),
+b AS (
+  SELECT fb.d, g,
+         CAST(CASE WHEN m > med THEN 1 ELSE 0 END AS BIGINT) AS x
+  FROM fb JOIN med ON med.d = fb.d
+),
 dims AS (SELECT CAST(count(DISTINCT d) AS BIGINT) AS n_blocks,
                 CAST(count(DISTINCT g) AS BIGINT) AS k
          FROM b),
@@ -592,17 +592,20 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cochran's Q: the BINARY repeated-measures test completing the
     blocked family (Friedman handles ordinal ranks, Page the ordered
     alternative, Q the 0/1 outcome) — here "was type g's daily mean
-    value above its own all-days median on day d", blocked by day. The
-    above-own-median indicator guarantees within-block variation at any
-    data volume (a raw threshold like value > 150 saturates to all-1
-    cells at sf0.1, degenerating the denominator to 0 — both engines
-    now also guard that with an explicit Q = 0). Q = (k-1)(k*sum C_j^2
-    - N^2) / (k*N - sum R_i^2) over column (treatment) and row (block)
-    success totals — medians are exact order statistics of 6dp-rounded
-    daily means and every total is an exact integer, so Q is
-    deterministic cross-engine; p via the shared Wilson-Hilferty
-    chi-square at k-1 df. Scale: one hash-agg to the (day, type) grid,
-    rank/marginal passes on the bounded grid after."""
+    above the DAY's cross-type median on day d", blocked by day. The
+    indicator must make COLUMN totals free to vary while the block
+    margin binds: a raw threshold (value > 150) saturates every cell to
+    1 at sf0.1 (zero denominator), and an above-own-median split fixes
+    every column total at exactly n/2 (Q identically 0 — caught when
+    the example printed it); the day-median split leaves the row margin
+    ~constant (as Cochran's design intends) and lets a type that
+    consistently beats its peers push its column total up. Q =
+    (k-1)(k*sum C_j^2 - N^2) / (k*N - sum R_i^2) — day medians are
+    exact order statistics of 6dp-rounded means, all totals exact
+    integers, zero denominator guarded to Q = 0 in both engines; p via
+    the shared Wilson-Hilferty chi-square at k-1 df. Scale: one
+    hash-agg to the (day, type) grid, rank/marginal passes on the
+    bounded grid after."""
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.select(
@@ -613,36 +616,36 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g", "d")
         .agg(F.round(F.avg("value"), 6).alias("m"))
     )
-    wt = Window.partitionBy("g")
-    ranked = daily.select(
-        "g",
-        "d",
-        "m",
-        F.row_number().over(wt.orderBy("m", "d")).alias("rn"),
-        F.count(F.lit(1)).over(wt).alias("n"),
-    )
-    med = (
-        ranked.filter(
-            (F.col("rn") == F.floor((F.col("n") + 1) / 2))
-            | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
-        )
-        .groupBy("g")
-        .agg(F.avg("m").alias("med"))
-    )
-    cellt = daily.join(F.broadcast(med), "g").select(
-        "d",
-        "g",
-        (F.col("m") > F.col("med")).cast("bigint").alias("x"),
-    )
     k_row = ev.agg(F.countDistinct("event_type").alias("kk"))
     full = (
-        cellt.groupBy("d")
+        daily.groupBy("d")
         .agg(F.count(F.lit(1)).alias("c"))
         .crossJoin(F.broadcast(k_row))
         .filter(F.col("c") == F.col("kk"))
         .select("d")
     )
-    b = cellt.join(full, "d")
+    fb = daily.join(full, "d")
+    wd = Window.partitionBy("d")
+    ranked = fb.select(
+        "d",
+        "g",
+        "m",
+        F.row_number().over(wd.orderBy("m", "g")).alias("rn"),
+        F.count(F.lit(1)).over(wd).alias("k"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("k") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("k") + 2) / 2))
+        )
+        .groupBy("d")
+        .agg(F.avg("m").alias("med"))
+    )
+    b = fb.join(med, "d").select(
+        "d",
+        "g",
+        (F.col("m") > F.col("med")).cast("bigint").alias("x"),
+    )
     dims = b.agg(
         F.countDistinct("d").cast("bigint").alias("n_blocks"),
         F.countDistinct("g").cast("bigint").alias("k"),
