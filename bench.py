@@ -398,6 +398,7 @@ HEADLINE = [
     "ts_mann_kendall",
     "stats_cochran_q",
     "ts_runs_test",
+    "decontaminate_embeddings",
 ]
 
 

@@ -24,6 +24,10 @@ extraction and the repeated-measures rank test.
 - ts_runs_test — Wald-Wolfowitz runs test for randomness of the
   daily series around its exact median (clustering vs oscillation),
   the gate beside ts_mann_kendall and ts_ljung_box.
+- decontaminate_embeddings — semantic benchmark decontamination:
+  max cosine of every training vector to a broadcast benchmark set
+  (the embedding-space twin of decontaminate_ngrams — lexical
+  overlap misses paraphrases).
 
 The reference has no analytics surface (pass-through ETL,
 ETLTask.java:261-283 of mykidong/kafka-etl-consumer).
@@ -829,4 +833,89 @@ def ts_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.least(F.lit(1.0), 2 * _normal_sf(F.abs(F.col("zr")))), 6
         ).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decontaminate_embeddings — semantic benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_DECON_EMB_BENCH = 40
+_DECON_EMB_THRESH = 0.4
+
+_DECON_EMB_ORACLE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+bench AS (SELECT vec_id AS bid, emb AS bemb FROM e
+          WHERE vec_id < {_DECON_EMB_BENCH}),
+train AS (SELECT * FROM e WHERE vec_id >= {_DECON_EMB_BENCH}),
+pairs AS (
+  SELECT t.vec_id, b.bid,
+         round(list_dot_product(t.emb, b.bemb)
+               / (sqrt(list_dot_product(t.emb, t.emb))
+                  * sqrt(list_dot_product(b.bemb, b.bemb))), 6) AS s
+  FROM train t CROSS JOIN bench b
+),
+best AS (
+  SELECT vec_id, bid, s,
+         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, bid) AS rn
+  FROM pairs
+)
+SELECT vec_id, bid AS nearest_bench_id, s AS max_bench_sim,
+       CAST(s >= {_DECON_EMB_THRESH} AS INT) AS contaminated
+FROM best WHERE rn = 1
+"""
+
+
+@register("decontaminate_embeddings", _DECON_EMB_ORACLE)
+def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space twin of
+    decontaminate_ngrams (lexical overlap misses paraphrases; embedding
+    cosine catches them): per training vector, the maximum cosine to any
+    held-out benchmark vector (vec_id < 40 plays the benchmark here),
+    its nearest benchmark id, and the contamination flag at cosine >=
+    0.4. Scale: the benchmark set is small by nature (eval suites are
+    thousands of items while training corpora are billions), so it
+    collapses to ONE broadcast row of (id, vector) structs — the
+    sim_ann_ivf codebook pattern — and the scan-side max is an in-row
+    higher-order fold in codegen: ZERO training-corpus shuffle, one
+    pass. Similarities round to 6dp BEFORE the argmax (ties to the
+    smallest benchmark id) so the pick is deterministic cross-engine.
+    For benchmark sets too big to broadcast, route candidates through
+    the LSH/IVF machinery (operators/similarity.py) — same output
+    contract."""
+    from kafka_etl_consumer_spark.functions.vectors import as_double, dot, l2_norm
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    bench = e.filter(F.col("vec_id") < _DECON_EMB_BENCH).agg(
+        F.collect_list(
+            F.struct(F.col("vec_id").alias("bid"), F.col("emb").alias("bemb"))
+        ).alias("bench")
+    )
+    train = e.filter(F.col("vec_id") >= _DECON_EMB_BENCH)
+
+    def _score(b):
+        return F.round(
+            dot(F.col("emb"), b["bemb"]) / (l2_norm(F.col("emb")) * l2_norm(b["bemb"])),
+            6,
+        )
+
+    best = F.array_min(
+        F.transform(
+            F.col("bench"),
+            lambda b: F.struct(
+                (-_score(b)).alias("ns"), b["bid"].alias("bid")
+            ),
+        )
+    )
+    return (
+        train.crossJoin(F.broadcast(bench))
+        .select("vec_id", best.alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.bid").alias("nearest_bench_id"),
+            (-F.col("m.ns")).alias("max_bench_sim"),
+            (-F.col("m.ns") >= _DECON_EMB_THRESH).cast("int").alias("contaminated"),
+        )
     )

@@ -70,6 +70,7 @@ R8_NEW = [
     "ts_mann_kendall",
     "stats_cochran_q",
     "ts_runs_test",
+    "decontaminate_embeddings",
 ]
 
 
