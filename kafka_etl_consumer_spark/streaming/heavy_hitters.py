@@ -25,7 +25,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["misra_gries_monitor"]
+__all__ = ["mg_reduce", "misra_gries_monitor"]
+
+
+def mg_reduce(items, k: int = 8, n: int = 0, summary: dict | None = None):
+    """Fold an ordered item stream into a Misra-Gries summary.
+
+    The ONE shared update used by both the streaming monitor below and
+    the batch twin (plans/queries_pipeline44.heavy_hitters_mg), so the
+    two surfaces cannot drift: increment a tracked item, adopt into a
+    free slot while fewer than ``k`` counters live, else decrement ALL
+    counters and drop zeros (the arriving item is spent too — k+1
+    stream elements per decrement, hence the n/(k+1) error bound).
+    Returns ``(n, summary)`` — pass a prior ``(n, summary)`` back in to
+    resume (the streaming state-store path). ``summary`` preserves
+    insertion order (Python dict), matching the oracle's list state."""
+    summary = {} if summary is None else summary
+    for x in items:
+        x = str(x)
+        n += 1
+        if x in summary:
+            summary[x] += 1
+        elif len(summary) < k:
+            summary[x] = 1
+        else:
+            for it in list(summary):
+                summary[it] -= 1
+                if summary[it] == 0:
+                    del summary[it]
+    return n, summary
 
 
 def misra_gries_monitor(
@@ -82,20 +110,12 @@ def misra_gries_monitor(
             else (chunks[0] if chunks else None)
         )
         if batch is not None:
-            for x in batch.sort_values(ts_col, kind="mergesort")[item_col]:
-                x = str(x)
-                n += 1
-                if x in summary:
-                    summary[x] += 1
-                elif len(summary) < k:
-                    summary[x] = 1
-                else:
-                    # decrement-all: every counter and the arriving item
-                    # each lose one — k+1 stream elements per decrement
-                    for it in list(summary):
-                        summary[it] -= 1
-                        if summary[it] == 0:
-                            del summary[it]
+            n, summary = mg_reduce(
+                batch.sort_values(ts_col, kind="mergesort")[item_col],
+                k=k,
+                n=n,
+                summary=summary,
+            )
         ordered = sorted(summary.items(), key=lambda kv: (-kv[1], kv[0]))
         state.update(
             (n, [it for it, _ in ordered], [c for _, c in ordered])

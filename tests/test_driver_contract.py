@@ -73,6 +73,13 @@ R8_NEW = [
     "decontaminate_embeddings",
 ]
 
+R9_NEW = [
+    # queries_pipeline44 — registered after every round-8 entry
+    "ml_isotonic_pav",
+    "graph_betweenness_bounded",
+    "heavy_hitters_mg",
+]
+
 
 def _checked_names() -> set[str]:
     import glob
@@ -140,13 +147,13 @@ def test_rotation_never_checked_lead_and_new_batches_trail():
         )
     # registration order breaks never-checked ties: the newest batch
     # (registered last) must trail every OTHER never-checked query
-    newest = set(R8_NEW)
+    newest = set(R9_NEW)
     older_never = [n for n in never if n not in newest]
     if older_never and newest & set(never):
         last_old = max(order.index(n) for n in older_never)
-        first_new = min(order.index(n) for n in R8_NEW if n in never)
+        first_new = min(order.index(n) for n in R9_NEW if n in never)
         assert last_old < first_new, (
-            "a round-8 query would drain before an older never-checked one"
+            "a round-9 query would drain before an older never-checked one"
         )
 
 
@@ -159,4 +166,10 @@ def test_r7_new_queries_all_registered_with_oracles():
 def test_r8_new_queries_all_registered_with_oracles():
     missing = [n for n in R8_NEW if n not in QUERIES]
     no_oracle = [n for n in R8_NEW if n not in ORACLES]
+    assert not missing and not no_oracle, (missing, no_oracle)
+
+
+def test_r9_new_queries_all_registered_with_oracles():
+    missing = [n for n in R9_NEW if n not in QUERIES]
+    no_oracle = [n for n in R9_NEW if n not in ORACLES]
     assert not missing and not no_oracle, (missing, no_oracle)
