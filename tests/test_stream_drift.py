@@ -485,3 +485,242 @@ def test_cusum_restart_recovers_state(spark, tmp_path):
     assert final.alarm_seq == alarm_ref
     assert final.drift_detected is (alarm_ref > 0)
     assert alarm_ref > 10  # the alarm must land in the drifted regime
+
+
+# ---------------------------------------------------------------------------
+# ADWIN (round 9): adaptive-window detector — parity vs an independent
+# reference recurrence, restart recovery, per-key isolation, detection
+# ---------------------------------------------------------------------------
+
+
+def _reference_adwin(series, delta=0.002, max_buckets=5, value_range=1.0):
+    """INDEPENDENT plain-Python ADWIN2 (Bifet & Gavaldà 2007), written
+    from the paper, not from streaming/drift.py — exponential histogram
+    of (sum, count) buckets oldest-first, Hoeffding mean-cut with
+    delta' = delta / W. Returns the final monitor-visible state."""
+    import math
+
+    buckets: list[list] = []  # [sum, count], oldest first
+    n = n_det = last_seq = 0
+    for x in series:
+        n += 1
+        # insert at the newest end, then merge over-full levels
+        buckets.append([float(x), 1])
+        cap = 1
+        while True:
+            level = [j for j, b in enumerate(buckets) if b[1] == cap]
+            if len(level) <= max_buckets:
+                break
+            a, b = level[0], level[1]
+            buckets[a : b + 1] = [[buckets[a][0] + buckets[b][0], 2 * cap]]
+            cap *= 2
+        # shrink while some prefix/suffix split violates the bound
+        shrunk = False
+        while len(buckets) > 1:
+            w = sum(b[1] for b in buckets)
+            s = sum(b[0] for b in buckets)
+            n0 = 0
+            s0 = 0.0
+            hit = False
+            for b in buckets[:-1]:
+                n0 += b[1]
+                s0 += b[0]
+                n1, s1 = w - n0, s - s0
+                m = (n0 * n1) / (n0 + n1)
+                eps = value_range * math.sqrt(
+                    math.log(4.0 * w / delta) / (2.0 * m)
+                )
+                if abs(s0 / n0 - s1 / n1) >= eps:
+                    hit = True
+                    break
+            if not hit:
+                break
+            buckets.pop(0)
+            shrunk = True
+        if shrunk:
+            n_det += 1
+            last_seq = n
+    width = sum(b[1] for b in buckets)
+    mean = sum(b[0] for b in buckets) / width if width else 0.0
+    return n, width, mean, n_det, last_seq
+
+
+def _shift_series(n1=40, n2=40, lo=0.2, hi=0.8):
+    """Deterministic stationary-then-shifted series in [0, 1]: a small
+    zigzag around lo, then around hi — the canonical ADWIN input."""
+    wig = [0.0, 0.02, -0.02, 0.01, -0.01]
+    a = [lo + wig[i % 5] for i in range(n1)]
+    b = [hi + wig[i % 5] for i in range(n2)]
+    return a + b
+
+
+def _run_adwin_stream(spark, tmp_path, chunks, name, **kw):
+    """Feed value chunks (one parquet file each => one micro-batch each)
+    through adwin_monitor; returns all emitted rows ordered by n_obs."""
+    from kafka_etl_consumer_spark.streaming.drift import adwin_monitor
+
+    src = str(tmp_path / f"{name}_src")
+    base = dt.datetime(2024, 1, 1)
+    seq = 0
+
+    def stage(chunk):
+        nonlocal seq
+        rows = []
+        for key, xs in chunk:
+            for x in xs:
+                rows.append(
+                    Row(series=key, ts=base + dt.timedelta(minutes=seq), m=float(x))
+                )
+                seq += 1
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stage(chunks[0])
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = adwin_monitor(stream, key_col="series", ts_col="ts", value_col="m", **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for chunk in chunks[1:]:
+            stage(chunk)
+            q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name} ORDER BY n_obs").collect()
+    finally:
+        q.stop()
+
+
+def test_adwin_stream_matches_independent_reference(spark, tmp_path):
+    series = _shift_series()
+    cut = 30  # split INSIDE the stationary half: state must carry over
+    rows = _run_adwin_stream(
+        spark,
+        tmp_path,
+        [[("k", series[:cut])], [("k", series[cut:])]],
+        "adwin_parity",
+    )
+    n, width, mean, n_det, last_seq = _reference_adwin(series)
+    final = rows[-1]
+    assert final.n_obs == n == len(series)
+    assert final.width == width
+    assert round(final.win_mean, 12) == round(mean, 12)
+    assert final.n_detections == n_det
+    assert final.last_detect_seq == last_seq
+    assert final.drift_detected == (n_det > 0)
+    # the mid-stream emission reflects partial state, not the full answer
+    assert rows[0].n_obs == cut
+
+
+def test_adwin_detects_shift_and_drops_history(spark, tmp_path):
+    # a longer post-shift run lets the adaptive window converge onto the
+    # new regime (bucket granularity keeps some pre-shift data right
+    # after the change — that is ADWIN2's documented approximation)
+    series = _shift_series(n1=40, n2=80)
+    rows = _run_adwin_stream(
+        spark, tmp_path, [[("k", series)]], "adwin_detect"
+    )
+    final = rows[-1]
+    assert final.drift_detected, "a 0.2 -> 0.8 mean shift must be detected"
+    assert final.last_detect_seq > 40, "detection must come after the shift"
+    # the stationary prefix was discarded: window < full history, and the
+    # surviving window mean sits near the POST-shift level
+    assert final.width < final.n_obs
+    assert final.win_mean > 0.6
+    # a stationary series of the same length must NOT alarm
+    flat = [0.5 + [0.0, 0.02, -0.02, 0.01, -0.01][i % 5] for i in range(80)]
+    rows_flat = _run_adwin_stream(
+        spark, tmp_path, [[("k", flat)]], "adwin_flat"
+    )
+    assert not rows_flat[-1].drift_detected
+    assert rows_flat[-1].width == 80
+
+
+def test_adwin_restart_recovers_state(spark, tmp_path):
+    """Kill the query between micro-batches; the restarted query must
+    resume the exponential histogram from the checkpoint, not restart —
+    verified by exact parity with the one-shot reference."""
+    from kafka_etl_consumer_spark.streaming.drift import adwin_monitor
+
+    series = _shift_series()
+    cut = 50
+    src = str(tmp_path / "adwin_restart_src")
+    ckpt = str(tmp_path / "adwin_restart_ckpt")
+    base = dt.datetime(2024, 1, 1)
+
+    def stage(xs, start):
+        rows = [
+            Row(series="k", ts=base + dt.timedelta(minutes=start + i), m=float(x))
+            for i, x in enumerate(xs)
+        ]
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    sink = str(tmp_path / "adwin_restart_sink")
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = adwin_monitor(stream, key_col="series", ts_col="ts", value_col="m")
+
+        # memory sink can't resume from a checkpoint; dump to parquet
+        def dump(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(sink)
+
+        return (
+            out.writeStream.foreachBatch(dump)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    stage(series[:cut], 0)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stage(series[cut:], cut)
+    q = start_query()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(sink).orderBy("n_obs").collect()
+    n, width, mean, n_det, last_seq = _reference_adwin(series)
+    final = rows[-1]
+    assert final.n_obs == n
+    assert final.width == width
+    assert round(final.win_mean, 12) == round(mean, 12)
+    assert final.n_detections == n_det
+    assert final.last_detect_seq == last_seq
+
+
+def test_adwin_keys_keep_independent_state(spark, tmp_path):
+    shifted = _shift_series()
+    flat = [0.5] * len(shifted)
+    rows = _run_adwin_stream(
+        spark,
+        tmp_path,
+        [[("hot", shifted[:40]), ("cold", flat[:40])],
+         [("hot", shifted[40:]), ("cold", flat[40:])]],
+        "adwin_keys",
+    )
+    by_key = {}
+    for r in rows:
+        by_key[r.key] = r  # last emission per key wins (ordered by n_obs)
+    assert by_key["hot"].drift_detected
+    assert not by_key["cold"].drift_detected
+    assert by_key["cold"].width == len(flat)
