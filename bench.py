@@ -406,6 +406,81 @@ HEADLINE = [
 ]
 
 
+def compute_noise(times: dict, sf: str) -> dict | None:
+    """Self-adjudicating noise analysis (VERDICT r8 item 3): the
+    per-query ratio-vs-previous-archive read that rounds 7 and 8 did
+    by hand to separate host contention from real regressions. Two
+    signals, emitted into the JSON so no one re-derives them:
+    - the q1 control (single-stage, data-light — moves only with
+      host load, never with a query change elsewhere), and
+    - the ratio distribution vs the latest bench_runs archive at the
+      same SF: UNIFORM inflation (median well above 1 with the p10
+      also elevated) is machine noise — rerun or compare mins;
+      LOCALIZED outliers over a ~1x median are candidate real
+      regressions and are listed by name.
+    Never fails the bench: any error degrades to noise=null."""
+    try:
+        runs_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_runs")
+        archives = sorted(
+            f for f in os.listdir(runs_dir)
+            if f.endswith("_local.json")
+        )
+        baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+        if baseline_path is None and archives:
+            baseline_path = os.path.join(runs_dir, archives[-1])
+        if baseline_path is None:
+            return None
+        with open(baseline_path) as f:
+            prior = json.load(f)
+        if str(prior.get("sf")) != str(float(sf)):
+            return {"baseline_archive": os.path.basename(baseline_path),
+                    "verdict": "sf-mismatch: no comparison"}
+        prior_q = prior.get("queries", {})
+        ratios = {
+            n: round(times[n] / prior_q[n], 3)
+            for n in times
+            if n in prior_q and prior_q[n] > 0
+        }
+        if len(ratios) < 10:
+            return {"baseline_archive": os.path.basename(baseline_path),
+                    "verdict": "too-few-shared-queries"}
+        rs = sorted(ratios.values())
+
+        def pct(p: float) -> float:
+            return round(rs[min(len(rs) - 1, int(p * len(rs)))], 3)
+
+        med, p10, p90 = pct(0.5), pct(0.1), pct(0.9)
+        outliers = dict(sorted(
+            ((n, r) for n, r in ratios.items() if r > 1.5),
+            key=lambda kv: -kv[1],
+        )[:10])
+        if med > 1.15 and p10 > 1.0:
+            verdict = ("uniform-inflation: host contention — rerun on a "
+                       "quiet box or compare per-query mins, do NOT "
+                       "adjudicate regressions from this run")
+        elif outliers:
+            verdict = ("localized: median in-band but named outliers "
+                       ">1.5x — candidate real regressions, re-time "
+                       "each standalone (min-of-3) before adjudicating")
+        else:
+            verdict = "in-band"
+        return {
+            "baseline_archive": os.path.basename(baseline_path),
+            "n_compared": len(ratios),
+            "q1_control_sec": times.get("q1_pricing_summary"),
+            "q1_control_ratio": ratios.get("q1_pricing_summary"),
+            "ratio_median": med,
+            "ratio_p10": p10,
+            "ratio_p90": p90,
+            "outliers_over_1.5x": outliers,
+            "verdict": verdict,
+        }
+    except Exception as exc:  # noqa: BLE001 - diagnostics must not kill bench
+        print(f"# noise block unavailable: {exc!r}", file=sys.stderr)
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -554,6 +629,7 @@ def main() -> None:
                 "n_queries": len(times),
                 "queries": times,
                 "families": fams,
+                "noise": compute_noise(times, sf),
                 "total_sec": total,
             }
         )

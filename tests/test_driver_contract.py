@@ -173,3 +173,33 @@ def test_r9_new_queries_all_registered_with_oracles():
     missing = [n for n in R9_NEW if n not in QUERIES]
     no_oracle = [n for n in R9_NEW if n not in ORACLES]
     assert not missing and not no_oracle, (missing, no_oracle)
+
+
+def test_bench_noise_block_classifies_runs():
+    """compute_noise must reproduce the hand analysis from
+    bench_runs/README.md r8: uniform inflation (host contention) vs
+    localized outliers (candidate regressions) vs in-band — and never
+    crash the bench (sf mismatch degrades to a no-comparison verdict)."""
+    import bench
+
+    with open(os.path.join(HERE, "bench_runs", "r8_local.json")) as f:
+        prior = json.load(f)
+    base = prior["queries"]
+
+    uniform = bench.compute_noise({n: v * 1.3 for n, v in base.items()}, "0.1")
+    assert uniform["verdict"].startswith("uniform-inflation")
+    assert uniform["ratio_median"] == 1.3
+
+    inband = bench.compute_noise(dict(base), "0.1")
+    assert inband["verdict"] == "in-band"
+    assert inband["q1_control_ratio"] == 1.0
+
+    local = dict(base)
+    local["graph_triangles"] *= 3
+    localized = bench.compute_noise(local, "0.1")
+    assert localized["verdict"].startswith("localized")
+    assert "graph_triangles" in localized["outliers_over_1.5x"]
+
+    assert bench.compute_noise(dict(base), "0.01")["verdict"].startswith(
+        "sf-mismatch"
+    )
