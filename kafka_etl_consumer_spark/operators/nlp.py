@@ -346,3 +346,76 @@ def inverted_index(
         F.sum("__tf").cast("bigint").alias("cf"),
         F.sort_array(F.collect_list(F.col(id_col))).alias("postings"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared keyword-extraction substrate (round 9, VERDICT r8 item 6):
+# RAKE (queries_pipeline42) and TextRank (queries_pipeline43) — and any
+# future extractor (YAKE, position-weighted TextRank) — share one
+# definition of "content token" and one positional token grid. Before
+# this refactor each query re-derived its own grid CTE; a change to the
+# delimiter rule now has exactly one Spark-side place to land (the
+# DuckDB oracles keep their own unrolled CTEs by design — an oracle must
+# stay independent of engine helpers).
+# ---------------------------------------------------------------------------
+
+# 22-word stopword list shared by every keyword extractor; a token is a
+# DELIMITER when it is a stopword or contains any non-letter (digits,
+# punctuation-bearing tokens) — Rose et al. 2010's candidate-phrase rule.
+KEYWORD_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
+    "with", "is", "are", "was", "be", "as", "by", "at", "it",
+    "this", "that", "from",
+]
+
+
+def keyword_token_grid(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional token grid with the shared delimiter flag:
+    ``(id_col, i, t, is_delim)`` — one posexplode per document, the
+    common substrate of every keyword extractor. Scale: the explode is
+    data-proportional and everything downstream partitions by document
+    or by vocabulary key; no token self-join exists anywhere on this
+    path."""
+    tk = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("i", "t")
+    )
+    is_delim = (
+        F.col("t").isin(KEYWORD_STOPWORDS) | F.col("t").rlike("[^a-z]")
+    ).cast("int")
+    return tk.withColumn("is_delim", is_delim)
+
+
+def phrase_members(grid: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """RAKE candidate-phrase membership: maximal content-token runs
+    between delimiters, identified per document by the prefix count of
+    delimiters seen so far. Returns ``(id_col, p, i, t)`` where ``p``
+    is the run id. The window is per-document (bounded by document
+    length), never global."""
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pid = grid.withColumn("p", F.sum("is_delim").over(w))
+    return pid.filter(F.col("is_delim") == 0).select(id_col, "p", "i", "t")
+
+
+def adjacent_content_pairs(grid: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """TextRank co-occurrence edges: unordered distinct pairs of content
+    tokens ADJACENT in the original stream — a delimiter between two
+    content words breaks adjacency, exactly the boundary RAKE splits
+    phrases on. Returns ``(u, v)`` with u < v, one lag window per
+    document (no token self-join)."""
+    w = Window.partitionBy(id_col).orderBy("i")
+    kept = F.col("is_delim") == 0
+    adj = grid.select(
+        "t",
+        kept.alias("k"),
+        F.lag("t").over(w).alias("pt"),
+        F.lag(kept).over(w).alias("pk"),
+    ).filter(F.col("k") & F.col("pk") & (F.col("t") != F.col("pt")))
+    return adj.select(
+        F.least("t", "pt").alias("u"), F.greatest("t", "pt").alias("v")
+    ).distinct()

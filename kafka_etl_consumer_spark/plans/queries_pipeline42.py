@@ -42,7 +42,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_etl_consumer_spark.functions.text import tokens, tokens_sql
+from kafka_etl_consumer_spark.functions.text import tokens, tokens_sql  # noqa: F401 (tokens re-exported for older pipelines)
+from kafka_etl_consumer_spark.operators.nlp import (
+    KEYWORD_STOPWORDS,
+    keyword_token_grid,
+    phrase_members,
+)
 from kafka_etl_consumer_spark.plans.queries_pipeline33 import (
     _normal_sf,
     _normal_sf_sql,
@@ -611,11 +616,10 @@ def graph_random_walk_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_rake_keywords — RAKE degree/frequency keyword extraction
 # ---------------------------------------------------------------------------
 
-_RAKE_STOP = [
-    "the", "a", "an", "and", "or", "of", "to", "in", "on", "for",
-    "with", "is", "are", "was", "be", "as", "by", "at", "it",
-    "this", "that", "from",
-]
+# the stopword list lives with the shared substrate in operators/nlp.py
+# (round 9); this alias keeps the oracle CTEs and pipeline43's import
+# working unchanged.
+_RAKE_STOP = KEYWORD_STOPWORDS
 _RAKE_SW_SQL = ", ".join(f"'{s}'" for s in _RAKE_STOP)
 _RAKE_TOPK = 15
 
@@ -688,21 +692,9 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final top-15 is TakeOrderedAndProject. No per-row Python
     anywhere."""
     docs = _t(spark, sf_dir, "documents")
-    tk = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "t")
-    )
-    is_delim = (
-        F.col("t").isin(_RAKE_STOP) | F.col("t").rlike("[^a-z]")
-    ).cast("int")
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    pid = tk.select(
-        "doc_id", "i", "t", is_delim.alias("is_delim")
-    ).withColumn("p", F.sum("is_delim").over(w))
-    member = pid.filter(F.col("is_delim") == 0).select("doc_id", "p", "i", "t")
+    # shared extractor substrate (operators/nlp.py): positional grid +
+    # delimiter flag, then maximal content runs as candidate phrases
+    member = phrase_members(keyword_token_grid(docs))
     phrase = member.groupBy("doc_id", "p").agg(
         F.array_join(
             F.transform(

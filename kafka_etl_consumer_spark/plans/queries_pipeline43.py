@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_etl_consumer_spark.functions.text import tokens, tokens_sql
+from kafka_etl_consumer_spark.functions.text import tokens_sql
 from kafka_etl_consumer_spark.plans.queries_pipeline33 import (
     _normal_sf,
     _normal_sf_sql,
@@ -115,22 +115,15 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     one src-keyed join + one dst-keyed partial+final sum from
     operators/graph.pagerank; the cut is TakeOrderedAndProject."""
     from kafka_etl_consumer_spark.operators.graph import pagerank
+    from kafka_etl_consumer_spark.operators.nlp import (
+        adjacent_content_pairs,
+        keyword_token_grid,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(tokens(F.col("text"))).alias("i", "t")
-    )
-    kept = ~F.col("t").isin(_RAKE_STOP) & ~F.col("t").rlike("[^a-z]")
-    w = Window.partitionBy("doc_id").orderBy("i")
-    adj = tok.select(
-        "t",
-        kept.alias("k"),
-        F.lag("t").over(w).alias("pt"),
-        F.lag(kept.cast("boolean")).over(w).alias("pk"),
-    ).filter(F.col("k") & F.col("pk") & (F.col("t") != F.col("pt")))
-    e0 = adj.select(
-        F.least("t", "pt").alias("u"), F.greatest("t", "pt").alias("v")
-    ).distinct()
+    # shared extractor substrate (operators/nlp.py): same grid +
+    # delimiter rule as RAKE, folded to adjacency edges here
+    e0 = adjacent_content_pairs(keyword_token_grid(docs))
     sym = e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
     vx = sym.select(F.col("u").alias("word")).distinct()
     ranks = pagerank(
