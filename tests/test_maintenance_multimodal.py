@@ -90,9 +90,10 @@ def test_parse_image_ppm_pgm_bmp_and_rejects_compressed():
     assert (w, h, ch) == (2, 2, 3)
     np.testing.assert_array_equal(data.reshape(2, 2, 3), px)
 
-    # compressed formats: documented raise without PIL; decoded through
-    # the PIL capability probe when the container has it (env-gated, the
-    # spark-avro jar pattern — activates on a real cluster image)
+    # JPEG/WebP: documented raise without PIL; decoded through the PIL
+    # capability probe when the container has it (env-gated, the
+    # spark-avro jar pattern — activates on a real cluster image).
+    # PNG no longer gates on PIL: the round-9 stdlib decoder handles it.
     try:
         import PIL  # noqa: F401
 
@@ -101,7 +102,7 @@ def test_parse_image_ppm_pgm_bmp_and_rejects_compressed():
         has_pil = False
     if not has_pil:
         with pytest.raises(ValueError, match="unsupported image magic"):
-            _parse_image(b"\x89PNG\r\n\x1a\n....")
+            _parse_image(b"\xff\xd8\xff\xe0....")  # JPEG SOI/APP0 magic
 
 
 def test_parse_image_compressed_via_pil_probe():
@@ -308,3 +309,164 @@ def test_forget_keys_escaped_partition_directory(spark, tmp_path):
     left = spark.read.parquet(table)
     assert left.filter(F.col("s") == "x/y:z").count() == 0
     assert left.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# PNG decoder (round 9): stdlib zlib + all five scanline filters, bit-exact
+# ---------------------------------------------------------------------------
+
+
+def _make_png(px: np.ndarray, ctype: int, filters: list[int],
+              plte: np.ndarray | None = None, depth: int = 8,
+              interlace: int = 0) -> bytes:
+    """Minimal PNG writer for tests: applies the REQUESTED per-row filter
+    so every unfilter branch is exercised (an independent encoder — the
+    decoder cannot self-confirm through it)."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    h, w = px.shape[0], px.shape[1]
+    nch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * nch).astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros(w * nch, np.int16)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        enc = np.zeros(w * nch, np.int16)
+        for x in range(w * nch):
+            a = line[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    comp = zlib.compress(bytes(raw))
+    # split IDAT in two to prove multi-chunk concatenation
+    out += chunk(b"IDAT", comp[: len(comp) // 2])
+    out += chunk(b"IDAT", comp[len(comp) // 2 :])
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_parse_png_all_filters_and_color_types():
+    from kafka_etl_consumer_spark.operators.multimodal import _parse_image
+
+    rng = np.random.default_rng(7)
+
+    # RGB (ctype 2), every filter type across rows
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    w, h, ch, data = _parse_image(_make_png(rgb, 2, [0, 1, 2, 3, 4]))
+    assert (w, h, ch) == (4, 5, 3)
+    np.testing.assert_array_equal(data.reshape(5, 4, 3), rgb)
+
+    # grayscale (ctype 0) stays 1-channel
+    gray = rng.integers(0, 256, size=(3, 6), dtype=np.uint8)
+    w, h, ch, data = _parse_image(_make_png(gray, 0, [4, 3, 1]))
+    assert (w, h, ch) == (6, 3, 1)
+    np.testing.assert_array_equal(data.reshape(3, 6), gray)
+
+    # RGBA (ctype 6): alpha dropped, lands as RGB
+    rgba = rng.integers(0, 256, size=(2, 3, 4), dtype=np.uint8)
+    w, h, ch, data = _parse_image(_make_png(rgba, 6, [2, 4]))
+    assert (w, h, ch) == (3, 2, 3)
+    np.testing.assert_array_equal(data.reshape(2, 3, 3), rgba[..., :3])
+
+    # palette (ctype 3): indices resolve through PLTE to RGB
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(4, 4), dtype=np.uint8)
+    w, h, ch, data = _parse_image(_make_png(idx, 3, [0, 1], plte=plte))
+    assert (w, h, ch) == (4, 4, 3)
+    np.testing.assert_array_equal(data.reshape(4, 4, 3), plte[idx])
+
+    # gray+alpha (ctype 4): gray replicated to RGB (the PIL convert
+    # contract), alpha dropped
+    ga = rng.integers(0, 256, size=(2, 2, 2), dtype=np.uint8)
+    w, h, ch, data = _parse_image(_make_png(ga, 4, [3]))
+    assert (w, h, ch) == (2, 2, 3)
+    np.testing.assert_array_equal(
+        data.reshape(2, 2, 3), np.repeat(ga[..., 0:1], 3, axis=2)
+    )
+
+
+def test_parse_png_matches_recorded_bytes():
+    """Golden-bytes check: a fixed 2x2 RGB PNG (filter None) decodes to
+    the recorded array — guards the writer+reader pair against a shared
+    drifting bug in _make_png."""
+    import zlib
+
+    from kafka_etl_consumer_spark.operators.multimodal import _parse_image
+
+    # hand-assembled: IHDR 2x2 depth8 ctype2, raster rows
+    # (0,'RGBRGB'), (0,'RGBRGB') with distinct bytes
+    raster = bytes([0, 10, 20, 30, 40, 50, 60, 0, 70, 80, 90, 100, 110, 120])
+    ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raster)) + chunk(b"IEND", b""))
+    w, h, ch, data = _parse_image(png)
+    assert (w, h, ch) == (2, 2, 3)
+    np.testing.assert_array_equal(
+        data, np.array([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120],
+                       dtype=np.uint8)
+    )
+
+
+def test_parse_png_rejects_16bit_and_interlaced():
+    from kafka_etl_consumer_spark.operators.multimodal import _parse_image
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(ValueError, match="8-bit-depth"):
+        _parse_image(_make_png(rgb, 2, [0], depth=16))
+    with pytest.raises(ValueError, match="interlaced"):
+        _parse_image(_make_png(rgb, 2, [0], interlace=1))
+
+
+def test_decode_image_pixels_handles_png(spark):
+    """The Spark-side plumbing decodes PNG rows in the same mapInPandas
+    pass as PPM/BMP — mixed-format corpora need no routing."""
+    from kafka_etl_consumer_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    png_bytes = _make_png(rgb, 2, [0, 1, 2, 3, 4])
+    ppm_bytes = encode_ppm(rgb.reshape(-1), 5, 3)
+    df = spark.createDataFrame(
+        [(1, png_bytes), (2, ppm_bytes)], "doc_id long, media binary"
+    )
+    rows = {r.doc_id: r for r in decode_image_pixels(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].channels) == (5, 3, 3)
+    np.testing.assert_array_equal(
+        np.frombuffer(rows[1].pixels, np.uint8),
+        np.frombuffer(rows[2].pixels, np.uint8),
+    )
