@@ -403,6 +403,12 @@ HEADLINE = [
     "ml_isotonic_pav",
     "graph_betweenness_bounded",
     "heavy_hitters_mg",
+    "ml_logistic_irls_grid",
+    "text_positionrank_keywords",
+    "ts_hurst_rs",
+    "stats_mood_median",
+    "stats_kendall_w",
+    "agg_approx_quantiles",
 ]
 
 

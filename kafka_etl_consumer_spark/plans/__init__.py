@@ -70,7 +70,8 @@ from kafka_etl_consumer_spark.plans import queries_pipeline41 as _qp41  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline42 as _qp42  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline43 as _qp43  # noqa: F401,E402
 
-# round-9 batch last, same reasoning
+# round-9 batches last, same reasoning
 from kafka_etl_consumer_spark.plans import queries_pipeline44 as _qp44  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline45 as _qp45  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -78,6 +78,13 @@ R9_NEW = [
     "ml_isotonic_pav",
     "graph_betweenness_bounded",
     "heavy_hitters_mg",
+    # queries_pipeline45 — round-9 second wave
+    "ml_logistic_irls_grid",
+    "text_positionrank_keywords",
+    "ts_hurst_rs",
+    "stats_mood_median",
+    "stats_kendall_w",
+    "agg_approx_quantiles",
 ]
 
 
