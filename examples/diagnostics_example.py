@@ -167,6 +167,39 @@ def main() -> None:
             ).show(truncate=False)
         finally:
             q2.stop()
+
+        print("== LIVE ADWIN monitor on the same stream (r9): no tuned  ==")
+        print("== threshold — the window statistically picks its length ==")
+        print("== (width << n_obs after the shift = history discarded)  ==")
+        from kafka_etl_consumer_spark.streaming.drift import adwin_monitor
+
+        # ADWIN trades tuning for evidence: the Hoeffding bound needs more
+        # post-shift observations than PH/CUSUM's tuned thresholds (its
+        # false-positive rate is GUARANTEED, theirs depends on the tuned
+        # lam/h), so let the shifted regime run longer before it can cut
+        arrive([58.0 + (i % 3) * 0.2 for i in range(60)], len(flat) + len(shifted))
+        stream3 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q3 = (
+            adwin_monitor(
+                stream3, key_col="series", ts_col="ts", value_col="m",
+                value_range=8.4,  # the Hoeffding R: this metric spans 50.0-58.4
+            )
+            .writeStream.format("memory")
+            .queryName("adwin_demo")
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q3.processAllAvailable()
+            spark.sql(
+                "SELECT * FROM adwin_demo ORDER BY n_obs"
+            ).show(truncate=False)
+        finally:
+            q3.stop()
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
