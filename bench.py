@@ -409,6 +409,10 @@ HEADLINE = [
     "stats_mood_median",
     "stats_kendall_w",
     "agg_approx_quantiles",
+    "ts_variance_ratio",
+    "stats_brunner_munzel",
+    "ml_ridge_path",
+    "graph_rich_club",
 ]
 
 

@@ -85,6 +85,11 @@ R9_NEW = [
     "stats_mood_median",
     "stats_kendall_w",
     "agg_approx_quantiles",
+    # queries_pipeline46 — round-9 third wave
+    "ts_variance_ratio",
+    "stats_brunner_munzel",
+    "ml_ridge_path",
+    "graph_rich_club",
 ]
 
 
