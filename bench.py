@@ -413,6 +413,8 @@ HEADLINE = [
     "stats_brunner_munzel",
     "ml_ridge_path",
     "graph_rich_club",
+    "stats_rayleigh_uniformity",
+    "stats_hodges_lehmann",
 ]
 
 

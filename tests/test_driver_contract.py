@@ -90,6 +90,9 @@ R9_NEW = [
     "stats_brunner_munzel",
     "ml_ridge_path",
     "graph_rich_club",
+    # queries_pipeline47 — round-9 fourth wave
+    "stats_rayleigh_uniformity",
+    "stats_hodges_lehmann",
 ]
 
 
