@@ -83,6 +83,24 @@ def main() -> None:
     print("== harmonic closeness of the 5 smallest co-order parts (r7) ==")
     QUERIES["graph_closeness_harmonic"](spark, sf_dir).orderBy("source").show()
 
+    print("== long-memory: rescaled-range Hurst exponent per type (r9) ==")
+    QUERIES["ts_hurst_rs"](spark, sf_dir).orderBy("event_type").show()
+
+    print("== ...and the Lo-MacKinlay variance-ratio TEST of the same  ==")
+    print("== question: VR<1 = mean reversion, VR>1 = trending (r9)    ==")
+    QUERIES["ts_variance_ratio"](spark, sf_dir).orderBy("event_type", "q").show(8)
+
+    print("== bounded Brandes betweenness: which parts BRIDGE the      ==")
+    print("== co-order graph (r9)                                      ==")
+    QUERIES["graph_betweenness_bounded"](spark, sf_dir).show(8)
+
+    print("== rich-club: do hub parts co-order with other hubs? (r9)   ==")
+    QUERIES["graph_rich_club"](spark, sf_dir).orderBy("k").show()
+
+    print("== batch Misra-Gries: daily modal-item heavy hitters with   ==")
+    print("== the n/(k+1) error bound (streaming twin in drift demo)   ==")
+    QUERIES["heavy_hitters_mg"](spark, sf_dir).orderBy("key", "item").show(10)
+
     print("== LIVE drift monitor: the same Page-Hinkley recurrence as a ==")
     print("== stateful stream (state survives across micro-batches)     ==")
     import shutil

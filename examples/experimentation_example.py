@@ -98,6 +98,30 @@ def main() -> None:
     print("== 8f. uplift summary: AUUC + Qini coefficient (r8)             ==")
     QUERIES["eval_uplift_at_k_curve"](spark, sf_dir).show()
 
+    print("== 9. the robust-comparison battery (r9)                        ==")
+    print("== 9a. Kendall's W — HOW MUCH do the day blocks agree (effect   ==")
+    print("==     size for 8a's Friedman verdict)?                         ==")
+    QUERIES["stats_kendall_w"](spark, sf_dir).show()
+
+    print("== 9b. Mood's median test — outlier-immune k-sample location    ==")
+    QUERIES["stats_mood_median"](spark, sf_dir).show()
+
+    print("== 9c. Brunner-Munzel — the Behrens-Fisher-safe two-sample test ==")
+    QUERIES["stats_brunner_munzel"](spark, sf_dir).show()
+
+    print("== 9d. Hodges-Lehmann pseudo-median — the robust center the     ==")
+    print("==     signed-rank test inverts (vs the skew-dragged mean)      ==")
+    QUERIES["stats_hodges_lehmann"](spark, sf_dir).show()
+
+    print("== 9e. Rayleigh — do events cluster at a daily phase?           ==")
+    QUERIES["stats_rayleigh_uniformity"](spark, sf_dir).orderBy("event_type").show()
+
+    print("== 9f. logistic calibration curve, 3 Newton steps on the grid   ==")
+    QUERIES["ml_logistic_irls_grid"](spark, sf_dir).show()
+
+    print("== 9g. isotonic calibration of the same signal (PAV closed form)==")
+    QUERIES["ml_isotonic_pav"](spark, sf_dir).orderBy("bin").show(8)
+
     spark.stop()
 
 
