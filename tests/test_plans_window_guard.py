@@ -207,6 +207,14 @@ def _is_equi_join(join) -> bool:
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_single_partition_window_at_data_grain(spark, sf_dir, name, row_grain):
+    # This is a STATIC lint of the plan as written. A cached DataFrame
+    # left behind by any earlier test (or by a .cache() inside another
+    # query's builder) substitutes InMemoryRelation for a matching
+    # subtree at optimization time, hiding the Aggregate/Limit that
+    # proves a window's input bounded (seen round 9: the GLM's cached
+    # 32-bin histogram shadowed ml_isotonic_pav's identical subtree).
+    # Lint the uncached shape.
+    spark.catalog.clearCache()
     plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan()
     offenders = [
         node
