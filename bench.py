@@ -415,6 +415,8 @@ HEADLINE = [
     "graph_rich_club",
     "stats_rayleigh_uniformity",
     "stats_hodges_lehmann",
+    "ts_fisher_g",
+    "stats_fligner_killeen",
 ]
 
 

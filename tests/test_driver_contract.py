@@ -93,6 +93,9 @@ R9_NEW = [
     # queries_pipeline47 — round-9 fourth wave
     "stats_rayleigh_uniformity",
     "stats_hodges_lehmann",
+    # queries_pipeline48 — round-9 fifth wave
+    "ts_fisher_g",
+    "stats_fligner_killeen",
 ]
 
 
@@ -197,7 +200,14 @@ def test_bench_noise_block_classifies_runs():
     crash the bench (sf mismatch degrades to a no-comparison verdict)."""
     import bench
 
-    with open(os.path.join(HERE, "bench_runs", "r8_local.json")) as f:
+    # compare against whatever archive compute_noise itself will pick
+    # (the latest bench_runs/*_local.json) — the test must not pin a
+    # round-specific file or it breaks the round the next archive lands
+    runs_dir = os.path.join(HERE, "bench_runs")
+    latest = sorted(
+        f for f in os.listdir(runs_dir) if f.endswith("_local.json")
+    )[-1]
+    with open(os.path.join(runs_dir, latest)) as f:
         prior = json.load(f)
     base = prior["queries"]
 
