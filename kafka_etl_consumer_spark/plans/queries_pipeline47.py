@@ -49,9 +49,9 @@ r AS (
 SELECT event_type, CAST(n AS BIGINT) AS n_events,
        round(rbar, 6) AS r_bar,
        round(z, 6) AS z_stat,
-       round(least(1.0, exp(-z) * (1 + (2 * z - z * z) / (4 * n)
+       round(least(1.0, greatest(0.0, exp(-z) * (1 + (2 * z - z * z) / (4 * n)
              - (24 * z - 132 * z * z + 76 * z * z * z - 9 * z * z * z * z)
-               / (288 * n * n))), 6) AS p_value
+               / (288 * n * n)))), 6) AS p_value
 FROM r
 """
 
@@ -100,7 +100,11 @@ def stats_rayleigh_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_events"),
         F.round(rbar, 6).alias("r_bar"),
         F.round(z, 6).alias("z_stat"),
-        F.round(F.least(F.lit(1.0), p), 6).alias("p_value"),
+        # the correction series can dip below 0 at extreme z (the z^4
+        # term) where the true p is ~0 — clamp to [0, 1] in BOTH engines
+        F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), p)), 6).alias(
+            "p_value"
+        ),
     )
 
 
