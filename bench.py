@@ -417,6 +417,7 @@ HEADLINE = [
     "stats_hodges_lehmann",
     "ts_fisher_g",
     "stats_fligner_killeen",
+    "ts_seasonal_mann_kendall",
 ]
 
 

@@ -76,5 +76,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline45 as _qp45  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline46 as _qp46  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline47 as _qp47  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline48 as _qp48  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline49 as _qp49  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -96,6 +96,8 @@ R9_NEW = [
     # queries_pipeline48 — round-9 fifth wave
     "ts_fisher_g",
     "stats_fligner_killeen",
+    # queries_pipeline49 — round-9 sixth wave
+    "ts_seasonal_mann_kendall",
 ]
 
 
