@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -421,6 +422,14 @@ HEADLINE = [
 ]
 
 
+def archive_round(filename: str) -> tuple:
+    """Sort key for bench_runs archives: the parsed round number
+    (r10 > r9 numerically, unlike lexicographic filename order),
+    falling back to the raw name for non-conforming files."""
+    m = re.match(r"r(\d+)", filename)
+    return (int(m.group(1)) if m else -1, filename)
+
+
 def compute_noise(times: dict, sf: str) -> dict | None:
     """Self-adjudicating noise analysis (VERDICT r8 item 3): the
     per-query ratio-vs-previous-archive read that rounds 7 and 8 did
@@ -437,9 +446,12 @@ def compute_noise(times: dict, sf: str) -> dict | None:
     try:
         runs_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "bench_runs")
+        # sort by parsed round number, not lexicographically —
+        # "r10_local.json" < "r9_local.json" as strings, which would
+        # pin the baseline to r9 forever (ADVICE r9)
         archives = sorted(
-            f for f in os.listdir(runs_dir)
-            if f.endswith("_local.json")
+            (f for f in os.listdir(runs_dir) if f.endswith("_local.json")),
+            key=archive_round,
         )
         baseline_path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
         if baseline_path is None and archives:

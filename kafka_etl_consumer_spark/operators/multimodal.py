@@ -138,7 +138,11 @@ def _parse_png(b: bytes):
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG raster size mismatch")
     # unfilter scanline by scanline; filters are byte-wise with the
-    # "left" byte nch positions back (int16 workspace, mod-256 writes)
+    # "left" byte nch positions back (int16 workspace, mod-256 writes).
+    # Sub/Average/Paeth run a per-byte Python loop (the left-neighbor
+    # recurrence is inherently sequential): fine for the <=64x64 test
+    # fixtures this decoder exists for, O(h*w*nch) interpreter cost on
+    # large images — swap in PIL (see _decode_image) for real corpora.
     out = np.zeros((h, stride), np.uint8)
     prev = np.zeros(stride, np.int16)
     rpos = 0

@@ -728,19 +728,30 @@ def agg_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked = ev.crossJoin(F.broadcast(apq)).agg(
         F.first("n").alias("n"),
         *[
-            F.sum(
-                (F.col("value") <= F.element_at(F.col("qs"), i + 1)).cast("long")
-            ).alias(f"rank_{i}")
+            agg
             for i in range(len(_AQ_PS))
+            for agg in (
+                F.sum(
+                    (F.col("value") < F.element_at(F.col("qs"), i + 1)).cast("long")
+                ).alias(f"rank_lo_{i}"),
+                F.sum(
+                    (F.col("value") <= F.element_at(F.col("qs"), i + 1)).cast("long")
+                ).alias(f"rank_hi_{i}"),
+            )
         ],
     )
+    # a tied value occupies the rank INTERVAL [rank_lo+1, rank_hi]; the
+    # sketch answer is correct iff that interval intersects the theorem
+    # band [p*n - tol, p*n + tol] — testing rank_hi alone false-flags a
+    # correct answer whose duplicate mass exceeds n/accuracy (ADVICE r9)
     tol = F.col("n").cast("double") / _AQ_ACC + 1
     rows = F.array(
         *[
             F.struct(
                 F.lit(p).alias("p"),
                 (
-                    F.abs(F.col(f"rank_{i}") - F.lit(p) * F.col("n")) <= tol
+                    (F.col(f"rank_lo_{i}") + 1 <= F.lit(p) * F.col("n") + tol)
+                    & (F.col(f"rank_hi_{i}") >= F.lit(p) * F.col("n") - tol)
                 )
                 .cast("int")
                 .alias("within_bounds"),

@@ -46,9 +46,11 @@ seq AS (
   FROM daily
 ),
 jj AS (
-  SELECT s.event_type, s.t, s.n, s.m - s.mbar AS x, j.j
-  FROM seq s JOIN (SELECT unnest(range(1, 200)) AS j) j
-    ON j.j <= CAST(floor((s.n - 1) / 2.0) AS BIGINT)
+  -- frequency bound derived from n, same as the engine's F.sequence
+  -- (ADVICE r9: a literal cap silently diverged for n >= 401)
+  SELECT event_type, t, n, m - mbar AS x,
+         unnest(range(1, CAST(floor((n - 1) / 2.0) AS BIGINT) + 1)) AS j
+  FROM seq
 ),
 per AS (
   SELECT event_type, j, CAST(max(n) AS BIGINT) AS n,

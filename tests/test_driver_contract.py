@@ -195,6 +195,16 @@ def test_r9_new_queries_all_registered_with_oracles():
     assert not missing and not no_oracle, (missing, no_oracle)
 
 
+def test_bench_archive_sort_is_numeric():
+    """r10_local.json must sort AFTER r9_local.json (ADVICE r9: raw
+    lexicographic order pins the noise baseline to r9 forever)."""
+    import bench
+
+    names = ["r10_local.json", "r5_local.json", "r9_local.json"]
+    assert sorted(names, key=bench.archive_round) == [
+        "r5_local.json", "r9_local.json", "r10_local.json"]
+
+
 def test_bench_noise_block_classifies_runs():
     """compute_noise must reproduce the hand analysis from
     bench_runs/README.md r8: uniform inflation (host contention) vs
@@ -207,7 +217,8 @@ def test_bench_noise_block_classifies_runs():
     # round-specific file or it breaks the round the next archive lands
     runs_dir = os.path.join(HERE, "bench_runs")
     latest = sorted(
-        f for f in os.listdir(runs_dir) if f.endswith("_local.json")
+        (f for f in os.listdir(runs_dir) if f.endswith("_local.json")),
+        key=bench.archive_round,
     )[-1]
     with open(os.path.join(runs_dir, latest)) as f:
         prior = json.load(f)
