@@ -419,6 +419,8 @@ HEADLINE = [
     "ts_fisher_g",
     "stats_fligner_killeen",
     "ts_seasonal_mann_kendall",
+    # round 10
+    "ts_adwin_values",
 ]
 
 

@@ -78,4 +78,7 @@ from kafka_etl_consumer_spark.plans import queries_pipeline47 as _qp47  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline48 as _qp48  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline49 as _qp49  # noqa: F401,E402
 
+# round-10 batches last, same reasoning
+from kafka_etl_consumer_spark.plans import queries_pipeline50 as _qp50  # noqa: F401,E402
+
 __all__ = ["QUERIES", "ORACLES"]

@@ -100,6 +100,11 @@ R9_NEW = [
     "ts_seasonal_mann_kendall",
 ]
 
+R10_NEW = [
+    # queries_pipeline50 — round-10 first wave
+    "ts_adwin_values",
+]
+
 
 def _checked_names() -> set[str]:
     import glob
@@ -167,13 +172,13 @@ def test_rotation_never_checked_lead_and_new_batches_trail():
         )
     # registration order breaks never-checked ties: the newest batch
     # (registered last) must trail every OTHER never-checked query
-    newest = set(R9_NEW)
+    newest = set(R10_NEW)
     older_never = [n for n in never if n not in newest]
     if older_never and newest & set(never):
         last_old = max(order.index(n) for n in older_never)
-        first_new = min(order.index(n) for n in R9_NEW if n in never)
+        first_new = min(order.index(n) for n in R10_NEW if n in never)
         assert last_old < first_new, (
-            "a round-9 query would drain before an older never-checked one"
+            "a round-10 query would drain before an older never-checked one"
         )
 
 
@@ -192,6 +197,12 @@ def test_r8_new_queries_all_registered_with_oracles():
 def test_r9_new_queries_all_registered_with_oracles():
     missing = [n for n in R9_NEW if n not in QUERIES]
     no_oracle = [n for n in R9_NEW if n not in ORACLES]
+    assert not missing and not no_oracle, (missing, no_oracle)
+
+
+def test_r10_new_queries_all_registered_with_oracles():
+    missing = [n for n in R10_NEW if n not in QUERIES]
+    no_oracle = [n for n in R10_NEW if n not in ORACLES]
     assert not missing and not no_oracle, (missing, no_oracle)
 
 
