@@ -421,6 +421,7 @@ HEADLINE = [
     "ts_seasonal_mann_kendall",
     # round 10
     "ts_adwin_values",
+    "graph_edge_betweenness",
 ]
 
 

@@ -103,6 +103,7 @@ R9_NEW = [
 R10_NEW = [
     # queries_pipeline50 — round-10 first wave
     "ts_adwin_values",
+    "graph_edge_betweenness",
 ]
 
 
