@@ -1,0 +1,423 @@
+"""Monte-Carlo audit of the stats battery's null formulas (VERDICT r9
+item 2). The Page's L lesson: oracle parity proves the two engines
+AGREE, not that the shared formula is RIGHT — r8 shipped a z
+understated by sqrt(k+1) in both engines and every hash check stayed
+green. This audit simulates the null hypothesis each query actually
+tests and runs the DuckDB ORACLE on the simulated data (driver parity
+certifies oracle == Spark plan, so auditing the oracle audits both
+engines). Two layers per statistic:
+
+1. NULL DISTRIBUTION — z ~ N(0,1) / p ~ U(0,1) / chi2 moments within
+   4-sigma CLT bounds (fixed seeds make the run deterministic, so the
+   bounds are snug; documented extra slop only where the published
+   approximation itself is biased — Pettitt's conservative tail,
+   Lo-MacKinlay's finite-sample z bias, runs-test discreteness).
+   These bounds catch FACTOR-scale errors (the Page's L bug was
+   2.45x), not percent-level approximation choices.
+2. P-MAP CROSS-CHECK — recompute each emitted p_value from the emitted
+   statistic with an independently-spelled published formula (exact
+   chi2 closed form for df=4, erfc normals, the exact Fisher/Pettitt/
+   Rayleigh series) and assert agreement to 1e-4 (1e-2 where the
+   oracle's Wilson-Hilferty chi2 approximation differs from the exact
+   closed form by design).
+
+Series-per-event_type statistics are PACKED — hundreds of independent
+null series ride in one simulated events table as distinct event
+types, so one oracle execution yields the whole null sample. Whole-
+table statistics (the Friedman block family, Mood, Fligner-Killeen,
+Brunner-Munzel, Hodges-Lehmann) loop over fresh simulated tables.
+Runtime ~2 min, all in DuckDB — no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_etl_consumer_spark.plans import ORACLES
+
+SEED = 20260816
+PACK_R = 300  # independent series in packed mode
+PACK_N = 120  # days per packed series
+LOOP_R = 200  # fresh-table replications in loop mode
+
+# 4-sigma CLT bounds for the fixed-seed samples
+P_MEAN_TOL_PACK = 4 / math.sqrt(12 * PACK_R)  # sd of U(0,1) mean
+P_TAIL_TOL_PACK = 4 * math.sqrt(0.1 * 0.9 / PACK_R)
+Z_MEAN_TOL_PACK = 4 / math.sqrt(PACK_R)
+Z_STD_TOL_PACK = 4 / math.sqrt(2 * PACK_R)
+P_MEAN_TOL_LOOP = 4 / math.sqrt(12 * LOOP_R)
+P_TAIL_TOL_LOOP = 4 * math.sqrt(0.1 * 0.9 / LOOP_R)
+Z_MEAN_TOL_LOOP = 4 / math.sqrt(LOOP_R)
+Z_STD_TOL_LOOP = 4 / math.sqrt(2 * LOOP_R)
+
+
+def _sf(z):
+    """Exact standard-normal survival function via erfc (independent of
+    the engines' A&S rational approximation)."""
+    return 0.5 * np.vectorize(math.erfc)(np.asarray(z, float) / math.sqrt(2))
+
+
+def _chi2_sf_df4(q):
+    """Exact chi-square survival function for df=4 (even df closed
+    form): P(X > q) = exp(-q/2) * (1 + q/2)."""
+    q = np.asarray(q, float)
+    return np.exp(-q / 2) * (1 + q / 2)
+
+
+def _run(con, name):
+    return con.execute(ORACLES[name]).fetchdf()
+
+
+# ---------------------------------------------------------------------------
+# packed simulations: one table, one oracle run, PACK_R independent series
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def packed_iid():
+    """events with PACK_R event types x PACK_N days, one obs/day at noon,
+    iid N(50, 5) values — the null of every stationarity/trend test."""
+    rng = np.random.default_rng(SEED)
+    types = np.repeat([f"r{i:04d}" for i in range(PACK_R)], PACK_N)
+    ts = np.tile(
+        pd.date_range("2024-01-01 12:00", periods=PACK_N, freq="D"), PACK_R
+    )
+    pdf = pd.DataFrame(
+        {"event_type": types, "ts": ts, "value": rng.normal(50, 5, PACK_R * PACK_N)}
+    )
+    con = duckdb.connect()
+    con.register("events", pdf)
+    return con
+
+
+@pytest.fixture(scope="module")
+def packed_walk():
+    """Random-walk levels (cumsum of iid increments) — the null of the
+    Lo-MacKinlay variance-ratio test is a random walk, NOT white noise."""
+    rng = np.random.default_rng(SEED + 1)
+    types = np.repeat([f"r{i:04d}" for i in range(PACK_R)], PACK_N)
+    ts = np.tile(
+        pd.date_range("2024-01-01 12:00", periods=PACK_N, freq="D"), PACK_R
+    )
+    val = rng.normal(0, 5, (PACK_R, PACK_N)).cumsum(axis=1).ravel() + 50
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame({"event_type": types, "ts": ts, "value": val}))
+    return con
+
+
+@pytest.fixture(scope="module")
+def packed_times():
+    """Uniform random times-of-day — the Rayleigh null (no daily phase)."""
+    rng = np.random.default_rng(SEED + 2)
+    n = 200
+    types = np.repeat([f"r{i:04d}" for i in range(PACK_R)], n)
+    base = pd.Timestamp("2024-01-01").value
+    ns = (
+        rng.integers(0, 30, PACK_R * n) * 86400 + rng.integers(0, 86400, PACK_R * n)
+    ) * 10**9
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_type": types,
+                "ts": pd.to_datetime(base + ns),
+                "value": rng.normal(50, 5, PACK_R * n),
+            }
+        ),
+    )
+    return con
+
+
+def _assert_uniform_p(p, mean_tol, tail_tol, tail_lo=None):
+    p = np.asarray(p, float)
+    assert abs(p.mean() - 0.5) <= mean_tol, f"p mean {p.mean():.3f}"
+    lo = 0.1 - tail_tol if tail_lo is None else tail_lo
+    assert lo <= np.mean(p < 0.1) <= 0.1 + tail_tol, (
+        f"P(p<0.1) = {np.mean(p < 0.1):.3f}"
+    )
+
+
+def _assert_std_normal(z, mean_tol, std_tol):
+    z = np.asarray(z, float)
+    assert abs(z.mean()) <= mean_tol, f"z mean {z.mean():.3f}"
+    assert abs(z.std(ddof=1) - 1) <= std_tol, f"z std {z.std(ddof=1):.3f}"
+
+
+def test_mann_kendall_null(packed_iid):
+    df = _run(packed_iid, "ts_mann_kendall")
+    assert len(df) == PACK_R
+    _assert_std_normal(df["z_stat"], Z_MEAN_TOL_PACK, Z_STD_TOL_PACK)
+    _assert_uniform_p(df["p_value"], P_MEAN_TOL_PACK, P_TAIL_TOL_PACK)
+    # p-map: continuity-corrected z from S with the no-ties variance
+    # n(n-1)(2n+5)/18 (continuous sim values -> no ties), two-sided p
+    s = df["s_stat"].to_numpy(float)
+    n = df["n_days"].to_numpy(float)
+    v = n * (n - 1) * (2 * n + 5) / 18
+    z = np.where(s > 0, (s - 1) / np.sqrt(v), np.where(s < 0, (s + 1) / np.sqrt(v), 0))
+    assert np.allclose(df["z_stat"], z, atol=1e-5)
+    assert np.allclose(df["p_value"], np.minimum(1.0, 2 * _sf(np.abs(z))), atol=1e-4)
+
+
+def test_seasonal_mann_kendall_null(packed_iid):
+    df = _run(packed_iid, "ts_seasonal_mann_kendall")
+    assert len(df) == PACK_R
+    _assert_std_normal(df["z_stat"], Z_MEAN_TOL_PACK, Z_STD_TOL_PACK)
+    _assert_uniform_p(df["p_value"], P_MEAN_TOL_PACK, P_TAIL_TOL_PACK)
+    # p-map: summed within-season no-ties variances; the 120-day design
+    # starting 2024-01-01 gives one 18-day weekday season and six 17s
+    sizes = np.bincount(np.arange(PACK_N) % 7)
+    v = float(sum(g * (g - 1) * (2 * g + 5) / 18 for g in sizes))
+    s = df["s_stat"].to_numpy(float)
+    z = np.where(s > 0, (s - 1) / math.sqrt(v), np.where(s < 0, (s + 1) / math.sqrt(v), 0))
+    assert np.allclose(df["z_stat"], z, atol=1e-5)
+    assert np.allclose(df["p_value"], np.minimum(1.0, 2 * _sf(np.abs(z))), atol=1e-4)
+
+
+def test_runs_test_null(packed_iid):
+    df = _run(packed_iid, "ts_runs_test")
+    assert len(df) == PACK_R
+    # runs counts are integers: the z lattice widens the std band and
+    # the two-sided p's discreteness widens the tail band (observed
+    # +0.04 at n=120; a factor-scale bug would blow far past this)
+    _assert_std_normal(df["z_stat"], Z_MEAN_TOL_PACK, Z_STD_TOL_PACK + 0.05)
+    _assert_uniform_p(
+        df["p_value"], P_MEAN_TOL_PACK, P_TAIL_TOL_PACK + 0.05
+    )
+    # p-map: Wald-Wolfowitz moments from the emitted run/side counts
+    r = df["n_runs"].to_numpy(float)
+    n1 = df["n_above"].to_numpy(float)
+    n2 = df["n_below"].to_numpy(float)
+    n = n1 + n2
+    mu = 2 * n1 * n2 / n + 1
+    sd = np.sqrt(2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1)))
+    z = (r - mu) / sd
+    assert np.allclose(df["z_stat"], z, atol=1e-5)
+    assert np.allclose(df["p_value"], np.minimum(1.0, 2 * _sf(np.abs(z))), atol=1e-4)
+
+
+def test_pettitt_null(packed_iid):
+    df = _run(packed_iid, "ts_pettitt_values")
+    assert len(df) == PACK_R
+    p = df["p_value"].to_numpy(float)
+    # Pettitt's p ~ 2exp(-6K^2/(n^3+n^2)) is the documented CONSERVATIVE
+    # approximation of max|U|'s tail: accurate for small p, inflated for
+    # large p (it can exceed 1 before the clamp). Assert the tail sits
+    # in the conservative band and the body is right-shifted, both
+    # reproduced by independent simulation of the exact K.
+    assert 0.02 <= np.mean(p < 0.1) <= 0.1 + P_TAIL_TOL_PACK
+    assert 0.45 <= p.mean() <= 0.75
+    # p-map: exact approximation formula from the emitted K and n
+    k = df["k_stat"].to_numpy(float)
+    n = PACK_N
+    want = np.minimum(1.0, 2 * np.exp(-6 * k * k / (n**3 + n**2)))
+    assert np.allclose(p, want, atol=1e-4)
+
+
+def test_variance_ratio_null(packed_walk):
+    df = _run(packed_walk, "ts_variance_ratio")
+    assert len(df) == 3 * PACK_R
+    for q in (2, 4, 8):
+        z = df[df["q"] == q]["z_stat"].to_numpy(float)
+        # Lo-MacKinlay's overlapping estimator has a documented negative
+        # finite-sample mean bias growing with q (observed -0.14/-0.19/
+        # -0.25 at n=120); the SCALE (std == 1) is the audited factor
+        assert -0.45 <= z.mean() <= 0.1, f"q={q} z mean {z.mean():.3f}"
+        assert abs(z.std(ddof=1) - 1) <= Z_STD_TOL_PACK + 0.05, (
+            f"q={q} z std {z.std(ddof=1):.3f}"
+        )
+    # p-map: homoskedastic asymptotic variance 2(2q-1)(q-1)/(3q*(T-1))
+    q = df["q"].to_numpy(float)
+    vr = df["variance_ratio"].to_numpy(float)
+    nd = PACK_N - 1.0
+    z = (vr - 1) / np.sqrt(2 * (2 * q - 1) * (q - 1) / (3 * q * nd))
+    assert np.allclose(df["z_stat"], z, atol=1e-4)
+    assert np.allclose(
+        df["p_value"], np.minimum(1.0, 2 * _sf(np.abs(z))), atol=1e-4
+    )
+
+
+def test_fisher_g_null(packed_iid):
+    df = _run(packed_iid, "ts_fisher_g")
+    assert len(df) == PACK_R
+    # the 3-term truncation distorts only the p ~ 1 body; the tail and
+    # mean stay clean under Gaussian white noise
+    _assert_uniform_p(df["p_value"], P_MEAN_TOL_PACK, P_TAIL_TOL_PACK)
+    # p-map: first three terms of Fisher's exact alternating series
+    g = df["g_stat"].to_numpy(float)
+    m = df["n_freqs"].to_numpy(float)
+    pv = (
+        m * np.maximum(0, 1 - g) ** (m - 1)
+        - m * (m - 1) / 2 * np.maximum(0, 1 - 2 * g) ** (m - 1)
+        + m * (m - 1) * (m - 2) / 6 * np.maximum(0, 1 - 3 * g) ** (m - 1)
+    )
+    assert np.allclose(
+        df["p_value"], np.clip(pv, 0, 1), atol=2e-4
+    )  # g rounds at 6dp before the (m-1)-power amplification
+
+
+def test_rayleigh_null(packed_times):
+    df = _run(packed_times, "stats_rayleigh_uniformity")
+    assert len(df) == PACK_R
+    z = df["z_stat"].to_numpy(float)
+    # under uniformity z = n*rbar^2 -> Exp(1): mean 1, sd 1
+    assert abs(z.mean() - 1) <= 4 / math.sqrt(PACK_R) + 0.05
+    _assert_uniform_p(df["p_value"], P_MEAN_TOL_PACK, P_TAIL_TOL_PACK)
+    # p-map: Zar's small-sample correction from the emitted z and n
+    n = df["n_events"].to_numpy(float)
+    pv = np.exp(-z) * (
+        1
+        + (2 * z - z * z) / (4 * n)
+        - (24 * z - 132 * z**2 + 76 * z**3 - 9 * z**4) / (288 * n * n)
+    )
+    assert np.allclose(df["p_value"], np.clip(pv, 0, 1), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# loop simulations: whole-table statistics, one fresh table per replication
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def loop_results():
+    """LOOP_R replications of three simulated designs: a k=5 x b=30
+    complete block table (Friedman / Page / Kendall W / Cochran Q), a
+    k=5-group value table (Mood / Fligner-Killeen), and a two-group
+    purchase/view table (Brunner-Munzel). Hodges-Lehmann runs on every
+    20th group table. One pass, results shared by the tests below."""
+    rng = np.random.default_rng(SEED + 3)
+    k, b, n_grp, n_bm = 5, 30, 120, 300
+    cols = (
+        "friedman_p friedman_q page_z page_p kw_w kw_chi2 kw_blocks "
+        "cq_q cq_p mood_chi2 mood_p fk_stat fk_p bm_w bm_p hl_med"
+    ).split()
+    acc: dict = {c: [] for c in cols}
+    block_days = pd.date_range("2024-01-01 12:00", periods=b, freq="D")
+    for rep in range(LOOP_R):
+        ev = pd.DataFrame(
+            {
+                "event_type": np.tile([f"t{i}" for i in range(k)], b),
+                "ts": np.repeat(block_days, k),
+                "value": rng.normal(50, 5, k * b),
+            }
+        )
+        con = duckdb.connect()
+        con.register("events", ev)
+        f = _run(con, "stats_friedman_test")
+        acc["friedman_p"].append(f["p_value"][0])
+        acc["friedman_q"].append(f["q_stat"][0])
+        pg = _run(con, "stats_page_trend")
+        acc["page_z"].append(pg["z_stat"][0])
+        acc["page_p"].append(pg["p_value"][0])
+        kw = _run(con, "stats_kendall_w")
+        acc["kw_w"].append(kw["kendall_w"][0])
+        acc["kw_chi2"].append(kw["chi2"][0])
+        acc["kw_blocks"].append(kw["n_blocks"][0])
+        cq = _run(con, "stats_cochran_q")
+        acc["cq_q"].append(cq["q_stat"][0])
+        acc["cq_p"].append(cq["p_value"][0])
+
+        ev2 = pd.DataFrame(
+            {
+                "event_type": np.repeat([f"t{i}" for i in range(k)], n_grp),
+                "ts": pd.Timestamp("2024-01-01"),
+                "value": rng.normal(50, 5, k * n_grp),
+            }
+        )
+        con2 = duckdb.connect()
+        con2.register("events", ev2)
+        m = _run(con2, "stats_mood_median")
+        acc["mood_chi2"].append(m["chi2"][0])
+        acc["mood_p"].append(m["p_value"][0])
+        fk = _run(con2, "stats_fligner_killeen")
+        acc["fk_stat"].append(fk["fk_stat"][0])
+        acc["fk_p"].append(fk["p_value"][0])
+        if rep % 20 == 0:
+            acc["hl_med"].append(
+                _run(con2, "stats_hodges_lehmann")["pseudo_median"][0]
+            )
+
+        ev3 = pd.DataFrame(
+            {
+                "event_type": np.repeat(["purchase", "view"], n_bm),
+                "ts": pd.Timestamp("2024-01-01"),
+                "value": rng.normal(50, 5, 2 * n_bm),
+            }
+        )
+        con3 = duckdb.connect()
+        con3.register("events", ev3)
+        bm = _run(con3, "stats_brunner_munzel")
+        acc["bm_w"].append(bm["w_stat"][0])
+        acc["bm_p"].append(bm["p_value"][0])
+    return {c: np.array(v, float) for c, v in acc.items()}
+
+
+def test_friedman_null(loop_results):
+    q, p = loop_results["friedman_q"], loop_results["friedman_p"]
+    # Q ~ chi2_{k-1}: mean df=4 within 4-sigma of sqrt(2*df/R)
+    assert abs(q.mean() - 4) <= 4 * math.sqrt(8 / LOOP_R)
+    _assert_uniform_p(p, P_MEAN_TOL_LOOP, P_TAIL_TOL_LOOP)
+    # p-map: exact chi2 df=4 closed form; 1e-2 covers the oracle's
+    # Wilson-Hilferty approximation (max |WH - exact| ~ 3e-3 at df=4)
+    assert np.allclose(p, _chi2_sf_df4(q), atol=1e-2)
+
+
+def test_page_trend_null(loop_results):
+    z, p = loop_results["page_z"], loop_results["page_p"]
+    # THE regression guard for the r8 bug: with the extra (k+1) factor
+    # the z std would read 1/sqrt(6) = 0.41, far outside this band
+    _assert_std_normal(z, Z_MEAN_TOL_LOOP, Z_STD_TOL_LOOP + 0.05)
+    assert np.allclose(p, _sf(z), atol=1e-4)  # one-sided increase
+
+
+def test_kendall_w_null(loop_results):
+    chi2, w, blocks = (
+        loop_results["kw_chi2"],
+        loop_results["kw_w"],
+        loop_results["kw_blocks"],
+    )
+    assert abs(chi2.mean() - 4) <= 4 * math.sqrt(8 / LOOP_R)
+    # internal consistency: chi2 = b*(k-1)*W by definition
+    assert np.allclose(chi2, blocks * 4 * w, atol=2e-3)
+
+
+def test_cochran_q_null(loop_results):
+    q, p = loop_results["cq_q"], loop_results["cq_p"]
+    assert abs(q.mean() - 4) <= 4 * math.sqrt(8 / LOOP_R)
+    # dichotomized margins make Q's support discrete: widen the tail
+    _assert_uniform_p(p, P_MEAN_TOL_LOOP + 0.03, P_TAIL_TOL_LOOP + 0.05)
+    assert np.allclose(p, _chi2_sf_df4(q), atol=1e-2)
+
+
+def test_mood_median_null(loop_results):
+    chi2, p = loop_results["mood_chi2"], loop_results["mood_p"]
+    assert abs(chi2.mean() - 4) <= 4 * math.sqrt(8 / LOOP_R)
+    _assert_uniform_p(p, P_MEAN_TOL_LOOP, P_TAIL_TOL_LOOP)
+    assert np.allclose(p, _chi2_sf_df4(chi2), atol=1e-2)
+
+
+def test_fligner_killeen_null(loop_results):
+    fk, p = loop_results["fk_stat"], loop_results["fk_p"]
+    assert abs(fk.mean() - 4) <= 4 * math.sqrt(8 / LOOP_R)
+    _assert_uniform_p(p, P_MEAN_TOL_LOOP, P_TAIL_TOL_LOOP)
+    assert np.allclose(p, _chi2_sf_df4(fk), atol=1e-2)
+
+
+def test_brunner_munzel_null(loop_results):
+    w, p = loop_results["bm_w"], loop_results["bm_p"]
+    _assert_std_normal(w, Z_MEAN_TOL_LOOP, Z_STD_TOL_LOOP + 0.05)
+    assert np.allclose(p, np.minimum(1.0, 2 * _sf(np.abs(w))), atol=1e-4)
+
+
+def test_hodges_lehmann_recovers_center(loop_results):
+    """On symmetric N(50, 5) data the pseudo-median must recover the
+    center within the 64-bin histogram's resolution (~0.6/bin; the
+    Walsh-average convolution halves the grid error)."""
+    med = loop_results["hl_med"]
+    assert len(med) >= 10
+    assert np.all(np.abs(med - 50) <= 1.0), med
