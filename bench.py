@@ -422,6 +422,7 @@ HEADLINE = [
     # round 10
     "ts_adwin_values",
     "graph_edge_betweenness",
+    "text_yake_keywords",
 ]
 
 

@@ -370,17 +370,34 @@ KEYWORD_STOPWORDS = [
 
 
 def keyword_token_grid(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    case_sensitive: bool = False,
 ) -> DataFrame:
     """Positional token grid with the shared delimiter flag:
     ``(id_col, i, t, is_delim)`` — one posexplode per document, the
-    common substrate of every keyword extractor. Scale: the explode is
-    data-proportional and everything downstream partitions by document
-    or by vocabulary key; no token self-join exists anywhere on this
-    path."""
-    tk = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("i", "t")
-    )
+    common substrate of every keyword extractor. With
+    ``case_sensitive=True`` (the YAKE variant, VERDICT r9 item 4) an
+    extra ``raw`` column carries the ORIGINAL-case token while ``t``
+    and ``is_delim`` stay lowercase-normalized, so casing-aware
+    features see capitals without changing any other extractor's
+    tokenization (the default output schema is unchanged). Scale: the
+    explode is data-proportional and everything downstream partitions
+    by document or by vocabulary key; no token self-join exists
+    anywhere on this path."""
+    if case_sensitive:
+        raws = F.split(F.trim(F.col(text_col)), r"\s+")
+        tk = df.select(
+            F.col(id_col),
+            F.posexplode(F.filter(raws, lambda t: F.length(t) > 0)).alias(
+                "i", "raw"
+            ),
+        ).withColumn("t", F.lower(F.col("raw")))
+    else:
+        tk = df.select(
+            F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("i", "t")
+        )
     is_delim = (
         F.col("t").isin(KEYWORD_STOPWORDS) | F.col("t").rlike("[^a-z]")
     ).cast("int")
@@ -400,6 +417,27 @@ def phrase_members(grid: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
     pid = grid.withColumn("p", F.sum("is_delim").over(w))
     return pid.filter(F.col("is_delim") == 0).select(id_col, "p", "i", "t")
+
+
+def adjacent_content_pairs_directed(
+    grid: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """YAKE dispersion edges: DIRECTED, per-occurrence (non-distinct)
+    pairs of content tokens adjacent in the original stream — ``(u, v)``
+    with v immediately following u, a delimiter breaking adjacency
+    exactly as in :func:`adjacent_content_pairs`. Duplicates are KEPT
+    (YAKE's left/right dispersion is distinct-neighbors over TOTAL
+    neighbor occurrences) and so are equal-token pairs. One lag window
+    per document, no token self-join."""
+    w = Window.partitionBy(id_col).orderBy("i")
+    kept = F.col("is_delim") == 0
+    adj = grid.select(
+        "t",
+        kept.alias("k"),
+        F.lag("t").over(w).alias("pt"),
+        F.lag(kept).over(w).alias("pk"),
+    ).filter(F.col("k") & F.col("pk"))
+    return adj.select(F.col("pt").alias("u"), F.col("t").alias("v"))
 
 
 def adjacent_content_pairs(grid: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -104,6 +104,7 @@ R10_NEW = [
     # queries_pipeline50 — round-10 first wave
     "ts_adwin_values",
     "graph_edge_betweenness",
+    "text_yake_keywords",
 ]
 
 
