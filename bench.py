@@ -423,6 +423,7 @@ HEADLINE = [
     "ts_adwin_values",
     "graph_edge_betweenness",
     "text_yake_keywords",
+    "stats_tukey_hsd",
 ]
 
 

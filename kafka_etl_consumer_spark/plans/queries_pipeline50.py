@@ -617,3 +617,116 @@ def text_yake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("yake_score", "term")
         .limit(_YAKE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# stats_tukey_hsd — Tukey-Kramer post-hoc with a fixed (k, df=inf) table
+# ---------------------------------------------------------------------------
+
+# Studentized-range upper-5% critical values q_{0.05}(k, df=inf) from the
+# standard tables (Harter 1960; the df=inf row). Using df=inf instead of
+# df=N-k is the documented approximation: q decreases in df, so the inf
+# row is the smallest critical value (anti-conservative), but the error
+# df here is N-k in the hundreds-to-tens-of-thousands, where published
+# tables put q within 0.03 of the inf row for every k in this map.
+_TUKEY_Q05_INF = {2: 2.772, 3: 3.314, 4: 3.633, 5: 3.858,
+                  6: 4.030, 7: 4.170, 8: 4.286, 9: 4.387, 10: 4.474}
+_TUKEY_MAX_K = 6  # order-size groups 1..6 (larger orders thin out < sf0.01)
+
+_TUKEY_CRIT_SQL = "CASE k_groups " + " ".join(
+    f"WHEN {k} THEN {v}" for k, v in sorted(_TUKEY_Q05_INF.items())
+) + " END"
+
+_TUKEY_ORACLE = f"""
+WITH om AS (
+  SELECT l_orderkey, count(*) AS k, max(l_extendedprice) AS mx
+  FROM lineitem GROUP BY 1
+),
+g AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n, sum(mx) AS s, sum(mx * mx) AS q2
+  FROM om WHERE k BETWEEN 1 AND {_TUKEY_MAX_K} GROUP BY k
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_tot, CAST(count(*) AS INT) AS k_groups,
+         (sum(q2) - sum(s * s / n)) / (sum(n) - count(*)) AS msw
+  FROM g
+),
+crit AS (SELECT k_groups, n_tot, msw, {_TUKEY_CRIT_SQL} AS q_crit FROM tot)
+SELECT CAST(a.k AS BIGINT) AS k_a, CAST(b.k AS BIGINT) AS k_b,
+       a.n AS n_a, b.n AS n_b,
+       round(a.s / a.n, 2) AS mean_a, round(b.s / b.n, 2) AS mean_b,
+       round(abs(a.s / a.n - b.s / b.n)
+             / sqrt(msw / 2 * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat,
+       q_crit,
+       CAST(CASE WHEN abs(a.s / a.n - b.s / b.n)
+                      / sqrt(msw / 2 * (1.0 / a.n + 1.0 / b.n)) > q_crit
+                 THEN 1 ELSE 0 END AS INT) AS significant
+FROM g a JOIN g b ON a.k < b.k CROSS JOIN crit
+ORDER BY k_a, k_b
+"""
+
+
+@register("stats_tukey_hsd", _TUKEY_ORACLE)
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD post-hoc (Tukey 1949; Kramer 1956 for unequal
+    n): all-pairs comparison of group means after an ANOVA, each pair
+    tested at q = |mean_i - mean_j| / sqrt(MSW/2 * (1/n_i + 1/n_j))
+    against the studentized-range critical value q_{{0.05}}(k, df=inf)
+    from a fixed broadcast table (VERDICT r9 item 5; the df=inf
+    approximation is documented at the table). The grouping is
+    STRUCTURAL — per-order max(l_extendedprice) by order line count
+    1..{_TUKEY_MAX_K} — because every natural grouping in the synthetic
+    fixture is independent of every metric (probed again this round:
+    even o_totalprice is drawn independently of the order's lineitems);
+    E[max of k draws] grows concavely in k, so distant order sizes
+    differ sharply and adjacent ones weakly, giving the post-hoc a
+    non-degenerate mix of verdicts at sf0.001 (the fixture-independence
+    lesson). MSW comes from exact per-group (n, sum, sum-of-squares) —
+    never a builtin variance — and q is a RATIO, so accumulation-order
+    float noise divides out; means round at 2dp (magnitude ~1e5).
+    Scale: one data-grain hash-agg (per-order max), then a <=6-row
+    group frame self-joined broadcast for the k(k-1)/2 pairs — the
+    pairwise stage never touches data volume."""
+    li = _t(spark, sf_dir, "lineitem")
+    om = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("k"), F.max("l_extendedprice").alias("mx")
+    )
+    g = (
+        om.filter(F.col("k").between(1, _TUKEY_MAX_K))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("mx").alias("s"),
+            F.sum(F.col("mx") * F.col("mx")).alias("q2"),
+        )
+    )
+    crit_map = F.create_map(
+        *[F.lit(x) for kv in sorted(_TUKEY_Q05_INF.items()) for x in kv]
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.count(F.lit(1)).cast("int").alias("k_groups"),
+        (
+            (F.sum("q2") - F.sum(F.col("s") * F.col("s") / F.col("n")))
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("msw"),
+    ).select("n_tot", "k_groups", "msw", crit_map[F.col("k_groups")].alias("q_crit"))
+    pairs = (
+        g.alias("a")
+        .join(F.broadcast(g.alias("b")), F.col("a.k") < F.col("b.k"))
+        .crossJoin(F.broadcast(tot))
+    )
+    qd = F.abs(
+        F.col("a.s") / F.col("a.n") - F.col("b.s") / F.col("b.n")
+    ) / F.sqrt(F.col("msw") / 2 * (1.0 / F.col("a.n") + 1.0 / F.col("b.n")))
+    return pairs.select(
+        F.col("a.k").cast("bigint").alias("k_a"),
+        F.col("b.k").cast("bigint").alias("k_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.s") / F.col("a.n"), 2).alias("mean_a"),
+        F.round(F.col("b.s") / F.col("b.n"), 2).alias("mean_b"),
+        F.round(qd, 4).alias("q_stat"),
+        "q_crit",
+        (qd > F.col("q_crit")).cast("int").alias("significant"),
+    ).orderBy("k_a", "k_b")

@@ -105,6 +105,7 @@ R10_NEW = [
     "ts_adwin_values",
     "graph_edge_betweenness",
     "text_yake_keywords",
+    "stats_tukey_hsd",
 ]
 
 

@@ -414,6 +414,53 @@ def test_brunner_munzel_null(loop_results):
     assert np.allclose(p, np.minimum(1.0, 2 * _sf(np.abs(w))), atol=1e-4)
 
 
+def test_tukey_hsd_familywise_null():
+    """stats_tukey_hsd on k=6 equal-mean groups: the studentized-range
+    table is DEFINED so that P(any pair flagged) = alpha = 0.05 under
+    the complete null — the familywise error rate across all 15 pairs,
+    not the per-pair rate. Also cross-checks the emitted q against an
+    independently computed Tukey-Kramer statistic per rep."""
+    rng = np.random.default_rng(SEED + 4)
+    R, per_group = 200, 80
+    fam_hits = 0
+    for _ in range(R):
+        # NULL construction: every line of an order carries the SAME
+        # draw, so the per-order max is one iid N(1000,100) variate
+        # regardless of the order's line count — iid lines would leak
+        # E[max of k] back in and break the null (verified: it does)
+        rows = []
+        okey = 0
+        for k in range(1, 7):
+            for _o in range(per_group):
+                okey += 1
+                v = rng.normal(1000, 100)
+                for _line in range(k):
+                    rows.append((okey, v))
+        li = pd.DataFrame(rows, columns=["l_orderkey", "l_extendedprice"])
+        con = duckdb.connect()
+        con.register("lineitem", li)
+        df = _run(con, "stats_tukey_hsd")
+        assert len(df) == 15
+        fam_hits += int((df["significant"] == 1).any())
+        # independent Tukey-Kramer recomputation on the same data
+        g = li.groupby("l_orderkey")["l_extendedprice"]
+        om = pd.DataFrame({"k": g.size(), "mx": g.max()})
+        stats = om.groupby("k")["mx"].agg(["count", "mean", "var"])
+        msw = (
+            (stats["var"] * (stats["count"] - 1)).sum()
+            / (stats["count"].sum() - len(stats))
+        )
+        got = df.set_index(["k_a", "k_b"])["q_stat"]
+        for (a, b), q in got.items():
+            na, nb = stats.loc[a, "count"], stats.loc[b, "count"]
+            want = abs(stats.loc[a, "mean"] - stats.loc[b, "mean"]) / math.sqrt(
+                msw / 2 * (1 / na + 1 / nb)
+            )
+            assert abs(q - want) < 1e-3, (a, b, q, want)
+    # 4-sigma binomial band around the designed 5% familywise rate
+    assert fam_hits / R <= 0.05 + 4 * math.sqrt(0.05 * 0.95 / R), fam_hits / R
+
+
 def test_hodges_lehmann_recovers_center(loop_results):
     """On symmetric N(50, 5) data the pseudo-median must recover the
     center within the 64-bin histogram's resolution (~0.6/bin; the
