@@ -424,6 +424,9 @@ HEADLINE = [
     "graph_edge_betweenness",
     "text_yake_keywords",
     "stats_tukey_hsd",
+    "stats_jonckheere_trend",
+    "ts_cox_stuart",
+    "ts_bartels_rank",
 ]
 
 

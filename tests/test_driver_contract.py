@@ -106,6 +106,10 @@ R10_NEW = [
     "graph_edge_betweenness",
     "text_yake_keywords",
     "stats_tukey_hsd",
+    # queries_pipeline51 — round-10 second wave
+    "stats_jonckheere_trend",
+    "ts_cox_stuart",
+    "ts_bartels_rank",
 ]
 
 

@@ -414,6 +414,95 @@ def test_brunner_munzel_null(loop_results):
     assert np.allclose(p, np.minimum(1.0, 2 * _sf(np.abs(w))), atol=1e-4)
 
 
+def test_bartels_rank_null(packed_iid):
+    df = _run(packed_iid, "ts_bartels_rank")
+    assert len(df) == PACK_R
+    # rank lattice discreteness: same slop as the runs test
+    _assert_std_normal(df["z_stat"], Z_MEAN_TOL_PACK, Z_STD_TOL_PACK + 0.05)
+    _assert_uniform_p(df["p_value"], P_MEAN_TOL_PACK, P_TAIL_TOL_PACK + 0.05)
+    # p-map: Bartels' exact null variance from the emitted RVN and n
+    n = df["n_days"].to_numpy(float)
+    rvn = df["rvn_stat"].to_numpy(float)
+    z = (rvn - 2) / np.sqrt(
+        4 * (n - 2) * (5 * n * n - 2 * n - 9) / (5 * n * (n + 1) * (n - 1) ** 2)
+    )
+    assert np.allclose(df["z_stat"], z, atol=1e-4)
+    assert np.allclose(df["p_value"], np.minimum(1.0, 2 * _sf(np.abs(z))), atol=1e-4)
+
+
+def test_cox_stuart_null(packed_iid):
+    """n=120 days -> m=60 pairs: the NORMAL branch (m > 20)."""
+    df = _run(packed_iid, "ts_cox_stuart")
+    assert len(df) == PACK_R
+    assert (df["m_pairs"] == PACK_N // 2).all()
+    _assert_uniform_p(df["p_value"], P_MEAN_TOL_PACK, P_TAIL_TOL_PACK)
+    k = np.maximum(df["s_pos"], df["m_pairs"] - df["s_pos"]).to_numpy(float)
+    m = df["m_pairs"].to_numpy(float)
+    z = (k - m / 2) / np.sqrt(m / 4)
+    assert np.allclose(df["p_value"], np.minimum(1.0, 2 * _sf(z)), atol=1e-4)
+
+
+def test_cox_stuart_exact_branch_null():
+    """A 30-day series -> m=15 pairs: the EXACT binomial branch. The
+    two-sided sign-test p is heavily discrete at m=15 (the largest
+    achievable p below 0.1 is 2*P(Bin15 >= 12) = 0.0352), so the checks
+    are the exact lattice, not uniformity: the rejection rate at 0.1
+    equals the lattice atom and every p matches the exact tail sum."""
+    rng = np.random.default_rng(SEED + 5)
+    days = 30
+    types = np.repeat([f"r{i:04d}" for i in range(PACK_R)], days)
+    ts = np.tile(pd.date_range("2024-01-01 12:00", periods=days, freq="D"), PACK_R)
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {"event_type": types, "ts": ts,
+             "value": rng.normal(50, 5, PACK_R * days)}
+        ),
+    )
+    df = _run(con, "ts_cox_stuart")
+    assert (df["m_pairs"] == 15).all()
+    atom = 2 * sum(math.comb(15, j) for j in range(12, 16)) / 2**15  # 0.0352
+    frac = np.mean(df["p_value"].to_numpy(float) < 0.1)
+    assert abs(frac - atom) <= 4 * math.sqrt(atom * (1 - atom) / PACK_R)
+    for _, r in df.iterrows():
+        k = int(max(r["s_pos"], r["m_pairs"] - r["s_pos"]))
+        want = min(
+            1.0, 2 * sum(math.comb(15, j) for j in range(k, 16)) / 2**15
+        )
+        assert abs(r["p_value"] - want) < 1e-6, (k, r["p_value"], want)
+
+
+def test_jonckheere_null():
+    """stats_jonckheere_trend on the k=6 complete null (per-order max
+    independent of order size, the Tukey construction): z ~ N(0,1) —
+    this specifically certifies Lehmann's tie-corrected variance, since
+    the 64-bin quantization makes ties heavy (n >> bins) and the
+    no-ties variance would overstate sd visibly."""
+    rng = np.random.default_rng(SEED + 6)
+    R, per_group = 200, 80
+    zs, ps = [], []
+    for _ in range(R):
+        rows = []
+        okey = 0
+        for k in range(1, 7):
+            for _o in range(per_group):
+                okey += 1
+                v = rng.normal(1000, 100)
+                rows.extend([(okey, v)] * k)
+        con = duckdb.connect()
+        con.register(
+            "lineitem",
+            pd.DataFrame(rows, columns=["l_orderkey", "l_extendedprice"]),
+        )
+        df = _run(con, "stats_jonckheere_trend")
+        zs.append(df["z_stat"][0])
+        ps.append(df["p_value"][0])
+    _assert_std_normal(np.array(zs), Z_MEAN_TOL_LOOP, Z_STD_TOL_LOOP + 0.05)
+    # one-sided (increasing) p-map
+    assert np.allclose(ps, np.clip(_sf(np.array(zs)), 0, 1), atol=1e-4)
+
+
 def test_tukey_hsd_familywise_null():
     """stats_tukey_hsd on k=6 equal-mean groups: the studentized-range
     table is DEFINED so that P(any pair flagged) = alpha = 0.05 under
