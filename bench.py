@@ -427,6 +427,9 @@ HEADLINE = [
     "stats_jonckheere_trend",
     "ts_cox_stuart",
     "ts_bartels_rank",
+    "ts_turning_points",
+    "graph_local_bridges",
+    "ml_poisson_irls_grid",
 ]
 
 

@@ -81,5 +81,6 @@ from kafka_etl_consumer_spark.plans import queries_pipeline49 as _qp49  # noqa: 
 # round-10 batches last, same reasoning
 from kafka_etl_consumer_spark.plans import queries_pipeline50 as _qp50  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline51 as _qp51  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline52 as _qp52  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -110,6 +110,10 @@ R10_NEW = [
     "stats_jonckheere_trend",
     "ts_cox_stuart",
     "ts_bartels_rank",
+    # queries_pipeline52 — round-10 third wave
+    "ts_turning_points",
+    "graph_local_bridges",
+    "ml_poisson_irls_grid",
 ]
 
 

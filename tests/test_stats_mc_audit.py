@@ -473,6 +473,56 @@ def test_cox_stuart_exact_branch_null():
         assert abs(r["p_value"] - want) < 1e-6, (k, r["p_value"], want)
 
 
+def test_turning_points_null(packed_iid):
+    df = _run(packed_iid, "ts_turning_points")
+    assert len(df) == PACK_R
+    # T is a small-lattice count (support ~20 values at n=120): same
+    # discreteness slop as the runs test
+    _assert_std_normal(df["z_stat"], Z_MEAN_TOL_PACK, Z_STD_TOL_PACK + 0.05)
+    _assert_uniform_p(df["p_value"], P_MEAN_TOL_PACK, P_TAIL_TOL_PACK + 0.05)
+    # p-map: Kendall & Stuart's exact moments from the emitted count
+    n = df["n_days"].to_numpy(float)
+    t = df["n_turning"].to_numpy(float)
+    z = (t - 2 * (n - 2) / 3) / np.sqrt((16 * n - 29) / 90)
+    assert np.allclose(df["z_stat"], z, atol=1e-5)
+    assert np.allclose(df["p_value"], np.minimum(1.0, 2 * _sf(np.abs(z))), atol=1e-4)
+    # independent moment check: the empirical mean of T must match
+    # 2(n-2)/3 within 4 sigma of the exact variance
+    assert abs(t.mean() - 2 * (PACK_N - 2) / 3) <= 4 * math.sqrt(
+        (16 * PACK_N - 29) / 90 / PACK_R
+    )
+
+
+def test_poisson_irls_recovers_parameters():
+    """ml_poisson_irls_grid on data SIMULATED from a known Poisson GLM
+    (b0=3, b1=0.02 on the centered day index) must recover the
+    parameters within 4 sigma of the GLM's asymptotic standard errors
+    (inverse Fisher information at the truth)."""
+    rng = np.random.default_rng(SEED + 7)
+    days, b0, b1 = 60, 3.0, 0.02
+    x = np.arange(1, days + 1) - (days + 1) / 2
+    rows = []
+    for rep in range(40):
+        lam = np.exp(b0 + b1 * x)
+        counts = rng.poisson(lam)
+        for d, c in enumerate(counts):
+            ts = pd.Timestamp("2024-01-01 12:00") + pd.Timedelta(days=d)
+            rows.extend(
+                {"event_type": f"r{rep:03d}", "ts": ts} for _ in range(int(c))
+            )
+    con = duckdb.connect()
+    con.register("events", pd.DataFrame(rows))
+    df = _run(con, "ml_poisson_irls_grid")
+    assert len(df) == 40
+    # Fisher information: I00 = sum(mu), I11 = sum(mu x^2) (I01 = 0 by
+    # centering up to the odd-moment residue)
+    mu = np.exp(b0 + b1 * x)
+    se0, se1 = 1 / math.sqrt(mu.sum()), 1 / math.sqrt((mu * x * x).sum())
+    m0, m1 = df["beta0"].mean(), df["beta1"].mean()
+    assert abs(m0 - b0) <= 4 * se0 / math.sqrt(40), (m0, se0)
+    assert abs(m1 - b1) <= 4 * se1 / math.sqrt(40), (m1, se1)
+
+
 def test_jonckheere_null():
     """stats_jonckheere_trend on the k=6 complete null (per-order max
     independent of order size, the Tukey construction): z ~ N(0,1) —
