@@ -430,6 +430,9 @@ HEADLINE = [
     "ts_turning_points",
     "graph_local_bridges",
     "ml_poisson_irls_grid",
+    "graph_ktruss",
+    "ts_binseg_changepoints",
+    "stats_cramer_von_mises",
 ]
 
 

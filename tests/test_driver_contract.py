@@ -114,6 +114,10 @@ R10_NEW = [
     "ts_turning_points",
     "graph_local_bridges",
     "ml_poisson_irls_grid",
+    # queries_pipeline53 — round-10 fourth wave
+    "graph_ktruss",
+    "ts_binseg_changepoints",
+    "stats_cramer_von_mises",
 ]
 
 

@@ -523,6 +523,39 @@ def test_poisson_irls_recovers_parameters():
     assert abs(m1 - b1) <= 4 * se1 / math.sqrt(40), (m1, se1)
 
 
+def test_cramer_von_mises_null():
+    """stats_cramer_von_mises on N(50,5) nulls: Stephens' (1974) case-3
+    5% critical value 0.126 for W* = W^2(1+0.5/n) must reject ~5% of
+    true-normal samples (the 64-bin quantization perturbs W^2 by
+    O(1/bins^2), well inside the band). This MC run is what justifies
+    shipping the constant as a broadcast literal."""
+    rng = np.random.default_rng(SEED + 8)
+    n_per = 400
+    types = np.repeat([f"r{i:04d}" for i in range(PACK_R)], n_per)
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {
+                "event_type": types,
+                "ts": pd.Timestamp("2024-01-01"),
+                "value": rng.normal(50, 5, PACK_R * n_per),
+            }
+        ),
+    )
+    df = _run(con, "stats_cramer_von_mises")
+    assert len(df) == PACK_R
+    rej = df["reject_5pct"].to_numpy(float)
+    assert abs(rej.mean() - 0.05) <= 4 * math.sqrt(0.05 * 0.95 / PACK_R), (
+        rej.mean()
+    )
+    # internal consistency: the flag and the modification factor
+    w2 = df["w2"].to_numpy(float)
+    n = df["n"].to_numpy(float)
+    assert np.allclose(df["w2_star"], w2 * (1 + 0.5 / n), atol=1e-5)
+    assert (df["reject_5pct"] == (df["w2_star"] > 0.126).astype(int)).all()
+
+
 def test_jonckheere_null():
     """stats_jonckheere_trend on the k=6 complete null (per-order max
     independent of order size, the Tukey construction): z ~ N(0,1) —
