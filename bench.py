@@ -433,6 +433,9 @@ HEADLINE = [
     "graph_ktruss",
     "ts_binseg_changepoints",
     "stats_cramer_von_mises",
+    "ts_spectral_entropy",
+    "seq_markov_stationary",
+    "ts_pacf_durbin",
 ]
 
 

@@ -118,6 +118,10 @@ R10_NEW = [
     "graph_ktruss",
     "ts_binseg_changepoints",
     "stats_cramer_von_mises",
+    # queries_pipeline54 — round-10 fifth wave
+    "ts_spectral_entropy",
+    "seq_markov_stationary",
+    "ts_pacf_durbin",
 ]
 
 

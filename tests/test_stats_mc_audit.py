@@ -523,6 +523,87 @@ def test_poisson_irls_recovers_parameters():
     assert abs(m1 - b1) <= 4 * se1 / math.sqrt(40), (m1, se1)
 
 
+def test_spectral_entropy_white_noise(packed_iid):
+    """ts_spectral_entropy on iid series: the normalized periodogram of
+    white noise is flat in expectation but each ordinate is ~Exp(1), so
+    E[H] = ln m - (1 - gamma) exactly (the entropy of normalized
+    exponential weights); with m = 59 frequencies the normalized value
+    concentrates near 1 - 0.4228/ln(59)."""
+    df = _run(packed_iid, "ts_spectral_entropy")
+    assert len(df) == PACK_R
+    m = (PACK_N - 1) // 2
+    want = 1 - (1 - 0.5772156649) / math.log(m)
+    se = df["spectral_entropy"].to_numpy(float)
+    assert abs(se.mean() - want) <= 0.02, (se.mean(), want)
+    assert (se < 1.0).all() and (se > 0.7).all()
+
+
+def test_pacf_null():
+    """ts_pacf_durbin on iid hourly Poisson counts: every phi_kk is
+    asymptotically N(0, 1/n) under the AR(0) null, so z = phi*sqrt(n)
+    must be standard normal at each lag — this pins the Durbin-Levinson
+    recursion (a mis-ordered phi_kj update inflates higher-lag
+    variance)."""
+    rng = np.random.default_rng(SEED + 9)
+    reps, hours = 200, 240
+    types = np.repeat([f"r{i:04d}" for i in range(reps)], hours)
+    base = np.tile(
+        pd.date_range("2024-01-01", periods=hours, freq="h"), reps
+    )
+    counts = rng.poisson(3.0, reps * hours)
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {"event_type": np.repeat(types, counts),
+             "ts": np.repeat(base, counts)}
+        ),
+    )
+    df = _run(con, "ts_pacf_durbin")
+    assert len(df) == 4 * reps
+    for lag in (1, 2, 3, 4):
+        z = df[df["lag"] == lag]["pacf"].to_numpy(float) * math.sqrt(hours)
+        assert abs(z.mean()) <= 4 / math.sqrt(reps) + 0.1, (lag, z.mean())
+        assert abs(z.std(ddof=1) - 1) <= 4 / math.sqrt(2 * reps) + 0.1, (
+            lag,
+            z.std(ddof=1),
+        )
+
+
+def test_markov_stationary_is_the_eigenvector():
+    """seq_markov_stationary's 8 power-iteration rounds must land within
+    1e-4 of the TRUE stationary distribution (left eigenvector computed
+    independently by long power iteration in numpy) — validating the
+    docstring's convergence claim on the fixture chain."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    df = _run(con, "seq_markov_stationary").sort_values("event_type")
+    mat = con.execute("""
+        WITH seq AS (
+          SELECT event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY event_id) AS nt
+          FROM events),
+        cnt AS (SELECT event_type AS src, nt AS dst, count(*) AS n
+                FROM seq WHERE nt IS NOT NULL GROUP BY 1, 2)
+        SELECT src, dst, round(n / CAST(sum(n) OVER (PARTITION BY src)
+                                        AS DOUBLE), 6) AS p
+        FROM cnt""").fetchdf()
+    states = sorted(df["event_type"])
+    idx = {s: i for i, s in enumerate(states)}
+    P = np.zeros((len(states), len(states)))
+    for _, r in mat.iterrows():
+        P[idx[r["src"]], idx[r["dst"]]] = r["p"]
+    pi = np.full(len(states), 1 / len(states))
+    for _ in range(200):
+        pi = pi @ P
+    assert np.allclose(df["stationary_p"].to_numpy(float), pi, atol=1e-4)
+    assert abs(df["stationary_p"].sum() - 1.0) < 1e-4
+
+
 def test_cramer_von_mises_null():
     """stats_cramer_von_mises on N(50,5) nulls: Stephens' (1974) case-3
     5% critical value 0.126 for W* = W^2(1+0.5/n) must reject ~5% of
