@@ -72,6 +72,15 @@ def main() -> None:
     ).show()
     theta_distinct(ev, "user_id", group_cols=["event_type"], scale=4).show()
 
+    print("== round-10 additions: ADWIN batch twin / YAKE / Tukey HSD ==")
+    from kafka_etl_consumer_spark.plans import QUERIES
+
+    QUERIES["ts_adwin_values"](spark, sf_dir).show()
+    QUERIES["text_yake_keywords"](spark, sf_dir).show(8)
+    QUERIES["stats_tukey_hsd"](spark, sf_dir).filter(
+        F.col("significant") == 0
+    ).show(5)
+
     spark.stop()
 
 
