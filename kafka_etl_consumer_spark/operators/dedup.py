@@ -405,9 +405,11 @@ def canonical_pick(
     Scale shape: components state is one (id, label) row per document
     (never the pair set); the final pick is ONE window over component_id —
     rank<=1 plans as WindowGroupLimit, so each map task pre-prunes to one
-    candidate per component before the shuffle. Near-dup components are
-    tight clusters of copies (diameter a handful), so ``max_iter=6``
-    (diameter 63) is conservative.
+    candidate per component before the shuffle. connected_components
+    converges for max_iter >= component diameter (the r10-corrected
+    bound — NOT 2^max_iter); near-dup components are tight clusters of
+    copies (diameter a handful), so ``max_iter=6`` still covers them —
+    raise it if your pair generator chains looser matches.
     """
     from kafka_etl_consumer_spark.operators.graph import connected_components
 

@@ -49,8 +49,21 @@ def connected_components(
     id in the component (deterministic, SQL-reproducible). ``vertices`` rows
     absent from ``edges`` come out as singleton components of themselves.
 
-    ``max_iter`` rounds of hop+jump converge for any component of diameter
-    < 2^max_iter; see module docstring for the scale rationale."""
+    Convergence bound (corrected in round 10 — the old docstring claimed
+    diameter < 2^max_iter, which label-only propagation does NOT deliver):
+    the hop step guarantees every vertex sees the min label within its
+    distance-r ball after r rounds, so ``max_iter`` >= the min vertex's
+    eccentricity (<= component diameter) ALWAYS converges. The jump step
+    (path halving through the label table) accelerates chain-shaped label
+    structures dramatically (a 1000-vertex path converges in 9 rounds),
+    but blob graphs with many LOCAL minima gain little — each basin's
+    label points at itself, so information still crosses basin boundaries
+    by hops (measured on the sf0.1 embedding pair graph: eccentricity 19,
+    converged at round 15, and extra jumps per round did not help). Size
+    ``max_iter`` to the expected component diameter, not its log; for
+    genuinely deep graphs wrap with an eager delta loop, or use an
+    edge-rewriting CC (large-star/small-star) whose round count is
+    provably logarithmic."""
     spark = edges.sparkSession
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))

@@ -57,8 +57,25 @@ def resample_bars(
             F.min("__v").alias("low"),
             F.max_by("__v", "__k").alias("close"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("__v"), 6).alias("mean_value"),
+            # mean in EXACT integer arithmetic: the 2dp source values
+            # sum exactly as cents, and the 6dp half-up rounding is one
+            # integer division — float accumulation order made a bucket
+            # whose true mean is exactly 56.4133125 round differently
+            # per run, and Spark (binary-value HALF_UP) and DuckDB
+            # (shortest-decimal half-away) disagree on boundary doubles
+            # BY DESIGN, so no double-path rounding can fix it (r10
+            # full-sweep catch; such boundaries are common here because
+            # cent-sums over n = 2^a*5^b buckets terminate at 7 digits)
+            (
+                F.sum(F.round(F.col("__v") * 100, 0).cast("long")) * 20000
+                + F.count(F.lit(1))
+            ).alias("__num"),
         )
+        .withColumn(
+            "mean_value",
+            F.expr("__num div (2 * n)").cast("double") / 1e6,
+        )
+        .drop("__num")
     )
 
 

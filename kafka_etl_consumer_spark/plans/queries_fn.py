@@ -288,12 +288,18 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_range_frame",
     oracle="""
+    -- floor(epoch) to WHOLE seconds: Spark's unix_timestamp truncates
+    -- sub-second precision, while DuckDB's epoch() is a fractional
+    -- DOUBLE — an event sitting 900.x s back flips frame membership
+    -- (surfaced by the r10 full-sweep at sf0.1; invisible below it)
     SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
            round(sum(value) OVER (
-               PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                RANGE BETWEEN 900 PRECEDING AND CURRENT ROW), 4) AS trailing_15m,
            CAST(count(*) OVER (
-               PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+               PARTITION BY user_id
+               ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
                RANGE BETWEEN 900 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_15m
     FROM events
     """,

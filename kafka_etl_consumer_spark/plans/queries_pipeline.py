@@ -225,16 +225,21 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the label-blocked
     embedding-cosine pair graph (threshold 0.3 — non-transitive, so pairs
-    chain into real multi-hop components; the sf0.1 graph has a
-    151-vertex / diameter-24 component). Spark runs log-round pointer-
-    jumping (operators/graph.py — 6 rounds cover diameter 63); the oracle
-    computes the true fixpoint with a recursive CTE, so convergence itself
-    is hash-checked. Every vertex is emitted (singletons = own id)."""
+    chain into real multi-hop components; the sf0.1 graph's largest
+    component has 151 vertices with min-vertex eccentricity 19). Spark
+    runs hop+jump label propagation (operators/graph.py) for 24 rounds —
+    sized to the DIAMETER bound, not its log: round 10 found the old
+    6-round setting silently unconverged at sf0.1 (the big component
+    split 65/151; label-only jumps cannot cross local-minimum basins, so
+    the honest guarantee is max_iter >= eccentricity, measured 15 rounds
+    needed here). The oracle computes the true fixpoint with a recursive
+    CTE, so convergence itself is hash-checked — at every SF. Every
+    vertex is emitted (singletons = own id)."""
     e = _t(spark, sf_dir, "embeddings")
     pairs = S.cosine_pairs_blas(e, threshold=0.3)
     comp = G.connected_components(
         pairs, e.select("vec_id"), id_col="vec_id", src="id_a", dst="id_b",
-        max_iter=6,
+        max_iter=24,
     )
     w = Window.partitionBy("component_id")
     return comp.withColumn("n_members", F.count("*").over(w))

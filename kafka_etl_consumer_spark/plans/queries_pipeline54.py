@@ -232,6 +232,10 @@ def seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_type").alias("dst"),
         F.round(F.col("n") / F.col("row_n").cast("double"), 6).alias("p"),
     )
+    # materialize the k x k matrix ONCE: every unrolled round joins it,
+    # and without the checkpoint each round re-runs the data-grain lead
+    # window (8 full scans instead of 1)
+    p = p.localCheckpoint(eager=True)
     states = p.select(F.col("src").alias("s")).distinct()
     k = states.agg(F.count(F.lit(1)).cast("double").alias("k"))
     pi = states.crossJoin(F.broadcast(k)).select(

@@ -266,7 +266,11 @@ SELECT event_type,
        min(value) AS low,
        arg_max(value, epoch_us(ts) * 1000 + event_id % 1000) AS close,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(value), 6) AS mean_value
+       -- exact integer mean: cents sum, half-up via integer division
+       -- (see operators/timeseries.resample_bars for why no double
+       -- rounding path can agree cross-engine on boundary buckets)
+       CAST((sum(CAST(round(value * 100, 0) AS BIGINT)) * 20000 + count(*))
+            // (2 * count(*)) AS DOUBLE) / 1e6 AS mean_value
 FROM events
 GROUP BY 1, 2
 """
