@@ -436,6 +436,15 @@ HEADLINE = [
     "ts_spectral_entropy",
     "seq_markov_stationary",
     "ts_pacf_durbin",
+    "stats_durbin_watson",
+    "stats_grubbs_max",
+    "stats_ansari_bradley",
+    "stats_games_howell",
+    "ts_sample_entropy",
+    "ts_dfa_alpha",
+    "stats_shapiro_francia",
+    "ts_permutation_entropy",
+    "graph_trussness",
 ]
 
 

@@ -230,17 +230,27 @@ def _parse_image(b: bytes):
         return w, abs(h), 3, rows[..., ::-1].reshape(-1).copy()  # BGR→RGB
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _parse_png(b)
+    if b[:2] == b"\xff\xd8":
+        # baseline sequential JPEG decodes natively (operators/jpeg.py);
+        # progressive/arithmetic variants fall through to the PIL probe
+        from kafka_etl_consumer_spark.operators.jpeg import parse_jpeg  # noqa: PLC0415
+
+        try:
+            return parse_jpeg(b)
+        except ValueError:
+            pass
     # capability probe (mirrors the spark-avro jar pattern): the remaining
-    # compressed formats (JPEG/WebP/...) route through PIL when the
-    # container has it, with the SAME output contract as the numpy path —
-    # gray stays 1-channel, everything else lands as RGB. Without PIL the
-    # documented raise stands.
+    # compressed formats (WebP, progressive JPEG, ...) route through PIL
+    # when the container has it, with the SAME output contract as the
+    # numpy path — gray stays 1-channel, everything else lands as RGB.
+    # Without PIL the documented raise stands.
     try:
         from PIL import Image  # noqa: PLC0415
     except ImportError:
         raise ValueError(
             f"unsupported image magic {b[:2]!r}: pure-python decode handles "
-            "PPM/PGM/24-bit BMP/8-bit PNG; JPEG/WebP need PIL/pyvips"
+            "PPM/PGM/24-bit BMP/8-bit PNG/baseline JPEG; WebP and "
+            "progressive JPEG need PIL/pyvips"
         ) from None
     import io
 

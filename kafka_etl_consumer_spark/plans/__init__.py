@@ -84,5 +84,8 @@ from kafka_etl_consumer_spark.plans import queries_pipeline51 as _qp51  # noqa: 
 from kafka_etl_consumer_spark.plans import queries_pipeline52 as _qp52  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline53 as _qp53  # noqa: F401,E402
 from kafka_etl_consumer_spark.plans import queries_pipeline54 as _qp54  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline55 as _qp55  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline56 as _qp56  # noqa: F401,E402
+from kafka_etl_consumer_spark.plans import queries_pipeline57 as _qp57  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLES"]

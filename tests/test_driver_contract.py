@@ -122,6 +122,18 @@ R10_NEW = [
     "ts_spectral_entropy",
     "seq_markov_stationary",
     "ts_pacf_durbin",
+    # queries_pipeline55 — round-10 sixth wave
+    "stats_durbin_watson",
+    "stats_grubbs_max",
+    "stats_ansari_bradley",
+    # queries_pipeline56 — round-10 seventh wave
+    "stats_games_howell",
+    "ts_sample_entropy",
+    "ts_dfa_alpha",
+    # queries_pipeline57 — round-10 eighth wave
+    "stats_shapiro_francia",
+    "ts_permutation_entropy",
+    "graph_trussness",
 ]
 
 

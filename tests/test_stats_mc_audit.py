@@ -294,7 +294,8 @@ def loop_results():
     k, b, n_grp, n_bm = 5, 30, 120, 300
     cols = (
         "friedman_p friedman_q page_z page_p kw_w kw_chi2 kw_blocks "
-        "cq_q cq_p mood_chi2 mood_p fk_stat fk_p bm_w bm_p hl_med"
+        "cq_q cq_p mood_chi2 mood_p fk_stat fk_p bm_w bm_p hl_med "
+        "ab_z ab_p"
     ).split()
     acc: dict = {c: [] for c in cols}
     block_days = pd.date_range("2024-01-01 12:00", periods=b, freq="D")
@@ -354,6 +355,9 @@ def loop_results():
         bm = _run(con3, "stats_brunner_munzel")
         acc["bm_w"].append(bm["w_stat"][0])
         acc["bm_p"].append(bm["p_value"][0])
+        ab = _run(con3, "stats_ansari_bradley")
+        acc["ab_z"].append(ab["z_stat"][0])
+        acc["ab_p"].append(ab["p_value"][0])
     return {c: np.array(v, float) for c, v in acc.items()}
 
 
@@ -721,3 +725,315 @@ def test_hodges_lehmann_recovers_center(loop_results):
     med = loop_results["hl_med"]
     assert len(med) >= 10
     assert np.all(np.abs(med - 50) <= 1.0), med
+
+
+# ---------------------------------------------------------------------------
+# round-10 sixth wave: Durbin-Watson, Grubbs, Ansari-Bradley
+# ---------------------------------------------------------------------------
+
+
+def test_durbin_watson_null(packed_iid):
+    """iid residuals: d concentrates at 2 (Var ~ 4/n), the bounds-table
+    verdict must be overwhelmingly 'none', and every emitted d must
+    match an independent numpy detrend-and-ratio recomputation."""
+    df = _run(packed_iid, "stats_durbin_watson")
+    assert len(df) == PACK_R
+    d = df["dw_stat"].to_numpy(float)
+    # E[d] = 2 + O(1/n); CLT band for the mean of PACK_R draws with
+    # sd ~ sqrt(4/n), plus the O(1/n) small-sample bias allowance
+    assert abs(d.mean() - 2) <= 4 / PACK_N + 4 * math.sqrt(4 / PACK_N / PACK_R)
+    assert abs(d.std(ddof=1) - math.sqrt(4 / PACK_N)) <= 0.05
+    v = df["verdict"].to_numpy()
+    assert np.mean(v == "none") >= 0.7, np.unique(v, return_counts=True)
+    # dL is the WORST-CASE 5% bound per tail: the realized two-tail
+    # rejection rate must sit at or below ~2 * 5% plus CLT slop
+    rej = np.mean((v == "positive") | (v == "negative"))
+    assert rej <= 0.10 + 4 * math.sqrt(0.1 * 0.9 / PACK_R), rej
+    # independent recomputation (numpy lstsq detrend, raw ratio)
+    ev = packed_iid.execute(
+        "SELECT event_type, ts, value FROM events ORDER BY event_type, ts"
+    ).fetchdf()
+    got = df.set_index("event_type")["dw_stat"]
+    for et, grp in list(ev.groupby("event_type"))[:20]:
+        y = np.round(grp["value"].to_numpy(float), 6)
+        t = np.arange(1, len(y) + 1, dtype=float)
+        b, a = np.polyfit(t, y, 1)
+        e = y - a - b * t
+        want = np.sum(np.diff(e) ** 2) / np.sum(e * e)
+        assert abs(got[et] - want) < 1e-5, (et, got[et], want)
+
+
+def test_grubbs_null(packed_iid):
+    """iid normals: the realized size must bracket alpha=0.05, the
+    critical value must sit at the empirical 95th percentile of an
+    INDEPENDENT simulated null of G (validating the whole probit +
+    Cornish-Fisher chain end-to-end), and each emitted G must match a
+    direct numpy recomputation."""
+    df = _run(packed_iid, "stats_grubbs_max")
+    assert len(df) == PACK_R
+    assert df["g_crit"].nunique() == 1  # same n -> same critical value
+    crit = float(df["g_crit"].iloc[0])
+    size = np.mean(df["is_outlier"].to_numpy(float))
+    assert size <= 0.05 + 4 * math.sqrt(0.05 * 0.95 / PACK_R), size
+    # independent MC null of G at n=PACK_N (fresh seed, 4000 draws):
+    # P(G > crit) must land in a 4-sigma band around 0.05
+    rng = np.random.default_rng(SEED + 77)
+    sims = rng.normal(size=(4000, PACK_N))
+    gs = (
+        np.abs(sims - sims.mean(axis=1, keepdims=True)).max(axis=1)
+        / sims.std(axis=1, ddof=1)
+    )
+    frac = np.mean(gs > crit)
+    assert abs(frac - 0.05) <= 4 * math.sqrt(0.05 * 0.95 / 4000) + 0.005, frac
+    # per-series recomputation of G and the argmax day
+    ev = packed_iid.execute(
+        "SELECT event_type, ts, value FROM events ORDER BY event_type, ts"
+    ).fetchdf()
+    got = df.set_index("event_type")
+    for et, grp in list(ev.groupby("event_type"))[:20]:
+        m = np.round(grp["value"].to_numpy(float), 6)
+        g_want = np.max(np.abs(m - m.mean())) / m.std(ddof=1)
+        assert abs(got.loc[et, "g_stat"] - g_want) < 1e-4, et
+        i = int(np.argmax(np.round(np.abs(m - m.mean()) / m.std(ddof=1), 6)))
+        want_day = grp["ts"].dt.strftime("%Y-%m-%d").iloc[i]
+        assert got.loc[et, "outlier_date"] == want_day, et
+
+
+def test_ansari_bradley_null(loop_results):
+    """Equal-scale normals: z ~ N(0,1) (binning + estimated medians add
+    mild discreteness -> widened band) and the p-map must reproduce the
+    two-sided normal tail from the emitted z."""
+    z, p = loop_results["ab_z"], loop_results["ab_p"]
+    _assert_std_normal(z, Z_MEAN_TOL_LOOP + 0.02, Z_STD_TOL_LOOP + 0.07)
+    _assert_uniform_p(p, P_MEAN_TOL_LOOP + 0.02, P_TAIL_TOL_LOOP + 0.04)
+    assert np.allclose(p, np.minimum(1.0, 2 * _sf(np.abs(z))), atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# round-10 seventh wave: Games-Howell, sample entropy, DFA
+# ---------------------------------------------------------------------------
+
+
+def test_games_howell_familywise_null():
+    """stats_games_howell on k=6 equal-mean groups with UNEQUAL
+    variances (sd scaled by group 1..6x) — exactly the regime GH is
+    for and Tukey-Kramer is not. Familywise rate <= alpha + slop, and
+    each emitted q / Welch df cross-checked against an independent
+    pandas recomputation."""
+    rng = np.random.default_rng(SEED + 6)
+    R, per_group = 200, 80
+    fam_hits = 0
+    for _ in range(R):
+        rows = []
+        okey = 0
+        for k in range(1, 7):
+            for _o in range(per_group):
+                okey += 1
+                v = rng.normal(1000, 50 * k)  # same mean, k-scaled sd
+                for _line in range(k):
+                    rows.append((okey, v))
+        li = pd.DataFrame(rows, columns=["l_orderkey", "l_extendedprice"])
+        con = duckdb.connect()
+        con.register("lineitem", li)
+        df = _run(con, "stats_games_howell")
+        assert len(df) == 15
+        fam_hits += int((df["significant"] == 1).any())
+        g = li.groupby("l_orderkey")["l_extendedprice"]
+        om = pd.DataFrame({"k": g.size(), "mx": g.max()})
+        stats = om.groupby("k")["mx"].agg(["count", "mean", "var"])
+        got = df.set_index(["k_a", "k_b"])
+        for (a, b), row in got.iterrows():
+            na, nb = stats.loc[a, "count"], stats.loc[b, "count"]
+            va = stats.loc[a, "var"] / na
+            vb = stats.loc[b, "var"] / nb
+            q_want = abs(stats.loc[a, "mean"] - stats.loc[b, "mean"]) / math.sqrt(
+                (va + vb) / 2
+            )
+            df_want = (va + vb) ** 2 / (va**2 / (na - 1) + vb**2 / (nb - 1))
+            assert abs(row["q_stat"] - q_want) < 1e-3, (a, b)
+            assert abs(row["df_welch"] - df_want) < 0.05, (a, b)
+    assert fam_hits / R <= 0.05 + 4 * math.sqrt(0.05 * 0.95 / R), fam_hits / R
+
+
+def test_sample_entropy_iid(packed_iid):
+    """iid normals: matches are near-independent across the extra
+    template coordinate, so A/B ~ P(|X - X'| < r) with X - X' ~
+    N(0, 2sd^2) and r = 0.5 sd => SampEn ~ -ln(0.2763) = 1.286
+    (finite-sample bias at n=120 stays well inside the band). Every
+    emitted (B, A, sampen) is also recomputed directly in numpy."""
+    df = _run(packed_iid, "ts_sample_entropy")
+    assert len(df) >= 0.95 * PACK_R  # r=0.5sd keeps almost every key
+    s = df["sampen"].to_numpy(float)
+    p1 = 2 * (1 - _sf(0.5 / math.sqrt(2))[()]) - 1
+    assert abs(np.mean(s) - (-math.log(p1))) < 0.15, np.mean(s)
+    ev = packed_iid.execute(
+        "SELECT event_type, ts, value FROM events ORDER BY event_type, ts"
+    ).fetchdf()
+    got = df.set_index("event_type")
+    checked = 0
+    for et, grp in ev.groupby("event_type"):
+        if et not in got.index or checked >= 20:
+            continue
+        m = np.round(grp["value"].to_numpy(float), 6)
+        r = 0.5 * m.std(ddof=1)
+        n = len(m)
+        X = np.stack([m[:-2], m[1:-1], m[2:]], axis=1)  # i = 1..n-2
+        d = np.abs(X[:, None, :] - X[None, :, :])
+        iu = np.triu_indices(n - 2, k=1)
+        m2 = (d[:, :, 0] < r) & (d[:, :, 1] < r)
+        m3 = m2 & (d[:, :, 2] < r)
+        B, A = int(m2[iu].sum()), int(m3[iu].sum())
+        assert int(got.loc[et, "b_count"]) == B, et
+        assert int(got.loc[et, "a_count"]) == A, et
+        if A > 0:
+            assert abs(got.loc[et, "sampen"] - (math.log(B) - math.log(A))) < 1e-5
+        checked += 1
+    assert checked >= 20
+
+
+def _dfa_numpy(m, scales=(4, 8, 16)):
+    y = np.cumsum(m - m.mean())
+    fs = []
+    for s in scales:
+        nb = len(y) // s
+        sse = 0.0
+        for b in range(nb):
+            seg = y[b * s : (b + 1) * s]
+            u = np.arange(1, s + 1, dtype=float)
+            bcoef, acoef = np.polyfit(u, seg, 1)
+            e = seg - acoef - bcoef * u
+            sse += float(e @ e)
+        fs.append(math.sqrt(sse / (nb * s)))
+    ls, lf = np.log(scales), np.log(fs)
+    return fs, float(
+        ((ls - ls.mean()) * (lf - lf.mean())).sum() / ((ls - ls.mean()) ** 2).sum()
+    )
+
+
+def test_dfa_white_noise(packed_iid):
+    """iid series: alpha ~ 0.5 (short-series bias runs high — Peng's
+    own calibration shows ~ +0.05-0.1 at n=120 — so the band is
+    generous but still far from the random-walk 1.5). Per-series exact
+    parity vs an independent numpy DFA."""
+    df = _run(packed_iid, "ts_dfa_alpha")
+    assert len(df) == PACK_R
+    a = df["dfa_alpha"].to_numpy(float)
+    assert abs(a.mean() - 0.5) < 0.15, a.mean()
+    ev = packed_iid.execute(
+        "SELECT event_type, ts, value FROM events ORDER BY event_type, ts"
+    ).fetchdf()
+    got = df.set_index("event_type")
+    for et, grp in list(ev.groupby("event_type"))[:20]:
+        m = np.round(grp["value"].to_numpy(float), 6)
+        fs, alpha = _dfa_numpy(m)
+        assert abs(got.loc[et, "f_4"] - fs[0]) < 1e-4, et
+        assert abs(got.loc[et, "f_8"] - fs[1]) < 1e-4, et
+        assert abs(got.loc[et, "f_16"] - fs[2]) < 1e-4, et
+        assert abs(got.loc[et, "dfa_alpha"] - alpha) < 1e-4, et
+
+
+def test_dfa_random_walk(packed_walk):
+    """Random-walk levels: alpha ~ 1.5 (the integrated-noise line).
+    The same generous short-series band, far above white noise's 0.5 —
+    the two fixtures together pin the exponent's scale."""
+    df = _run(packed_walk, "ts_dfa_alpha")
+    assert len(df) == PACK_R
+    a = df["dfa_alpha"].to_numpy(float)
+    assert abs(a.mean() - 1.5) < 0.2, a.mean()
+
+
+# ---------------------------------------------------------------------------
+# round-10 eighth wave: Shapiro-Francia, permutation entropy
+# ---------------------------------------------------------------------------
+
+
+def test_shapiro_francia_null(packed_iid):
+    """Normal data: p ~ U(0,1) (the A&S probit's 3e-3 score error and
+    Royston's own approximation error warrant a slightly widened
+    band), and W' recomputed with the stdlib's EXACT probit must agree
+    to ~1e-3 — a factor-scale bug in scores or pairing would miss by
+    far more."""
+    from statistics import NormalDist
+
+    df = _run(packed_iid, "stats_shapiro_francia")
+    assert len(df) == PACK_R
+    _assert_uniform_p(df["p_value"], P_MEAN_TOL_PACK + 0.02, P_TAIL_TOL_PACK + 0.03)
+    ev = packed_iid.execute(
+        "SELECT event_type, ts, value FROM events ORDER BY event_type, ts"
+    ).fetchdf()
+    got = df.set_index("event_type")
+    nd = NormalDist()
+    for et, grp in list(ev.groupby("event_type"))[:20]:
+        m = np.sort(np.round(grp["value"].to_numpy(float), 6))
+        n = len(m)
+        b = np.array(
+            [nd.inv_cdf((i - 0.375) / (n + 0.25)) for i in range(1, n + 1)]
+        )
+        w_want = np.corrcoef(m, b)[0, 1] ** 2
+        assert abs(got.loc[et, "w_prime"] - w_want) < 2e-3, et
+        # Royston p-map from the emitted W' with exact constants
+        u, v = math.log(n), math.log(math.log(n))
+        mu = -1.2725 + 1.0521 * (v - u)
+        sig = 1.0308 - 0.26758 * (v + 2 / u)
+        z_want = (math.log(1 - got.loc[et, "w_prime"]) - mu) / sig
+        assert abs(got.loc[et, "z_stat"] - z_want) < 2e-2, et
+
+
+def test_shapiro_francia_rejects_exponential():
+    """Power check: heavily skewed (exponential) data must reject —
+    mean p far below uniform's 0.5."""
+    rng = np.random.default_rng(SEED + 8)
+    types = np.repeat([f"r{i:04d}" for i in range(PACK_R)], PACK_N)
+    ts = np.tile(
+        pd.date_range("2024-01-01 12:00", periods=PACK_N, freq="D"), PACK_R
+    )
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            {"event_type": types, "ts": ts,
+             "value": rng.exponential(5, PACK_R * PACK_N)}
+        ),
+    )
+    df = _run(con, "stats_shapiro_francia")
+    p = df["p_value"].to_numpy(float)
+    assert p.mean() < 0.05, p.mean()
+    assert np.mean(p < 0.05) > 0.9, np.mean(p < 0.05)
+
+
+def test_permutation_entropy_iid(packed_iid):
+    """iid: all 6 ordinal patterns equally likely (exchangeability) —
+    normalized H near 1 (minus the plugin-entropy bias ~(K-1)/(2N)),
+    mono_frac ~ 1/3. Exact parity vs a numpy ordinal-pattern count."""
+    df = _run(packed_iid, "ts_permutation_entropy")
+    assert len(df) == PACK_R
+    h = df["pe_normalized"].to_numpy(float)
+    bias = 5 / (2 * (PACK_N - 2)) / math.log(6)
+    assert abs(h.mean() - (1 - bias)) < 0.02, h.mean()
+    mf = df["mono_frac"].to_numpy(float)
+    assert abs(mf.mean() - 1 / 3) <= 1 / 3 * 0.15, mf.mean()
+    ev = packed_iid.execute(
+        "SELECT event_type, ts, value FROM events ORDER BY event_type, ts"
+    ).fetchdf()
+    got = df.set_index("event_type")
+    for et, grp in list(ev.groupby("event_type"))[:20]:
+        m = np.round(grp["value"].to_numpy(float), 6)
+        X = np.stack([m[:-2], m[1:-1], m[2:]], axis=1)
+        # ordinal pattern with index tie-break == lexicographic argsort
+        pats = ["".join(map(str, np.argsort(row, kind="stable"))) for row in X]
+        c = pd.Series(pats).value_counts()
+        p = c / c.sum()
+        h_want = float(-(p * np.log(p)).sum())
+        assert abs(got.loc[et, "perm_entropy"] - h_want) < 1e-5, et
+        mono_want = (c.get("012", 0) + c.get("210", 0)) / c.sum()
+        assert abs(got.loc[et, "mono_frac"] - mono_want) < 1e-5, et
+
+
+def test_permutation_entropy_random_walk(packed_walk):
+    """Random-walk levels: monotone patterns carry exactly 1/2 the
+    mass (P(both increments same sign)), vs 1/3 for iid — the sharp
+    separation the docstring claims."""
+    df = _run(packed_walk, "ts_permutation_entropy")
+    mf = df["mono_frac"].to_numpy(float)
+    assert abs(mf.mean() - 0.5) <= 0.05, mf.mean()
+    assert df["pe_normalized"].mean() < 0.985
