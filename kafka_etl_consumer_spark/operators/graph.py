@@ -61,9 +61,18 @@ def connected_components(
     by hops (measured on the sf0.1 embedding pair graph: eccentricity 19,
     converged at round 15, and extra jumps per round did not help). Size
     ``max_iter`` to the expected component diameter, not its log; for
-    genuinely deep graphs wrap with an eager delta loop, or use an
-    edge-rewriting CC (large-star/small-star) whose round count is
-    provably logarithmic."""
+    genuinely deep graphs use an edge-rewriting CC (large-star/
+    small-star) whose round count is provably logarithmic.
+
+    The loop IS the eager delta loop: at every lineage-checkpoint
+    boundary (every 3 rounds) the label table materializes anyway, and
+    one existence-probe join against the previous checkpoint detects
+    the fixpoint and breaks early — so ``max_iter`` is a safety CAP,
+    not the executed round count (sf0.001 stops at round 9 of 24, sf0.1
+    at 18; the fixpoint is unique, so early exit cannot change the
+    answer, and the recursive-CTE oracle hash-checks convergence at
+    every SF regardless). The probe costs one |endpoints|-row join per
+    3 rounds — noise next to the hop join it avoids re-running."""
     spark = edges.sparkSession
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -93,6 +102,7 @@ def connected_components(
     # joins are pure equi-joins on generated labels.
     prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    prev_checkpoint = None
     try:
         for i in range(max_iter):
             # hop: min over own label + neighbors' labels
@@ -106,14 +116,30 @@ def connected_components(
             labels = labels.alias("a").join(
                 labels.alias("b"), F.col("a.lbl") == F.col("b.u")
             ).select(F.col("a.u").alias("u"), F.least("a.lbl", "b.lbl").alias("lbl"))
-            # Truncate lineage every few rounds (lazy — the plan becomes a
-            # LogicalRDD, no job runs until the caller's action). Without
-            # this the analyzed plan references the previous round ~3×,
-            # i.e. 3^max_iter plan nodes — OOMs the driver long before the
+            # Truncate lineage every few rounds. Without this the
+            # analyzed plan references the previous round ~3×, i.e.
+            # 3^max_iter plan nodes — OOMs the driver long before the
             # data matters. Same pattern MLlib uses for its iterative
-            # algorithms.
+            # algorithms. Eager since round 10: the materialized table
+            # doubles as the convergence probe's input, and one
+            # unchanged checkpoint-to-checkpoint window means the
+            # fixpoint was reached (labels only ever decrease).
             if i % 3 == 2 or i == max_iter - 1:
-                labels = labels.localCheckpoint(eager=False)
+                labels = labels.localCheckpoint(eager=True)
+                if prev_checkpoint is not None:
+                    changed = (
+                        labels.alias("n")
+                        .join(
+                            prev_checkpoint.alias("p"),
+                            F.col("n.u") == F.col("p.u"),
+                        )
+                        .filter(F.col("n.lbl") != F.col("p.lbl"))
+                        .limit(1)
+                        .count()
+                    )
+                    if changed == 0:
+                        break
+                prev_checkpoint = labels
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
