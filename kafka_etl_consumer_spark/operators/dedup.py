@@ -389,27 +389,28 @@ def canonical_pick(
     quality_col: str = "n_chars",
     src: str = "id_a",
     dst: str = "id_b",
-    max_iter: int = 6,
-    loop_partitions: int = 32,
+    max_iter: int = 12,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """(id, component_id, n_members, is_canonical) — turn near-duplicate
     PAIRS into dedup DECISIONS: cluster the pair graph into components
-    (pointer-jumping, operators/graph.py) and mark exactly one keeper per
-    component — the member with the highest ``quality_col`` (ties broken by
-    the smallest id, so the pick is deterministic and SQL-reproducible).
+    (large-star/small-star contraction, operators/graph.py) and mark
+    exactly one keeper per component — the member with the highest
+    ``quality_col`` (ties broken by the smallest id, so the pick is
+    deterministic and SQL-reproducible).
 
     This is the step that actually shrinks a corpus: `dedup_minhash` et al.
     emit evidence (pairs); this emits the verdict (keep/drop per document).
     Filter ``is_canonical`` to get the deduplicated corpus.
 
-    Scale shape: components state is one (id, label) row per document
-    (never the pair set); the final pick is ONE window over component_id —
-    rank<=1 plans as WindowGroupLimit, so each map task pre-prunes to one
-    candidate per component before the shuffle. connected_components
-    converges for max_iter >= component diameter (the r10-corrected
-    bound — NOT 2^max_iter); near-dup components are tight clusters of
-    copies (diameter a handful), so ``max_iter=6`` still covers them —
-    raise it if your pair generator chains looser matches.
+    Scale shape: components state is the pair-graph edge set (linear);
+    the final pick is ONE window over component_id — rank<=1 plans as
+    WindowGroupLimit, so each map task pre-prunes to one candidate per
+    component before the shuffle. connected_components converges in
+    O(log²) star-contraction rounds with an exact per-round fixpoint
+    probe, so ``max_iter`` is a safety cap, not the executed count (the
+    sf0.1 doc pair graph stops at round 2 of 12); ``loop_partitions=None``
+    sizes the contraction loop's shuffle width from the edge count.
     """
     from kafka_etl_consumer_spark.operators.graph import connected_components
 

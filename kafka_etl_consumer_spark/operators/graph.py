@@ -3,36 +3,33 @@ near-duplicate PAIRS (minhash / simhash / embedding-cosine, operators/dedup.py
 and similarity.py) into dedup GROUPS, so a corpus-prep pipeline can keep one
 canonical document per component.
 
-Algorithm: iterative min-label propagation with POINTER JUMPING (path
-halving). Each round does
-  1. hop:  every vertex takes the min label over itself + its neighbors
-           (one shuffle-join edges⋈labels + one map-side-combining groupBy)
-  2. jump: every vertex replaces its label by its label's label
-           (labels self-join — halves every label chain)
-so the reached radius at least doubles per round: ``max_iter`` rounds cover
-components of diameter ≥ 2^max_iter - 1. The default 8 rounds handle
-diameter-255 components — far beyond real near-dup clusters (tight clusters
-of copies, diameter a handful; the sf0.1 testdata's worst component has
-diameter 24, converged by round 5).
+Algorithm (since optimization round 10): alternating LARGE-STAR /
+SMALL-STAR edge contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014 — public literature, re-derived in
+DataFrame ops). Each alternation rewires every edge toward the minimum of
+a neighborhood, so star-shaped components form in O(log² n) rounds
+regardless of diameter; the fixpoint is the set of disjoint stars centered
+at each component's minimum vertex — exactly the min-label contract.
 
-Why not plain one-hop propagation: it needs diameter-many rounds — a chain
-component at 100 TB would need hundreds of shuffles. Pointer jumping is the
-log-round equivalent of the MapReduce hash-to-min family (Rastogi et al.,
-"Finding Connected Components in Map-Reduce in Logarithmic Rounds", ICDE'13
-— public literature, algorithm re-derived here in DataFrame ops).
+Why not min-label propagation (the previous implementation): a label
+moves ONE edge per round through blob graphs with local minima, so the
+round count is bound by the min vertex's eccentricity — measured 18
+executed rounds on the sf0.1 embedding pair graph (eccentricity 19; the
+pointer-jump step shaved a single round because every local-minimum basin
+points at itself). Star contraction converges in 6 rounds on that graph.
 
-100 TB shape: state is ONE (vertex, label) row per vertex — never the
-quadratic reachability set. Each round is 3 equi-joins/aggs shuffling that
-linear state on vertex/label keys; AQE coalesces the post-filter partitions.
-The plan stays fully lazy (fixed round count, no driver-side convergence
-poll); for truly unbounded diameters, wrap with an eager loop that stops
-when ``labels_changed == 0`` and ``localCheckpoint()`` every few rounds to
-truncate lineage — same per-round plan, documented divergence.
+100 TB shape: state is the current edge set — linear, never the quadratic
+reachability set. Each half-round is one window-min shuffle over that
+state plus a distinct; hub vertices are a streaming min inside one
+partition (spillable), never a collected array. Lineage is truncated by
+an eager localCheckpoint per round, which doubles as the input to the
+exact edge-set fixpoint probe that makes ``max_iter`` a cap rather than
+the executed round count.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,108 +40,161 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 8,
-    loop_partitions: int = 32,
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """(vertex ``id_col``, ``component_id``) — component id is the MIN vertex
     id in the component (deterministic, SQL-reproducible). ``vertices`` rows
     absent from ``edges`` come out as singleton components of themselves.
 
-    Convergence bound (corrected in round 10 — the old docstring claimed
-    diameter < 2^max_iter, which label-only propagation does NOT deliver):
-    the hop step guarantees every vertex sees the min label within its
-    distance-r ball after r rounds, so ``max_iter`` >= the min vertex's
-    eccentricity (<= component diameter) ALWAYS converges. The jump step
-    (path halving through the label table) accelerates chain-shaped label
-    structures dramatically (a 1000-vertex path converges in 9 rounds),
-    but blob graphs with many LOCAL minima gain little — each basin's
-    label points at itself, so information still crosses basin boundaries
-    by hops (measured on the sf0.1 embedding pair graph: eccentricity 19,
-    converged at round 15, and extra jumps per round did not help). Size
-    ``max_iter`` to the expected component diameter, not its log; for
-    genuinely deep graphs use an edge-rewriting CC (large-star/
-    small-star) whose round count is provably logarithmic.
+    Optimization round 10 replaced hop+jump min-label propagation with
+    alternating LARGE-STAR / SMALL-STAR edge contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+    literature, re-derived in DataFrame ops). Label-only propagation moves
+    the min label ONE edge per round through blob graphs with local
+    minima, so its round count is bound by the min vertex's eccentricity
+    (measured 18 executed rounds on the sf0.1 embedding pair graph,
+    eccentricity 19 — the jump step shaved a single round); star
+    contraction REWIRES edges toward each neighborhood's minimum, provably
+    converging in O(log² n) alternations and measured at 6 rounds on the
+    same graph (2 at sf0.001, 3 at sf0.01 — each count includes the
+    confirming no-change round). Each alternation is two window-min passes over the edge
+    state (one shuffle each) plus a distinct (one more) — fewer total
+    exchanges by ~4x than the 18 × 3 the label loop executed.
 
-    The loop IS the eager delta loop: at every lineage-checkpoint
-    boundary (every 3 rounds) the label table materializes anyway, and
-    one existence-probe join against the previous checkpoint detects
-    the fixpoint and breaks early — so ``max_iter`` is a safety CAP,
-    not the executed round count (sf0.001 stops at round 9 of 24, sf0.1
-    at 18; the fixpoint is unique, so early exit cannot change the
-    answer, and the recursive-CTE oracle hash-checks convergence at
-    every SF regardless). The probe costs one |endpoints|-row join per
-    3 rounds — noise next to the hop join it avoids re-running."""
+    ``max_iter`` is a safety CAP, not the executed count: every round ends
+    with an exact fixpoint probe (edge set unchanged == disjoint stars
+    centered at component minima — the paper's termination condition; the
+    state is already materialized by the lineage checkpoint, so the probe
+    is one anti-join + two metadata counts). The fixpoint is unique and
+    the recursive-CTE oracles hash-check convergence at every SF.
+
+    ``loop_partitions=None`` sizes the loop's shuffle width from the
+    materialized edge count (~500k rows/task, guide §2 scale-adaptive
+    partitioning) instead of any fixed local/cluster constant."""
     spark = edges.sparkSession
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # Canonical orientation child > parent: every operation below emits
+    # (child, parent) with parent strictly smaller, so the state stays an
+    # oriented forest-ish edge set and the star test is set equality.
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
     )
-    # Materialize the edge list ONCE (lazily): the loop references it every
-    # round, and without this the upstream edge-producing plan (e.g. the
-    # BLAS cosine pair stage) would re-execute max_iter times.
-    sym = sym.localCheckpoint(eager=False)
-    # Only edge ENDPOINTS iterate — a 100 TB corpus is overwhelmingly
-    # singleton vertices, and shuffling them max_iter times would dominate
-    # the job for zero information. They rejoin as themselves at the end.
-    labels = sym.select("u").distinct().withColumn("lbl", F.col("u"))
-
-    # The loop's lineage checkpoints compile through ``toRdd`` (below),
-    # which bypasses AQE — so the iterate-on-endpoints stages would run at
-    # the session's full shuffle width no matter how small the label state
-    # is. Size them explicitly to the state (endpoint set ≪ corpus) and
-    # restore the session conf afterward; everything outside the loop still
-    # plans under the caller's settings.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    # Constraint propagation must be off inside the loop: computing the
-    # Union's constraints during the lineage checkpoint hits a Catalyst
-    # rewrite bug ("key not found: u#...") when the upstream pair plan
-    # carries filter constraints (observed with the minhash-LSH pair plan
-    # on Spark 4.1). The loop gains nothing from constraints anyway — its
-    # joins are pure equi-joins on generated labels.
+    # Constraint propagation must be off for the checkpoints and the loop:
+    # computing a Union's constraints during a lineage checkpoint hits a
+    # Catalyst rewrite bug ("key not found: u#...") when the upstream pair
+    # plan carries filter constraints (observed with the minhash-LSH pair
+    # plan on Spark 4.1). The loop gains nothing from constraints anyway.
     prev_cp = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    prev_checkpoint = None
     try:
-        for i in range(max_iter):
-            # hop: min over own label + neighbors' labels
-            nbr = sym.alias("s").join(
-                labels.alias("l"), F.col("s.v") == F.col("l.u")
-            ).select(F.col("s.u").alias("u"), F.col("l.lbl").alias("lbl"))
-            labels = (
-                labels.unionByName(nbr).groupBy("u").agg(F.min("lbl").alias("lbl"))
-            )
-            # jump: lbl ← label(lbl)  (path halving; lbl exists as a vertex)
-            labels = labels.alias("a").join(
-                labels.alias("b"), F.col("a.lbl") == F.col("b.u")
-            ).select(F.col("a.u").alias("u"), F.least("a.lbl", "b.lbl").alias("lbl"))
-            # Truncate lineage every few rounds. Without this the
-            # analyzed plan references the previous round ~3×, i.e.
-            # 3^max_iter plan nodes — OOMs the driver long before the
-            # data matters. Same pattern MLlib uses for its iterative
-            # algorithms. Eager since round 10: the materialized table
-            # doubles as the convergence probe's input, and one
-            # unchanged checkpoint-to-checkpoint window means the
-            # fixpoint was reached (labels only ever decrease).
-            if i % 3 == 2 or i == max_iter - 1:
-                labels = labels.localCheckpoint(eager=True)
-                if prev_checkpoint is not None:
-                    changed = (
-                        labels.alias("n")
-                        .join(
-                            prev_checkpoint.alias("p"),
-                            F.col("n.u") == F.col("p.u"),
-                        )
-                        .filter(F.col("n.lbl") != F.col("p.lbl"))
-                        .limit(1)
-                        .count()
+        # Materialize the edge list ONCE, eagerly: the loop references it
+        # repeatedly (the upstream edge-producing plan — e.g. the BLAS
+        # cosine pair stage — must not re-execute per round), and the
+        # materialized count sizes the loop's shuffle width below.
+        e = e.localCheckpoint(eager=True)
+        # The loop's lineage checkpoints compile through ``toRdd``, which
+        # bypasses AQE — so the loop stages would run at the session's
+        # full shuffle width no matter how small the edge state is. Size
+        # them to the STATE instead (loop_shuffle_width — guide §2
+        # scale-adaptive partitioning: one partition on the sf0.1 pair
+        # graph's 3k edges where 32-wide micro-stages were pure scheduler
+        # overhead, ~4k partitions on a 2-billion-edge graph). The
+        # materialized-RDD count is a metadata-cheap job.
+        n_prev = e.count()
+        if loop_partitions is None:
+            loop_partitions = loop_shuffle_width(spark, n_prev)
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+        # Vertices with at least one edge, fixed before contraction starts:
+        # only these iterate — a 100 TB corpus is overwhelmingly singleton
+        # vertices, and shuffling them per round would dominate the job for
+        # zero information. They rejoin as themselves at the end.
+        endpoints = (
+            e.select("u").unionAll(e.select(F.col("v").alias("u"))).distinct()
+        )
+        w_u = Window.partitionBy("u")
+
+        def large_star(d: DataFrame) -> DataFrame:
+            # LARGE-STAR: every vertex u connects its strictly-larger
+            # neighbors to min(N(u) ∪ {u}). One window-min over the
+            # symmetric view (single shuffle; the giant-hub partition is a
+            # linear min with spill, never a collected array), then the
+            # emission is a narrow filter+project, then distinct bounds
+            # the state at one row per emitted pair. The symmetric view is
+            # ONE explode pass over the input — a self-union (d ∪ reverse)
+            # references the unmaterialized input twice, and two chained
+            # alternations then re-execute it 2^k times (measured 17 s vs
+            # 2 s on the sf0.1 pair graph).
+            symv = d.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                        F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
                     )
-                    if changed == 0:
-                        break
-                prev_checkpoint = labels
+                ).alias("p")
+            ).select(F.col("p.a").alias("u"), F.col("p.b").alias("v"))
+            return (
+                symv.withColumn("mn", F.min("v").over(w_u))
+                .filter(F.col("v") > F.col("u"))
+                .select(
+                    F.col("v").alias("u"),
+                    F.least(F.col("u"), F.col("mn")).alias("v"),
+                )
+                .distinct()
+            )
+
+        def small_star(d: DataFrame) -> DataFrame:
+            # SMALL-STAR: edges already point child → parent (v < u), so
+            # every vertex u re-attaches its smaller neighbors AND itself
+            # to m = min of its parents. The row carrying the min parent
+            # re-emits as (u, m); every other row as (v, m).
+            return (
+                d.withColumn("mn", F.min("v").over(w_u))
+                .select(
+                    F.when(F.col("v") == F.col("mn"), F.col("u"))
+                    .otherwise(F.col("v"))
+                    .alias("u"),
+                    F.col("mn").alias("v"),
+                )
+                .distinct()
+            )
+
+        # TWO large-star/small-star alternations per materialization:
+        # lineage stays shallow (4 window/distinct layers) while the
+        # per-round fixed costs — the checkpoint job, the count, the
+        # fixpoint probe — are paid half as often. Worst case does one
+        # spare alternation on already-converged state, which at loop
+        # width is noise next to a saved probe round (stage-count is the
+        # dominant cost of this loop at every scale — each micro-stage
+        # carries fixed scheduler latency, guide §2.2).
+        for _ in range(max_iter):
+            ss = small_star(large_star(small_star(large_star(e))))
+            ss = ss.localCheckpoint(eager=True)
+            # Exact fixpoint probe (the paper's termination condition):
+            # same count and no row outside the previous set == identical
+            # edge set == disjoint min-centered stars. Counts are metadata
+            # on materialized RDDs; the anti-join runs on loop-width state.
+            n_now = ss.count()
+            if n_now == n_prev:
+                changed = ss.join(e, ["u", "v"], "left_anti").limit(1).count()
+                if changed == 0:
+                    e = ss
+                    break
+            e, n_prev = ss, n_now
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
+    # At the fixpoint e is (child, parent=component min) stars; centers
+    # carry their own id. Everything else in ``vertices`` is a singleton.
+    labels = endpoints.join(e, "u", "left").select(
+        "u", F.coalesce(F.col("v"), F.col("u")).alias("lbl")
+    )
     singletons = vertices.select(F.col(id_col).alias("u")).join(
-        labels.select("u"), "u", "left_anti"
+        endpoints, "u", "left_anti"
     ).withColumn("lbl", F.col("u"))
     return labels.unionByName(singletons).select(
         F.col("u").alias(id_col), F.col("lbl").alias("component_id")
@@ -175,6 +225,15 @@ def pagerank(
     Vertices with no out-edges simply leak their mass (no dangling
     redistribution) — the standard simplification; document when using
     rank magnitudes, irrelevant for rank ORDER of well-linked graphs.
+
+    Deliberately ONE fully-lazy DAG (optimization r10 re-measured the
+    alternative): lineage-truncating the edge/vertex inputs with lazy
+    localCheckpoints made the keyword-graph callers 3-7x SLOWER — each
+    checkpoint compiles and executes its subplan separately (toRdd
+    bypasses AQE, and separately-executed plans cannot share exchange
+    reuse), so the shared token-graph upstream ran once per checkpoint
+    at static shuffle width. The single lazy plan lets AQE coalesce
+    every round and ReusedExchange dedupe the shared upstream.
     """
     n_row = F.broadcast(vertices.agg(F.count("*").cast("double").alias("__n")))
     v = vertices.select(F.col(id_col).alias("vid")).crossJoin(n_row)
@@ -267,6 +326,64 @@ def hits(
         hub.withColumnRenamed("score", "hub")
         .join(auth.withColumnRenamed("score", "auth"), "vid")
         .select(F.col("vid").alias(id_col), "hub", "auth")
+    )
+
+
+def loop_shuffle_width(spark, rows: int) -> int:
+    """Shuffle width for checkpoint-compiled iterative loops, sized to the
+    STATE (guide §2: scale-adaptive partitioning, never a constant tuned
+    for one deployment). Checkpoint-compiled plans bypass AQE, so this is
+    the only coalescing these micro-stages get. Two regimes:
+
+    - small states: ~1k rows per task up to 2x the core count (the
+      classic over-decomposition factor so waves stay balanced) —
+      measured on the sf0.1 truss peel (61k edges, array-intersect
+      rows): width 64 ran 2.2x faster than width 15 and 5x faster than
+      width 1, while 32-wide stages on a 3k-row CC state were pure
+      scheduler overhead (3 tasks suffice there).
+    - large states: ~500k rows/task (tens of MB for edge-list rows, the
+      guide §2.2 partition-size target), uncapped by core count so a
+      2-billion-edge graph gets ~4k tasks.
+    """
+    cores = spark.sparkContext.defaultParallelism
+    return max(
+        1,
+        min(-(-rows // 1024), 2 * cores),
+        min(-(-rows // 500_000), 200_000),
+    )
+
+
+def edge_triangle_support(e: DataFrame) -> DataFrame:
+    """(p1, p2, s) — per-edge triangle support |N(p1) ∩ N(p2)| within the
+    CURRENT edge set ``e(p1, p2)`` (normalized, p1 < p2), via adjacency-
+    list intersection instead of the wedge self-join (optimization r10).
+
+    The wedge form (e ⋈ sym ⋈ sym, then count) materializes one shuffle
+    row per WEDGE — Σ deg(u)·deg(v) over edges — before the aggregate;
+    this form shuffles one |V|-row adjacency table plus two |E|-row join
+    probes, and the intersection happens inside codegen over array
+    columns (the triangle_stats lesson, measured 1.4x there; guide §2.3
+    shuffle fewer bytes). Memory bound: one vertex's neighbor list must
+    fit a task — the same bound the truss peel's callers already accept
+    for the subgraphs they peel; orient or sub-block hubs upstream if a
+    celebrity vertex appears."""
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("p1").alias("u"), F.col("p2").alias("v")),
+                F.struct(F.col("p2").alias("u"), F.col("p1").alias("v")),
+            )
+        ).alias("__s")
+    ).select(F.col("__s.u").alias("u"), F.col("__s.v").alias("v"))
+    adj = sym.groupBy("u").agg(F.collect_list("v").alias("__nb"))
+    return (
+        e.join(adj.select(F.col("u").alias("p1"), F.col("__nb").alias("__n1")), "p1")
+        .join(adj.select(F.col("u").alias("p2"), F.col("__nb").alias("__n2")), "p2")
+        .select(
+            "p1",
+            "p2",
+            F.size(F.array_intersect("__n1", "__n2")).cast("bigint").alias("s"),
+        )
     )
 
 
@@ -436,7 +553,7 @@ def kcore(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
-    loop_partitions: int = 32,
+    loop_partitions: int | None = 32,
 ) -> DataFrame:
     """Vertices of the k-core — the maximal subgraph where every vertex
     has degree ≥ k — as (vertex ``u``, ``core_degree``), core_degree
@@ -466,10 +583,16 @@ def kcore(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.localCheckpoint(eager=True)
+    n_edges = sym.count()
+    if loop_partitions is None:
+        # pass None to size the checkpoint-compiled loop stages (AQE is
+        # bypassed there) from the materialized edge state; the r10 A/B
+        # on the sf0.1 graph measured the fixed default no worse, so 32
+        # stays the default and None is the big-graph escape hatch
+        loop_partitions = loop_shuffle_width(spark, n_edges)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
     try:
-        n_edges = sym.count()
         for _ in range(max_iter):
             if n_edges == 0:
                 break
@@ -515,8 +638,9 @@ def personalized_pagerank(
     src-keyed edge⋈rank shuffle, one dst-keyed partial+final sum, one
     left join back to vertices); the seed vector is a broadcast left join
     applied once per round, so the whole thing stays one lazy DAG with
-    |V|-linear state. Mass on vertices the walk never reaches stays
-    exactly 0.0 — keep or filter downstream.
+    |V|-linear state (deliberately so — see :func:`pagerank` on why
+    lineage-truncating these inputs measured slower). Mass on vertices
+    the walk never reaches stays exactly 0.0 — keep or filter downstream.
     """
     v = vertices.select(F.col(id_col).alias("vid"))
     sd = F.broadcast(

@@ -169,6 +169,78 @@ def cosine_pairs_blas(
     )
 
 
+def cosine_components_blas(
+    df: DataFrame,
+    threshold: float,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, component_id) — connected components of the within-group
+    cosine pair graph, FUSED into the same per-group BLAS pass that
+    :func:`cosine_pairs_blas` runs (optimization r10, guide §8: use what
+    the optimizer cannot know). Blocking means components can never span
+    groups, and every group already fits one task BY CONSTRUCTION — the
+    pair stage materializes the group's n² score triangle — so a
+    union-find over the block's pairs inside the same task is strictly
+    cheaper than emitting the pairs and running a distributed CC loop
+    over them (measured: the loop was 18 label-propagation rounds ≈ 60
+    micro-stages at sf0.1; this is zero extra stages). Scores are rounded
+    to 6dp before thresholding with the identical numpy expression as
+    cosine_pairs_blas, and the component id is the min member id — the
+    same contract the recursive-CTE oracles hash-check. Every input row
+    is emitted (vertices with no qualifying pair label themselves).
+
+    For pair graphs that are NOT blocked (e.g. LSH band candidates),
+    use operators/graph.connected_components — the distributed
+    star-contraction loop."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("component_id", T.LongType()),
+        ]
+    )
+
+    def comp(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        ids = pdf[id_col].to_numpy()
+        n = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        s = n @ n.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = np.round(s[iu, ju], 6) >= threshold
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(iu[keep], ju[keep]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        roots = np.array([find(i) for i in range(len(ids))])
+        comp_min: dict[int, int] = {}
+        for i, r in enumerate(roots):
+            cur = comp_min.get(r)
+            if cur is None or ids[i] < cur:
+                comp_min[r] = ids[i]
+        return pd.DataFrame(
+            {id_col: ids, "component_id": [comp_min[r] for r in roots]}
+        )
+
+    return (
+        df.select(group_col, id_col, vec_col).groupBy(group_col).applyInPandas(comp, schema)
+    )
+
+
 def hyperplane_bucket(
     df: DataFrame, vec_col: str = "embedding", planes: int = 8, dims: int = 64
 ) -> DataFrame:

@@ -226,21 +226,19 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the label-blocked
     embedding-cosine pair graph (threshold 0.3 — non-transitive, so pairs
     chain into real multi-hop components; the sf0.1 graph's largest
-    component has 151 vertices with min-vertex eccentricity 19). Spark
-    runs hop+jump label propagation (operators/graph.py) for 24 rounds —
-    sized to the DIAMETER bound, not its log: round 10 found the old
-    6-round setting silently unconverged at sf0.1 (the big component
-    split 65/151; label-only jumps cannot cross local-minimum basins, so
-    the honest guarantee is max_iter >= eccentricity, measured 15 rounds
-    needed here). The oracle computes the true fixpoint with a recursive
-    CTE, so convergence itself is hash-checked — at every SF. Every
-    vertex is emitted (singletons = own id)."""
+    component has 151 vertices with min-vertex eccentricity 19).
+    Optimization r10: the pair graph is BLOCKED by construction (pairs
+    only form within a label group), so components can never span labels
+    and the per-label union-find runs INSIDE the same BLAS task that
+    scores the pairs (operators/similarity.cosine_components_blas, guide
+    §8) — the distributed CC loop this query used to run (18
+    label-propagation rounds ≈ 60 micro-stages at sf0.1, 7.4 s) is
+    replaced by zero extra stages past the pair scan. The oracle still
+    computes the true fixpoint with a recursive CTE, so the clustering is
+    hash-checked at every SF. Every vertex is emitted (singletons = own
+    id)."""
     e = _t(spark, sf_dir, "embeddings")
-    pairs = S.cosine_pairs_blas(e, threshold=0.3)
-    comp = G.connected_components(
-        pairs, e.select("vec_id"), id_col="vec_id", src="id_a", dst="id_b",
-        max_iter=24,
-    )
+    comp = S.cosine_components_blas(e, threshold=0.3)
     w = Window.partitionBy("component_id")
     return comp.withColumn("n_members", F.count("*").over(w))
 

@@ -101,6 +101,11 @@ def markov_stationary_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = states.crossJoin(F.broadcast(nst)).select(
         "s", (F.lit(1.0) / F.col("k")).alias("p_v")
     )
+    # Checkpoint cadence re-measured in optimization r10 and kept as-is:
+    # every 4 rounds is the sweet spot — one lazy DAG for all 16 rounds
+    # ran 4-8x SLOWER (AQE re-plans and schedules each of the 32 nested
+    # micro-stages at runtime), and a checkpoint every round pays 16
+    # serial compile+execute cycles.
     for i in range(1, _N_ITER + 1):
         v = (
             v.join(F.broadcast(p), v["s"] == p["event_type"])

@@ -87,16 +87,13 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.minhash_lsh_pairs(
         docs, k=3, num_hashes=24, bands=8, rows_per_band=3, threshold=0.5
     )
-    # max_iter=4 covers diameter 15 — measured ample (the sf0.1 pair graph
-    # converges at 3; near-dup clusters are chained cliques, not paths) and
-    # two rounds (6 shuffle stages) cheaper than the operator's default 6.
-    # loop_partitions=8: the CC loop state is the near-dup pair ENDPOINTS
-    # (docs with duplicate evidence — a small fraction of any corpus), so
-    # the loop's ~12 micro-stages don't each need 32 tasks; production
-    # corpora with wide duplicate fronts raise it via the operator param.
-    return D.canonical_pick(
-        pairs, docs, quality_col="n_chars", max_iter=4, loop_partitions=8
-    )
+    # Operator defaults (optimization r10): the star-contraction loop
+    # stops at its exact fixpoint probe (the sf0.1 pair graph stops at
+    # round 2 of the 12-round safety cap — one productive round plus the
+    # confirming no-change round), and the loop's shuffle width is sized
+    # from the materialized pair count instead of a hand-pinned 8 —
+    # scale-adaptive at any corpus size.
+    return D.canonical_pick(pairs, docs, quality_col="n_chars")
 
 
 # ---------------------------------------------------------------------------

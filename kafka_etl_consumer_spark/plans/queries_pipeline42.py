@@ -436,6 +436,15 @@ def ml_gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("y").cast("bigint").alias("sy"),
         )
     )
+    # The 32-row histogram is the ONLY data-proportional aggregate; every
+    # boosting round references it (directly or through the previous
+    # round's state) several times — best, state and mse each re-inline
+    # their inputs, so the fully-lazy 3-round plan multiplied into 113k
+    # optimized-plan chars whose optimize+codegen time dwarfed execution.
+    # Lineage-truncate the histogram and each round's state/cum instead
+    # (lazy localCheckpoint — one materialization per run, shared by every
+    # reference; guide §3.3): same arithmetic, flat per-round plans.
+    hist = hist.localCheckpoint(eager=False)
     tot = hist.agg(
         F.sum("n").cast("bigint").alias("nt"),
         F.sum("sy").cast("bigint").alias("pt"),
@@ -460,7 +469,7 @@ def ml_gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(r).over(w_cum).alias("sl"),
             F.sum("n").over(w_all).alias("ntot"),
             F.sum(r).over(w_all).alias("stot"),
-        )
+        ).localCheckpoint(eager=False)  # consumed by best, state and mse
         score = F.col("sl") * F.col("sl") / F.col("nl") + (
             F.col("stot") - F.col("sl")
         ) * (F.col("stot") - F.col("sl")) / (F.col("ntot") - F.col("nl"))
@@ -502,7 +511,7 @@ def ml_gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("vr")
                 )
             ).alias("f"),
-        )
+        ).localCheckpoint(eager=False)  # next round's input + this round's mse
         mse = state.crossJoin(F.broadcast(tot)).agg(
             F.round(
                 (

@@ -85,44 +85,47 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     community signal — and the support-0 edges the first round removes
     are exactly graph_local_bridges' bridges. Rounds are BOUNDED and
     unrolled identically in both engines (the graph_components /
-    betweenness discipline: fixpoint iteration becomes a documented
-    bounded unroll; at this graph's density the peel is stationary
-    well before round 3). Scale: each round is one wedge join
-    (edge ⋈ adjacency ⋈ adjacency) on a shrinking edge set — the
-    distributed k-truss standard (support counting dominates; rounds
-    multiply it by a small constant), with the edge frame
-    checkpoint-truncated between rounds."""
+    betweenness discipline), with a count-only early exit: peeling only
+    REMOVES edges, so an unchanged edge COUNT is an unchanged edge SET
+    and the remaining unrolled rounds are provably no-ops — skipping
+    them cannot change the result. Scale (optimization r10): support is
+    the adjacency-intersection form (operators/graph.edge_triangle_
+    support — no wedge-row blowup before the aggregate), each round's
+    survivors are eagerly checkpoint-truncated, and the peel's shuffle
+    width is sized from the materialized edge count (~500k rows/task,
+    guide §2 scale-adaptive partitioning) because checkpoint-compiled
+    plans bypass AQE and would otherwise run every micro-stage at the
+    session's full width."""
+    from kafka_etl_consumer_spark.operators.graph import (
+        edge_triangle_support,
+        loop_shuffle_width,
+    )
     from kafka_etl_consumer_spark.plans.queries_pipeline7 import _coordered_edges
 
     edges = _coordered_edges(spark, sf_dir).localCheckpoint(eager=True)
-
-    def support(e: DataFrame) -> DataFrame:
-        sym = e.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
-            e.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
-        )
-        return (
-            e.alias("e")
-            .join(sym.alias("a"), F.col("a.u") == F.col("e.p1"), "left")
-            .join(
-                sym.alias("b"),
-                (F.col("b.u") == F.col("e.p2")) & (F.col("b.v") == F.col("a.v")),
-                "left",
+    n_prev = edges.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(loop_shuffle_width(spark, n_prev))
+    )
+    try:
+        for _ in range(_KT_ROUNDS):
+            edges = (
+                edge_triangle_support(edges)
+                .filter(F.col("s") >= _KT_K - 2)
+                .select("p1", "p2")
+                # eager: each round's survivors are consumed three ways by
+                # the next support pass (edge side + the adjacency build);
+                # a lazy checkpoint would re-derive the whole peel chain
+                .localCheckpoint(eager=True)
             )
-            .groupBy("e.p1", "e.p2")
-            .agg(F.count(F.col("b.v")).cast("bigint").alias("s"))
-        )
-
-    for _ in range(_KT_ROUNDS):
-        edges = (
-            support(edges)
-            .filter(F.col("s") >= _KT_K - 2)
-            .select("p1", "p2")
-            # eager: each round's survivors are used three times by the
-            # next wedge join (edge side + both adjacency sides); a lazy
-            # checkpoint would re-derive the whole peel chain per use
-            .localCheckpoint(eager=True)
-        )
-    final = support(edges).withColumnRenamed("s", "support")
+            n_now = edges.count()
+            if n_now == n_prev:
+                break  # monotone peel: same count == same set == fixpoint
+            n_prev = n_now
+        final = edge_triangle_support(edges).withColumnRenamed("s", "support")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     tot = final.agg(F.count(F.lit(1)).cast("bigint").alias("n_surviving"))
     return (
         final.crossJoin(F.broadcast(tot))

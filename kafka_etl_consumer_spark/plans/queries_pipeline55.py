@@ -28,7 +28,7 @@ from kafka_etl_consumer_spark.plans.queries_pipeline48 import (
     _FK_PROBIT_SQL,
     _fk_probit,
 )
-from kafka_etl_consumer_spark.plans.registry import _t, register
+from kafka_etl_consumer_spark.plans.registry import _t, register, scalar_barrier
 
 # ---------------------------------------------------------------------------
 # stats_durbin_watson — DW d on detrended daily means + Savin-White bounds
@@ -356,11 +356,21 @@ def stats_grubbs_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
     )
     n = F.col("n")
-    z = _fk_probit(1 - _GRUBBS_ALPHA / (2 * n))
-    t = _t_quantile(z, n - 2)
+    # Build the scalar chain probit -> t-quantile -> critical value behind
+    # Generate barriers (scalar_barrier): inlined, the t-quantile's ~20
+    # references to the ~100-node probit tree and the critical value's 4
+    # references to the t-polynomial multiply into a 10^4-node plan that
+    # cost 1.2 s of optimizer time + >3 s of codegen for 5 rows (measured
+    # this round). Behind barriers each tree exists once; the arithmetic —
+    # and therefore the 6dp-rounded result — is unchanged.
+    dev = scalar_barrier(dev, __z=_fk_probit(1 - _GRUBBS_ALPHA / (2 * n)))
+    dev = scalar_barrier(dev, __t=_t_quantile(F.col("__z"), n - 2))
+    t = F.col("__t")
     g_crit = F.round(
         (n - 1) / F.sqrt(n) * F.sqrt(t * t / (n - 2 + t * t)), 6
     )
+    dev = scalar_barrier(dev, __gc=g_crit)
+    g_crit = F.col("__gc")
     return dev.select(
         "event_type",
         n.cast("bigint").alias("n_days"),

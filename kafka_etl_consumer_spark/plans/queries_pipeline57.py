@@ -325,20 +325,9 @@ FROM lvl GROUP BY trussness ORDER BY trussness""")
     return "".join(parts)
 
 
-def _truss_support(edges: DataFrame) -> DataFrame:
-    sym = edges.select(
-        F.col("p1").alias("u"), F.col("p2").alias("v")
-    ).unionAll(edges.select(F.col("p2").alias("u"), F.col("p1").alias("v")))
-    return (
-        edges.join(sym.alias("sa"), F.col("sa.u") == F.col("p1"), "left")
-        .join(
-            sym.alias("sb"),
-            (F.col("sb.u") == F.col("p2")) & (F.col("sb.v") == F.col("sa.v")),
-            "left",
-        )
-        .groupBy("p1", "p2")
-        .agg(F.count(F.col("sb.v")).cast("bigint").alias("s"))
-    )
+# support computation: adjacency-intersection form shared with
+# graph_ktruss (operators/graph.edge_triangle_support, optimization r10 —
+# no wedge-row blowup before the aggregate)
 
 
 @register("graph_trussness", _trussness_oracle())
@@ -355,23 +344,44 @@ def graph_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_local_bridges / graph_edge_betweenness families' view).
     Each survivor set is eagerly checkpointed before the next round
     consumes it three ways (the wedge join lesson, memory r10).
-    Scale: each round is one self-join on the CURRENT edge set with
-    |E|-proportional state, lineage-truncated; rounds are a fixed
-    constant, and the cap (not the radius) is what a 100 TB run
-    tunes."""
+    Scale (optimization r10): support is the adjacency-intersection
+    form (operators/graph.edge_triangle_support — no wedge-row blowup
+    before the aggregate), the peel's shuffle width is sized from the
+    materialized edge count (~500k rows/task, guide §2 — checkpoint-
+    compiled plans bypass AQE and would otherwise run every micro-stage
+    at full session width), and each level exits on an unchanged edge
+    COUNT: peeling only removes edges, so same count == same set and
+    the remaining pinned rounds are provably no-ops."""
+    from kafka_etl_consumer_spark.operators.graph import (
+        edge_triangle_support,
+        loop_shuffle_width,
+    )
+
     edges = _coordered_edges(spark, sf_dir).localCheckpoint(eager=True)
     e0 = edges
     cur = edges
-    survivors = {}
-    for k, rounds in _TN_LEVELS:
-        for _ in range(rounds):
-            supp = _truss_support(cur)
-            cur = (
-                supp.filter(F.col("s") >= k - 2)
-                .select("p1", "p2")
-                .localCheckpoint(eager=True)
-            )
-        survivors[k] = cur
+    n_prev = edges.count()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(loop_shuffle_width(spark, n_prev))
+    )
+    try:
+        survivors = {}
+        for k, rounds in _TN_LEVELS:
+            for _ in range(rounds):
+                supp = edge_triangle_support(cur)
+                cur = (
+                    supp.filter(F.col("s") >= k - 2)
+                    .select("p1", "p2")
+                    .localCheckpoint(eager=True)
+                )
+                n_now = cur.count()
+                if n_now == n_prev:
+                    break  # monotone peel: same count == same set
+                n_prev = n_now
+            survivors[k] = cur
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     lvl = (
         e0.join(
             survivors[3].withColumn("in3", F.lit(1)), ["p1", "p2"], "left"
