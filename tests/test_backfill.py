@@ -15,6 +15,7 @@ import glob
 import json
 import time
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -71,6 +72,7 @@ def _bronze_by_hand(spark, tmp_path, dts=("2026-08-01", "2026-08-02"), n_per=5):
     return raw_dir, events
 
 
+@pytest.mark.slow
 def test_land_raw_streams_bytes_unchanged(spark, tmp_path):
     src_dir = str(tmp_path / "src")
     raw_dir = str(tmp_path / "raw")
@@ -321,6 +323,7 @@ def test_backfill_bronze_partitions_requires_event_time(spark, tmp_path):
         raise AssertionError("expected ValueError")
 
 
+@pytest.mark.slow
 def test_backfill_matches_ingest_event_time_layout(spark, tmp_path):
     # the ADVICE round-4 failure mode, closed end-to-end: a silver table
     # written by ingest(event_time_col=...) must be repairable by

@@ -33,6 +33,7 @@ def test_example_compiles_and_references_live_queries(path):
     assert not missing, f"{os.path.basename(path)} references dead queries: {missing}"
 
 
+@pytest.mark.slow
 def test_experimentation_example_runs_end_to_end():
     # one real run (the cheapest example with broad query coverage) so a
     # runtime break — not just a rename — also fails CI

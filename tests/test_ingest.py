@@ -85,6 +85,7 @@ def test_encode_decode_roundtrip_df(spark):
     assert a == b
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("layout", ["reference", "hive"])
 def test_ingest_streaming_roundtrip(spark, tmp_path, layout):
     # Stage encoded payloads as parquet for a file stream — same (topic,
@@ -142,6 +143,7 @@ def test_ingest_streaming_roundtrip(spark, tmp_path, layout):
     assert got == want
 
 
+@pytest.mark.slow
 def test_ingest_event_time_partitioning(spark, tmp_path):
     """hive layout + event_time_col: directories derive from the EVENT's
     own timestamp (fixtures pin baseProperties.timestamp), not wall clock —
@@ -209,6 +211,7 @@ PAGE_VIEW_AVSC = """{
     {"name": "viewTs", "type": ["null", "long"]}]}"""
 
 
+@pytest.mark.slow
 def test_multi_topic_per_schema_demux(spark, tmp_path):
     """S2 parity: one mixed stream, two topics, two DIFFERENT Avro schemas —
     each topic lands under its own directory with its own columns
@@ -257,6 +260,7 @@ def test_multi_topic_per_schema_demux(spark, tmp_path):
     assert sorted(r.url for r in pv.collect()) == [f"/p/{i}" for i in range(4)]
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_no_duplicates(spark, tmp_path):
     """C1/C2 parity, upgraded: restart from the checkpoint reprocesses
     NOTHING (exactly-once), where the reference re-consumes the last
@@ -417,6 +421,7 @@ def test_reference_layout_idempotent_replay(spark, tmp_path):
     assert len(date_dirs) == 1
 
 
+@pytest.mark.slow
 def test_ingest_idempotent_restart_no_duplicates(spark, tmp_path):
     """End-to-end idempotent reference layout across a stop/restart."""
     schema = parse_schema(ITEM_VIEW_EVENT_AVSC)
@@ -457,6 +462,7 @@ def test_ingest_idempotent_restart_no_duplicates(spark, tmp_path):
     got = sorted(r.itemId for r in back.select("itemId").collect())
     assert got == sorted(e["itemId"] for e in all_events)
 
+@pytest.mark.slow
 def test_chaos_lost_commit_replay_exactly_once(spark, tmp_path):
     """Chaos: crash in the window between the offsets write and the commit
     write (the classic failure slot — C1/C2, ETLTask.java:269,359 of the
@@ -693,6 +699,7 @@ def test_reader_schema_promotion_through_dataframe(spark):
     ]
 
 
+@pytest.mark.slow
 def test_ingest_with_reader_registry_evolves_schema(spark, tmp_path):
     """End-to-end rolling upgrade through the ingest pipeline: producers
     keep writing schema v1 payloads while the landed parquet carries the

@@ -40,6 +40,12 @@ import pytest
 
 from kafka_etl_consumer_spark.plans import ORACLES
 
+# Whole module is gated behind the slow marker (VERDICT r10 item 1): the
+# packed simulations + 200-replication loops cost ~4 min and pushed the
+# default suite past the driver's verification budget. Run explicitly with
+# SPARK_GRAFT_RUN_SLOW=1 python -m pytest tests/test_stats_mc_audit.py -q
+pytestmark = pytest.mark.slow
+
 SEED = 20260816
 PACK_R = 300  # independent series in packed mode
 PACK_N = 120  # days per packed series
