@@ -672,21 +672,32 @@ def main() -> None:
     # chars), the big per-query map sits in the middle, and the family
     # subtotals + a duplicate total_sec trail so the stored TAIL retains
     # the headline numbers too.
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(times),
-                "queries": times,
-                "families": fams,
-                "noise": compute_noise(times, sf),
-                "total_sec": total,
-            }
+    payload = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(times),
+        "queries": times,
+        "families": fams,
+        "noise": compute_noise(times, sf),
+        "total_sec": total,
+    }
+    print(json.dumps(payload))
+    # Durability (VERDICT r10 item 5/9): the driver persists only a stdout
+    # TAIL, and round 9's per-query map was lost to exactly that truncation
+    # (BENCH_r09 parsed: null), erasing the round-over-round comparison.
+    # Also write the full JSON to a file so the record can never depend on
+    # a 2000-char tail again. Best-effort: a read-only checkout must not
+    # fail the bench.
+    try:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_runs", "last_run.json"
         )
-    )
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1)
+    except OSError as exc:
+        print(f"# last_run.json not written: {exc!r}", file=sys.stderr)
     spark.stop()
 
 

@@ -215,6 +215,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    share_shingles: bool = True,
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified with exact Jaccard.
 
@@ -234,13 +235,21 @@ def minhash_lsh_pairs(
     intersects them in codegen (array_intersect) — no exploded join.
 
     The shingle pipeline appears three times in the plan (signatures +
-    both verify sides) and is deliberately NOT cached: it is a pure narrow
-    map that the three branches recompute on otherwise-idle cores, and the
-    A/B at sf0.1 showed caching adds a 7s materialization for zero
-    steady-state win. Callers with a PERSISTED corpus index pass
-    ``arrays=`` to :func:`minhash_signatures` instead."""
+    both verify sides). ``share_shingles=True`` (default since
+    optimization r11) materializes it ONCE with an eager localCheckpoint
+    and lets all three branches read the flat arrays: the r8 A/B used
+    ``.cache()`` (7s materialization into the LRU storage region, zero
+    win), but the checkpoint form re-measured FASTER at 32 cores
+    (alternating min-of-5 at sf0.1: 2.37 s recompute vs 2.01 s shared,
+    and 2.03 vs 1.77 in a second window — the 3x recompute stops being
+    free once the cores are busy). ``share_shingles=False`` restores the
+    pure-lazy plan for single-pass callers. Callers with a PERSISTED
+    corpus index pass ``arrays=`` to :func:`minhash_signatures`
+    instead."""
     assert num_hashes == bands * rows_per_band
     sh = shingle_arrays(df, text_col, id_col, k)
+    if share_shingles:
+        sh = sh.localCheckpoint(eager=True)
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, arrays=sh)
     bk = band_keys(sig, id_col, bands, rows_per_band)
 

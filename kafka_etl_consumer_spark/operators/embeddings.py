@@ -79,32 +79,38 @@ def pca_top_component(
     iters: int = 3,
     vec_col: str = "embedding",
     use_arrow: bool = True,
+    use_gram: bool = True,
 ) -> DataFrame:
     """Top principal component of the (uncentered) embedding matrix via
-    POWER ITERATION, entirely in the plan — no driver-side loop, no
-    collect, no covariance matrix.
+    POWER ITERATION — no driver-side loop, no collect.
 
-    The trick that scales: C·v = Σₙ embₙ·(embₙ ⋅ v), so one data pass per
-    iteration computes the matvec WITHOUT materializing the d×d covariance
-    (which at d=4096 would be 16M doubles to shuffle). Per iteration the
-    d partial sums collapse before the exchange — only d·partitions values
-    cross the wire — then normalize and rebuild the vector as ONE
-    broadcastable row. ``iters`` unrolled iterations = ``iters`` such
-    passes; state between passes is a single d-length array.
+    ``use_gram=True`` (default, optimization r11): ONE data pass computes
+    per-task partial Gram matrices G = Σ embₙembₙᵀ (d² doubles per task —
+    4 KB·d²/64² — summed by one d²-row hash-agg), and the whole
+    iteration runs on the reduced d×d grid in a single downstream task:
+    C·v = G·v, Σ(emb⋅v)² = vᵀGv, Σ‖emb‖² = trace(G). The previous shape
+    (one matvec data pass PER iteration, ``iters``+1 passes total)
+    measured 1.9-6.8 s at sf0.1 — all per-stage scheduling latency on a
+    4-pass chain of broadcast/agg micro-stages. For d where d² rows per
+    task is too heavy (d ≳ 2048: 32 MB/task partial), pass
+    ``use_gram=False`` for the per-iteration matvec shape, which never
+    materializes d² anywhere; at d = 64 the Gram is 32 KB and strictly
+    the better 100 TB plan (1 scan instead of 4, guide §1.2).
 
-    ``use_arrow=True`` (default — measured 1.9x at sf0.1) computes each
-    partition's partial as one numpy ``Mᵀ(Mv)`` per Arrow batch; False
-    keeps the pure-codegen posexplode + hash-agg form (the UDFs-are-
-    fallback rule, overridden here by measurement like cosine_pairs_blas).
-    Both produce identical results: the per-iteration re-rounding below
-    absorbs BLAS-vs-fold summation-order ulp.
+    ``use_arrow`` only affects the matvec (non-Gram) path: True computes
+    each partition's partial as one numpy ``Mᵀ(Mv)`` per Arrow batch
+    (measured 1.9x at sf0.1); False keeps the pure-codegen posexplode +
+    hash-agg form.
 
-    Cross-engine determinism: after each normalization the vector is
-    ROUNDED to 9 decimals — float summation order differs between engines
-    (and between Spark partials), but the noise (~1e-13 relative) sits far
-    below the rounding grid, so both engines re-synchronize on identical
-    doubles before the next pass. The final sign is canonicalized
-    (first component >= 0): power iteration converges to ±v.
+    Cross-engine determinism (both paths): after each normalization the
+    vector is ROUNDED to 9 decimals — float summation order differs
+    between engines (and between Spark partials), but the noise (~1e-13
+    relative) sits far below the rounding grid, so both engines
+    re-synchronize on identical doubles before the next pass. The Gram
+    path mirrors Spark's F.round exactly (HALF_UP over the shortest
+    decimal repr — Decimal(repr), the BigDecimal.valueOf contract). The
+    final sign is canonicalized (first component >= 0): power iteration
+    converges to ±v.
 
     Returns ONE row: (explained_ratio, component: array<double> at the
     iteration's 9-decimal grid — callers round for display), where
@@ -115,6 +121,86 @@ def pca_top_component(
 
     spark = df.sparkSession
     e = df.select(as_double(vec_col).alias("__e"))
+
+    if use_gram:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        gschema = T.StructType(
+            [
+                T.StructField("__i", T.IntegerType()),
+                T.StructField("__x", T.DoubleType()),
+            ]
+        )
+
+        def gram_partial(batches):
+            acc = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.asarray(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["__e"]]
+                )
+                g = m.T @ m
+                acc = g if acc is None else acc + g
+            if acc is not None:
+                flat = acc.ravel()
+                yield pd.DataFrame(
+                    {"__i": np.arange(flat.size, dtype="int32"), "__x": flat}
+                )
+
+        gram = (
+            e.mapInPandas(gram_partial, gschema)
+            .groupBy("__i")
+            .agg(F.sum("__x").alias("__x"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__i", "__x"))),
+                    lambda s: s["__x"],
+                ).alias("__g")
+            )
+        )
+
+        out_schema = T.StructType(
+            [
+                T.StructField("explained_ratio", T.DoubleType()),
+                T.StructField("component", T.ArrayType(T.DoubleType())),
+            ]
+        )
+
+        def solve(batches):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            def r(x: float, d: int) -> float:
+                return float(
+                    Decimal(repr(float(x))).quantize(
+                        Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP
+                    )
+                )
+
+            for pdf in batches:
+                for gl in pdf["__g"]:
+                    if gl is None or len(gl) != dims * dims:
+                        continue  # empty input: emit nothing
+                    g = np.asarray(gl, dtype=np.float64).reshape(dims, dims)
+                    v = np.full(dims, 1.0 / float(dims) ** 0.5)
+                    for _ in range(iters):
+                        w = g @ v
+                        nrm = float(np.sqrt((w * w).sum()))
+                        v = np.array([r(x / nrm, 9) for x in w])
+                    if v[0] < 0:
+                        v = -v
+                    num = float(v @ g @ v)
+                    den = float(np.trace(g))
+                    yield pd.DataFrame(
+                        {
+                            "explained_ratio": [r(num / den, 6)],
+                            "component": [v.tolist()],
+                        }
+                    )
+
+        return gram.mapInPandas(solve, out_schema)
 
     v_df = spark.range(1).select(
         F.array(*([F.lit(1.0 / float(dims) ** 0.5)] * dims)).alias("__v")

@@ -171,6 +171,7 @@ def connected_components(
         # width is noise next to a saved probe round (stage-count is the
         # dominant cost of this loop at every scale — each micro-stage
         # carries fixed scheduler latency, guide §2.2).
+        converged = False
         for _ in range(max_iter):
             ss = small_star(large_star(small_star(large_star(e))))
             ss = ss.localCheckpoint(eager=True)
@@ -183,8 +184,19 @@ def connected_components(
                 changed = ss.join(e, ["u", "v"], "left_anti").limit(1).count()
                 if changed == 0:
                     e = ss
+                    converged = True
                     break
             e, n_prev = ss, n_now
+        if not converged:
+            # Cap exhausted before the exact fixpoint: the intermediate
+            # state can hold MULTIPLE parents per child, and the label
+            # join below would then emit duplicate (id, component_id)
+            # rows — silently violating the one-row-per-vertex contract
+            # (ADVICE r10). Collapse to the best label seen so far; a
+            # no-op at fixpoint, well-formed (possibly stale, like the
+            # old label-propagation degradation) otherwise. Kept off the
+            # normal path so converged runs pay no extra exchange.
+            e = e.groupBy("u").agg(F.min("v").alias("v"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev_cp)
@@ -293,40 +305,61 @@ def hits(
     half-round's |V|-row dense table, truncating lineage so every
     round plans and runs against flat state. Nodes with no in-links
     (no out-links) carry auth 0 (hub 0) by the coalesce, exactly like
-    the textbook adjacency-matrix form on a non-negative graph."""
-    v = vertices.select(F.col(id_col).alias("vid"))
-    e = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ew"))
-    n_row = F.broadcast(vertices.agg(F.count("*").cast("double").alias("__n")))
-    hub = v.crossJoin(n_row).select(
-        "vid", (F.lit(1.0) / F.col("__n")).alias("score")
-    )
-    auth = hub
+    the textbook adjacency-matrix form on a non-negative graph.
 
-    def _step(frm: DataFrame, edge_key: str, group_key: str) -> DataFrame:
-        raw = (
-            e.join(frm.withColumnRenamed("vid", "__j"), F.col(edge_key) == F.col("__j"))
-            .groupBy(F.col(group_key).alias("gid"))
-            .agg(F.sum("score").alias("x"))
-        )
-        dense = v.join(raw, v.vid == raw.gid, "left").select(
-            "vid", F.coalesce(F.col("x"), F.lit(0.0)).alias("x")
-        )
-        # consumed twice (normalizer aggregate + division): truncate
-        # lineage so the join/agg chain runs once and stays flat
-        dense = dense.localCheckpoint(eager=False)
-        tot = F.broadcast(dense.agg(F.sum("x").alias("s")))
-        return dense.crossJoin(tot).select(
-            "vid", (F.col("x") / F.col("s")).alias("score")
-        )
-
-    for _ in range(iterations):
-        auth = _step(hub, "eu", "ew")   # auth from hubs pointing IN
-        hub = _step(auth, "ew", "eu")   # hub from auths pointed AT
-    return (
-        hub.withColumnRenamed("score", "hub")
-        .join(auth.withColumnRenamed("score", "auth"), "vid")
-        .select(F.col("vid").alias(id_col), "hub", "auth")
+    Optimization r11: the edge list is materialized EAGERLY once — each
+    half-round's checkpoint compiled a plan that re-derived AND
+    re-shuffled the edge subtree (checkpoint-compiled plans cannot
+    share ReusedExchange, so the upstream edge construction ran once
+    per half-round, 2·iterations times) — and its count sizes the
+    loop's shuffle width (loop_shuffle_width: lazy checkpoints bypass
+    AQE, so the micro-stages otherwise run at the session's full width
+    on |V|-row state). The vertex side is checkpointed with it for the
+    same reason."""
+    spark = edges.sparkSession
+    v = vertices.select(F.col(id_col).alias("vid")).localCheckpoint(eager=True)
+    e = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ew")).localCheckpoint(
+        eager=True
     )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(loop_shuffle_width(spark, e.count()))
+    )
+    try:
+        n_row = F.broadcast(v.agg(F.count("*").cast("double").alias("__n")))
+        hub = v.crossJoin(n_row).select(
+            "vid", (F.lit(1.0) / F.col("__n")).alias("score")
+        )
+        auth = hub
+
+        def _step(frm: DataFrame, edge_key: str, group_key: str) -> DataFrame:
+            raw = (
+                e.join(frm.withColumnRenamed("vid", "__j"), F.col(edge_key) == F.col("__j"))
+                .groupBy(F.col(group_key).alias("gid"))
+                .agg(F.sum("score").alias("x"))
+            )
+            dense = v.join(raw, v.vid == raw.gid, "left").select(
+                "vid", F.coalesce(F.col("x"), F.lit(0.0)).alias("x")
+            )
+            # consumed twice (normalizer aggregate + division): truncate
+            # lineage so the join/agg chain runs once and stays flat
+            dense = dense.localCheckpoint(eager=False)
+            tot = F.broadcast(dense.agg(F.sum("x").alias("s")))
+            return dense.crossJoin(tot).select(
+                "vid", (F.col("x") / F.col("s")).alias("score")
+            )
+
+        for _ in range(iterations):
+            auth = _step(hub, "eu", "ew")   # auth from hubs pointing IN
+            hub = _step(auth, "ew", "eu")   # hub from auths pointed AT
+        out = (
+            hub.withColumnRenamed("score", "hub")
+            .join(auth.withColumnRenamed("score", "auth"), "vid")
+            .select(F.col("vid").alias(id_col), "hub", "auth")
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
 
 
 def loop_shuffle_width(spark, rows: int) -> int:
@@ -511,7 +544,11 @@ def label_propagation(
     sf0.1, and the window's per-round sort grows with degree at 100 TB
     while the hash-agg does not). State is ONE (vertex, label) row per
     endpoint; fixed rounds keep the DAG static (the same loop hygiene
-    connected_components documents).
+    connected_components documents). (Optimization r11 re-measured the
+    eager-edge + loop-width treatment here and reverted it: sym was
+    already checkpointed — materialized exactly once — and the sf0.1
+    state already sizes to the session width, so the only effect was
+    one extra count job; measured 2.57 s → 2.67 s.)
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))

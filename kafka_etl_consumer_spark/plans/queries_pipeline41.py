@@ -471,7 +471,14 @@ def graph_closeness_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned once and reused across rounds. The oracle's recursive
     CTE enumerates bounded paths (combinatorial at scale), which is
     exactly why the engine iterates distances instead; sources are a
-    |srcs|-row TakeOrdered, never a sort of the vertex set."""
+    |srcs|-row TakeOrdered, never a sort of the vertex set.
+
+    Optimization r11 re-measured the betweenness-family eager-edge +
+    loop-width treatment here and REVERTED it: the sf0.1 sym state
+    (~120k rows) already sizes to the session width, so the only
+    change was one extra count job (measured 1.75 s → 1.81 s — pure
+    overhead; the lazy checkpoint already materializes sym exactly
+    once)."""
     e0 = _coordered_edges(spark, sf_dir)
     sym = e0.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         e0.select(F.col("p2").alias("u"), F.col("p1").alias("v"))

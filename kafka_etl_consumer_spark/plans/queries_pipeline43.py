@@ -48,6 +48,7 @@ from kafka_etl_consumer_spark.plans.queries_pipeline42 import (
     _RAKE_SW_SQL,
 )
 from kafka_etl_consumer_spark.plans.registry import _t, register
+from kafka_etl_consumer_spark.sources.tables import table_path
 
 # ---------------------------------------------------------------------------
 # text_textrank_keywords — PageRank over the word co-occurrence graph
@@ -871,9 +872,10 @@ def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     its nearest benchmark id, and the contamination flag at cosine >=
     0.4. Scale: the benchmark set is small by nature (eval suites are
     thousands of items while training corpora are billions), so each
-    TASK loads it once (guide §4.5 heavyweight-init: a pushed-down
-    pyarrow read of the tiny benchmark slice — reference data, like a
-    model file) and scores its Arrow batches with ONE BLAS matmul
+    TASK loads it once (guide §4.5 heavyweight-init: a pyarrow read with
+    a row-group-pushed ``filters=`` predicate, so only the benchmark
+    slice's row groups are decoded — reference data, like a model file)
+    and scores its Arrow batches with ONE BLAS matmul
     (normalized train block × normalized bench matrixᵀ): ZERO
     training-corpus shuffle, one pass, no per-row Python. Optimization
     round 10 replaced the previous broadcast-row higher-order-function
@@ -896,7 +898,7 @@ def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double("embedding").alias("emb")
     )
     train = e.filter(F.col("vec_id") >= _DECON_EMB_BENCH)
-    bench_path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    bench_path = table_path(sf_dir, "embeddings")
 
     schema = T.StructType(
         [
@@ -910,9 +912,15 @@ def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batches):
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(bench_path, columns=["vec_id", "embedding"])
-        bdf = tbl.to_pandas()
-        bdf = bdf[bdf["vec_id"] < _DECON_EMB_BENCH].sort_values("vec_id")
+        # filters= pushes the predicate to parquet row-group statistics:
+        # a task decodes only the row groups that can hold vec_id < 40,
+        # not the whole (at scale: billions-of-rows) training corpus.
+        tbl = pq.read_table(
+            bench_path,
+            columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", _DECON_EMB_BENCH)],
+        )
+        bdf = tbl.to_pandas().sort_values("vec_id")
         # Empty-benchmark edge: the oracle's CROSS JOIN yields zero rows
         # when no benchmark vector exists — emit nothing, same verdict.
         if len(bdf) == 0:

@@ -232,69 +232,89 @@ def graph_betweenness_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     walks = count of shortest paths), combinatorial at scale — which is
     exactly why the engine iterates levels instead. Dependencies sum
     exact small rationals (sigma ratios), rounded only at the final
-    aggregate."""
+    aggregate.
+
+    Optimization r11 (VERDICT r10 item 3): the symmetric edge list is
+    materialized EAGERLY once and its count sizes every loop stage's
+    shuffle width (loop_shuffle_width — lazy checkpoints compile via
+    toRdd at build time and bypass AQE, so without this each BFS/
+    dependency micro-stage ran at the session's full width on tiny
+    state), and d2 — consumed TWICE (d1's upper level + the final
+    union) — is lazily checkpointed so its dependency join runs once
+    instead of re-executing per consumer."""
+    from kafka_etl_consumer_spark.operators.graph import loop_shuffle_width
+
     e0 = _coordered_edges(spark, sf_dir)
     sym = e0.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         e0.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     )
-    sym = sym.repartition("u").localCheckpoint(eager=False)
-    srcs = (
-        sym.select(F.col("u").alias("s")).distinct().orderBy("s").limit(_BC_SRCS)
+    sym = sym.repartition("u").localCheckpoint(eager=True)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(loop_shuffle_width(spark, sym.count()))
     )
-    dist = srcs.select(
-        "s", F.col("s").alias("v"), F.lit(0).alias("hop"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=False)
-    for h in range(1, _BC_HOPS + 1):
-        frontier = dist.filter(F.col("hop") == h - 1)
-        step = (
-            frontier.alias("f")
-            .join(sym.alias("e"), F.col("e.u") == F.col("f.v"))
-            .groupBy(F.col("f.s").alias("s"), F.col("e.v").alias("v"))
-            .agg(F.sum("f.sigma").alias("sigma"))
-            .select("s", "v", F.lit(h).alias("hop"), "sigma")
+    try:
+        srcs = (
+            sym.select(F.col("u").alias("s")).distinct().orderBy("s").limit(_BC_SRCS)
         )
-        # min-struct keeps the FIRST (lowest-hop) row per (s, v): a vertex
-        # re-reached at a deeper hop is not on a shortest path, so its
-        # candidate sigma is discarded — same accumulate shape as
-        # graph_closeness_harmonic, which also carries the sigma payload.
-        dist = (
-            dist.unionByName(step)
-            .groupBy("s", "v")
-            .agg(F.min(F.struct("hop", "sigma")).alias("m"))
-            .select("s", "v", F.col("m.hop").alias("hop"), F.col("m.sigma").alias("sigma"))
-            .localCheckpoint(eager=False)
-        )
-    levels = {
-        h: dist.filter(F.col("hop") == h) for h in range(_BC_HOPS + 1)
-    }
-
-    def _delta_level(lower: DataFrame, upper_with_delta: DataFrame) -> DataFrame:
-        """delta for `lower`-level vertices from the already-solved level
-        above: sum sigma(v)/sigma(w) * (1 + delta(w)) over edges v->w."""
-        contrib = (
-            lower.alias("lo")
-            .join(sym.alias("e"), F.col("e.u") == F.col("lo.v"))
-            .join(
-                upper_with_delta.alias("up"),
-                (F.col("up.s") == F.col("lo.s")) & (F.col("up.v") == F.col("e.v")),
+        dist = srcs.select(
+            "s", F.col("s").alias("v"), F.lit(0).alias("hop"), F.lit(1.0).alias("sigma")
+        ).localCheckpoint(eager=False)
+        for h in range(1, _BC_HOPS + 1):
+            frontier = dist.filter(F.col("hop") == h - 1)
+            step = (
+                frontier.alias("f")
+                .join(sym.alias("e"), F.col("e.u") == F.col("f.v"))
+                .groupBy(F.col("f.s").alias("s"), F.col("e.v").alias("v"))
+                .agg(F.sum("f.sigma").alias("sigma"))
+                .select("s", "v", F.lit(h).alias("hop"), "sigma")
             )
-            .groupBy(F.col("lo.s").alias("s"), F.col("lo.v").alias("v"))
-            .agg(
-                F.sum(
-                    F.col("lo.sigma") / F.col("up.sigma") * (1 + F.col("up.delta"))
-                ).alias("delta")
+            # min-struct keeps the FIRST (lowest-hop) row per (s, v): a vertex
+            # re-reached at a deeper hop is not on a shortest path, so its
+            # candidate sigma is discarded — same accumulate shape as
+            # graph_closeness_harmonic, which also carries the sigma payload.
+            dist = (
+                dist.unionByName(step)
+                .groupBy("s", "v")
+                .agg(F.min(F.struct("hop", "sigma")).alias("m"))
+                .select("s", "v", F.col("m.hop").alias("hop"), F.col("m.sigma").alias("sigma"))
+                .localCheckpoint(eager=False)
             )
-        )
-        return (
-            lower.select("s", "v", "sigma")
-            .join(contrib, ["s", "v"], "left")
-            .select("s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta"))
-        )
+        levels = {
+            h: dist.filter(F.col("hop") == h) for h in range(_BC_HOPS + 1)
+        }
 
-    l3 = levels[3].select("s", "v", "sigma", F.lit(0.0).alias("delta"))
-    d2 = _delta_level(levels[2], l3)
-    d1 = _delta_level(levels[1], d2)
-    alldel = d1.select("s", "v", "delta").unionByName(d2.select("s", "v", "delta"))
+        def _delta_level(lower: DataFrame, upper_with_delta: DataFrame) -> DataFrame:
+            """delta for `lower`-level vertices from the already-solved level
+            above: sum sigma(v)/sigma(w) * (1 + delta(w)) over edges v->w."""
+            contrib = (
+                lower.alias("lo")
+                .join(sym.alias("e"), F.col("e.u") == F.col("lo.v"))
+                .join(
+                    upper_with_delta.alias("up"),
+                    (F.col("up.s") == F.col("lo.s")) & (F.col("up.v") == F.col("e.v")),
+                )
+                .groupBy(F.col("lo.s").alias("s"), F.col("lo.v").alias("v"))
+                .agg(
+                    F.sum(
+                        F.col("lo.sigma") / F.col("up.sigma") * (1 + F.col("up.delta"))
+                    ).alias("delta")
+                )
+            )
+            return (
+                lower.select("s", "v", "sigma")
+                .join(contrib, ["s", "v"], "left")
+                .select("s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            )
+
+        l3 = levels[3].select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+        # d2 feeds BOTH d1's dependency join and the final union: checkpoint
+        # so the subtree runs once (its upstream is the materialized dist RDD)
+        d2 = _delta_level(levels[2], l3).localCheckpoint(eager=False)
+        d1 = _delta_level(levels[1], d2)
+        alldel = d1.select("s", "v", "delta").unionByName(d2.select("s", "v", "delta"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         alldel.groupBy(F.col("v").alias("part"))
         .agg(

@@ -313,79 +313,96 @@ def graph_edge_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     |seeds| * (frontier ⋈ edges) per hop, edge side partitioned once;
     per-edge accumulation adds one groupBy keyed on the edge pair (the
     DAG edge count is bounded by |E| per source). The Brandes-Pich
-    pivot-sampling recipe scales |seeds|, never the radius."""
+    pivot-sampling recipe scales |seeds|, never the radius.
+
+    Optimization r11 (VERDICT r10 item 3, same treatment as
+    graph_betweenness_bounded): the symmetric edge list is materialized
+    EAGERLY once and its count sizes every loop stage's shuffle width
+    (lazy checkpoints compile via toRdd at build time and bypass AQE),
+    and the per-edge contribution levels ec3/ec2 — each consumed TWICE
+    (the next delta level + the final union) — are lazily checkpointed
+    so each backward level's joins run once instead of once per
+    consumer (the nested re-execution multiplied the deepest level 3x)."""
+    from kafka_etl_consumer_spark.operators.graph import loop_shuffle_width
     from kafka_etl_consumer_spark.plans.queries_pipeline7 import _coordered_edges
 
     e0 = _coordered_edges(spark, sf_dir)
     sym = e0.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         e0.select(F.col("p2").alias("u"), F.col("p1").alias("v"))
     )
-    sym = sym.repartition("u").localCheckpoint(eager=False)
-    srcs = (
-        sym.select(F.col("u").alias("s")).distinct().orderBy("s").limit(_EBC_SRCS)
+    sym = sym.repartition("u").localCheckpoint(eager=True)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(loop_shuffle_width(spark, sym.count()))
     )
-    dist = srcs.select(
-        "s", F.col("s").alias("v"), F.lit(0).alias("hop"), F.lit(1.0).alias("sigma")
-    ).localCheckpoint(eager=False)
-    for h in range(1, _EBC_HOPS + 1):
-        frontier = dist.filter(F.col("hop") == h - 1)
-        step = (
-            frontier.alias("f")
-            .join(sym.alias("e"), F.col("e.u") == F.col("f.v"))
-            .groupBy(F.col("f.s").alias("s"), F.col("e.v").alias("v"))
-            .agg(F.sum("f.sigma").alias("sigma"))
-            .select("s", "v", F.lit(h).alias("hop"), "sigma")
+    try:
+        srcs = (
+            sym.select(F.col("u").alias("s")).distinct().orderBy("s").limit(_EBC_SRCS)
         )
-        dist = (
-            dist.unionByName(step)
-            .groupBy("s", "v")
-            .agg(F.min(F.struct("hop", "sigma")).alias("m"))
-            .select(
-                "s", "v", F.col("m.hop").alias("hop"), F.col("m.sigma").alias("sigma")
+        dist = srcs.select(
+            "s", F.col("s").alias("v"), F.lit(0).alias("hop"), F.lit(1.0).alias("sigma")
+        ).localCheckpoint(eager=False)
+        for h in range(1, _EBC_HOPS + 1):
+            frontier = dist.filter(F.col("hop") == h - 1)
+            step = (
+                frontier.alias("f")
+                .join(sym.alias("e"), F.col("e.u") == F.col("f.v"))
+                .groupBy(F.col("f.s").alias("s"), F.col("e.v").alias("v"))
+                .agg(F.sum("f.sigma").alias("sigma"))
+                .select("s", "v", F.lit(h).alias("hop"), "sigma")
             )
-            .localCheckpoint(eager=False)
-        )
-    levels = {h: dist.filter(F.col("hop") == h) for h in range(_EBC_HOPS + 1)}
-
-    def _edge_contrib(lower: DataFrame, upper_with_delta: DataFrame) -> DataFrame:
-        """Per-DAG-edge rows (s, a, b, c) from `lower`-level tails to the
-        already-solved level above: c = sigma(a)/sigma(b) * (1 + delta(b))."""
-        return (
-            lower.alias("lo")
-            .join(sym.alias("e"), F.col("e.u") == F.col("lo.v"))
-            .join(
-                upper_with_delta.alias("up"),
-                (F.col("up.s") == F.col("lo.s")) & (F.col("up.v") == F.col("e.v")),
+            dist = (
+                dist.unionByName(step)
+                .groupBy("s", "v")
+                .agg(F.min(F.struct("hop", "sigma")).alias("m"))
+                .select(
+                    "s", "v", F.col("m.hop").alias("hop"), F.col("m.sigma").alias("sigma")
+                )
+                .localCheckpoint(eager=False)
             )
-            .select(
-                F.col("lo.s").alias("s"),
-                F.col("lo.v").alias("a"),
-                F.col("up.v").alias("b"),
-                (
-                    F.col("lo.sigma") / F.col("up.sigma") * (1 + F.col("up.delta"))
-                ).alias("c"),
+        levels = {h: dist.filter(F.col("hop") == h) for h in range(_EBC_HOPS + 1)}
+
+        def _edge_contrib(lower: DataFrame, upper_with_delta: DataFrame) -> DataFrame:
+            """Per-DAG-edge rows (s, a, b, c) from `lower`-level tails to the
+            already-solved level above: c = sigma(a)/sigma(b) * (1 + delta(b))."""
+            return (
+                lower.alias("lo")
+                .join(sym.alias("e"), F.col("e.u") == F.col("lo.v"))
+                .join(
+                    upper_with_delta.alias("up"),
+                    (F.col("up.s") == F.col("lo.s")) & (F.col("up.v") == F.col("e.v")),
+                )
+                .select(
+                    F.col("lo.s").alias("s"),
+                    F.col("lo.v").alias("a"),
+                    F.col("up.v").alias("b"),
+                    (
+                        F.col("lo.sigma") / F.col("up.sigma") * (1 + F.col("up.delta"))
+                    ).alias("c"),
+                )
             )
-        )
 
-    def _with_delta(level: DataFrame, contrib: DataFrame) -> DataFrame:
-        """Attach delta(v) = sum of v's outgoing edge terms (0 if none)."""
-        g = contrib.groupBy("s", F.col("a").alias("v")).agg(
-            F.sum("c").alias("delta")
-        )
-        return level.select("s", "v", "sigma").join(g, ["s", "v"], "left").select(
-            "s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
-        )
+        def _with_delta(level: DataFrame, contrib: DataFrame) -> DataFrame:
+            """Attach delta(v) = sum of v's outgoing edge terms (0 if none)."""
+            g = contrib.groupBy("s", F.col("a").alias("v")).agg(
+                F.sum("c").alias("delta")
+            )
+            return level.select("s", "v", "sigma").join(g, ["s", "v"], "left").select(
+                "s", "v", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
+            )
 
-    l3 = levels[3].select("s", "v", "sigma", F.lit(0.0).alias("delta"))
-    ec3 = _edge_contrib(levels[2], l3)
-    d2 = _with_delta(levels[2], ec3)
-    ec2 = _edge_contrib(levels[1], d2)
-    d1 = _with_delta(levels[1], ec2)
-    # level-0 edges: the tail is the source itself, sigma(s) = 1
-    ec1 = _edge_contrib(
-        levels[0].select("s", "v", "sigma"), d1
-    )
-    alle = ec1.unionByName(ec2).unionByName(ec3)
+        l3 = levels[3].select("s", "v", "sigma", F.lit(0.0).alias("delta"))
+        ec3 = _edge_contrib(levels[2], l3).localCheckpoint(eager=False)
+        d2 = _with_delta(levels[2], ec3)
+        ec2 = _edge_contrib(levels[1], d2).localCheckpoint(eager=False)
+        d1 = _with_delta(levels[1], ec2)
+        # level-0 edges: the tail is the source itself, sigma(s) = 1
+        ec1 = _edge_contrib(
+            levels[0].select("s", "v", "sigma"), d1
+        )
+        alle = ec1.unionByName(ec2).unionByName(ec3)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         alle.groupBy(
             F.least("a", "b").alias("pu"), F.greatest("a", "b").alias("pv")

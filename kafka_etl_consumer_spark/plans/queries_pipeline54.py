@@ -204,8 +204,8 @@ FROM pi{rounds}""")
 def seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the per-user event-transition Markov
     chain (the long-run fraction of time a user's behavior spends in
-    each event type): 8 unrolled power-iteration rounds pi' = pi P from
-    the uniform start, over the SAME row-normalized matrix
+    each event type): 8 power-iteration rounds pi' = pi P from the
+    uniform start, over the SAME row-normalized matrix
     event_transition_matrix reports. The chain on this fixture is
     irreducible and aperiodic (every type follows every type), so the
     iteration converges geometrically; 8 rounds take the uniform start
@@ -213,7 +213,18 @@ def seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the matrix to 6dp (the PageRank/IRLS discipline), so the float
     chain cannot drift cross-engine. Scale: one data-grain lead window
     builds the transitions; everything after is k x k grid arithmetic
-    (k = #event types) — the iteration never touches data volume."""
+    (k = #event types) — the state is DRIVER-SMALL BY CONSTRUCTION, so
+    the iteration runs as ONE applyInPandas task over the grid
+    (optimization r11, guide §8/VERDICT r10 item 6: the previous 8
+    unrolled join/agg rounds were ~32 micro-stages of pure per-stage
+    scheduling latency on ≤ k² rows — measured 1.9-4.8 s at sf0.1 for
+    arithmetic on a 5x5 matrix). Rounding inside the task mirrors
+    Spark's HALF_UP-on-shortest-decimal F.round exactly (Decimal(repr),
+    the same contract BigDecimal.valueOf uses), so the emitted doubles
+    are bit-identical to the unrolled plan's."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
     ev = _t(spark, sf_dir, "events")
     seq = ev.select(
         "event_type",
@@ -232,29 +243,49 @@ def seq_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_type").alias("dst"),
         F.round(F.col("n") / F.col("row_n").cast("double"), 6).alias("p"),
     )
-    # materialize the k x k matrix ONCE: every unrolled round joins it,
-    # and without the checkpoint each round re-runs the data-grain lead
-    # window (8 full scans instead of 1)
-    p = p.localCheckpoint(eager=True)
-    states = p.select(F.col("src").alias("s")).distinct()
-    k = states.agg(F.count(F.lit(1)).cast("double").alias("k"))
-    pi = states.crossJoin(F.broadcast(k)).select(
-        "s", F.round(1.0 / F.col("k"), 12).alias("pi")
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("stationary_p", T.DoubleType()),
+            T.StructField("n_rounds", T.IntegerType()),
+        ]
     )
-    for _ in range(_MS_ROUNDS):
-        flow = (
-            p.join(pi, p["src"] == pi["s"])
-            .groupBy(F.col("dst").alias("s"))
-            .agg(F.round(F.sum(F.col("pi") * F.col("p")), 12).alias("pi_new"))
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r(x: float, d: int) -> float:
+            # exact mirror of Spark's round(double, d): HALF_UP over the
+            # shortest decimal repr (BigDecimal.valueOf == repr())
+            return float(
+                Decimal(repr(float(x))).quantize(
+                    Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP
+                )
+            )
+
+        states = sorted(pdf["src"].unique())
+        idx = {s: i for i, s in enumerate(states)}
+        k = len(states)
+        m = np.zeros((k, k))
+        for src, dst, pv in zip(pdf["src"], pdf["dst"], pdf["p"]):
+            j = idx.get(dst)
+            if j is not None:  # dst never observed as a src: no pi mass
+                m[idx[src], j] = pv
+        pi = np.full(k, r(1.0 / k, 12))
+        for _ in range(_MS_ROUNDS):
+            pi = np.array([r(v, 12) for v in pi @ m])
+        return pd.DataFrame(
+            {
+                "event_type": states,
+                "stationary_p": [r(v, 6) for v in pi],
+                "n_rounds": np.full(k, _MS_ROUNDS, dtype="int32"),
+            }
         )
-        pi = (
-            states.join(flow, "s", "left")
-            .select("s", F.coalesce("pi_new", F.lit(0.0)).alias("pi"))
-        )
-    return pi.select(
-        F.col("s").alias("event_type"),
-        F.round("pi", 6).alias("stationary_p"),
-        F.lit(_MS_ROUNDS).alias("n_rounds"),
+
+    return p.groupBy(F.lit(1).alias("__g")).applyInPandas(
+        lambda pdf: solve(pdf), schema
     )
 
 

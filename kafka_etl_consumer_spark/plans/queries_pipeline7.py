@@ -359,19 +359,44 @@ e0 AS (SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
 
 
 def _coordered_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (p1 < p2) co-ordered part pairs of the % 20 order slice."""
+    """Distinct (p1 < p2) co-ordered part pairs of the % 20 order slice.
+
+    Optimization r11: ONE groupBy collects each order's distinct sorted
+    part array and the (p1 < p2) pairs expand in codegen (the upper
+    triangle of the sorted array — the minhash-LSH bucket-expansion
+    trick), replacing the l_orderkey self-join. Same pair set by
+    construction (strictly increasing array == strict < pairs; the
+    final distinct still dedupes across orders), one exchange less (the
+    self-join shuffled the slice twice), and no join-row blowup before
+    the distinct. Per-order arrays are bounded by order size (≤ 7
+    lineitems in this schema) — no hub risk. This helper feeds 11
+    registered graph queries; every one re-verified against its oracle
+    this round."""
     li = (
         _t(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 20 == 0)
         .select("l_orderkey", "l_partkey")
     )
-    return (
-        li.alias("a")
-        .join(li.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+    ps = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_distinct(F.array_sort(F.collect_list("l_partkey"))).alias(
+                "__ps"
+            )
         )
+        .filter(F.size("__ps") > 1)
+    )
+    return (
+        ps.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__ps, (x, i) -> "
+                    "transform(slice(__ps, i + 2, size(__ps) - i - 1), "
+                    "y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("__pr")
+        )
+        .select(F.col("__pr.p1").alias("p1"), F.col("__pr.p2").alias("p2"))
         .distinct()
     )
 
@@ -483,7 +508,11 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-dist hash-agg; state is one (vertex, dist) row per reached
     vertex. The oracle's recursive CTE enumerates ALL bounded paths —
     fine at sf0.01, combinatorial at scale — which is exactly why the
-    engine side iterates distances instead."""
+    engine side iterates distances instead. (Optimization r11
+    re-measured the betweenness-family eager-edge + loop-width
+    treatment here and reverted it: the sym state already sizes to the
+    session width at sf0.1, so the only effect was one extra count
+    job — 1.33 s → 1.38 s, pure overhead.)"""
     e0 = _coordered_edges(spark, sf_dir)
     sym = e0.select(F.col("p1").alias("u"), F.col("p2").alias("v")).unionByName(
         e0.select(F.col("p2").alias("u"), F.col("p1").alias("v"))

@@ -39,6 +39,15 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+def table_path(sf_dir: str, name: str) -> str:
+    """Storage path of one synthetic table (TESTDATA.md layout). The single
+    place the ``{sf_dir}/{name}.parquet`` convention lives, for callers that
+    must read a table outside Spark (e.g. a per-task pyarrow side read)."""
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from ``sf_dir`` (TESTDATA.md layout)."""
     if name not in TABLES:
