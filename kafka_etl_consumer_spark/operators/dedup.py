@@ -459,6 +459,7 @@ def minhash_lsh_matches_against(
     rows_per_band: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    share_shingles: bool = True,
 ) -> DataFrame:
     """(new_id, old_id, jaccard) — near-dup matches of a NEW batch against
     an EXISTING corpus (the incremental form of ``minhash_lsh_pairs``: no
@@ -482,10 +483,15 @@ def minhash_lsh_matches_against(
     sides derive in-plan; the join/verify stages are identical either way.
     """
     assert num_hashes == bands * rows_per_band
-    # one shingle expression per side, shared by its signature and verify
-    # stages (uncached by the same A/B rationale as minhash_lsh_pairs)
+    # one shingle pipeline per side, shared by its signature and verify
+    # stages — materialized once each by default (share_shingles), the
+    # same r11 A/B outcome as minhash_lsh_pairs: the 2x recompute only
+    # looked free while cores were idle
     sh_new = shingle_arrays(new, text_col, id_col, k)
     sh_old = shingle_arrays(corpus, text_col, id_col, k)
+    if share_shingles:
+        sh_new = sh_new.localCheckpoint(eager=True)
+        sh_old = sh_old.localCheckpoint(eager=True)
     bk_new = band_keys(
         minhash_signatures(new, text_col, id_col, k, num_hashes, arrays=sh_new),
         id_col, bands, rows_per_band,

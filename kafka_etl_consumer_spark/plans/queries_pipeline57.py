@@ -367,16 +367,28 @@ def graph_trussness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         survivors = {}
+        # support rows proven valid for the CURRENT edge set: set when a
+        # round removes nothing (same count == same set, so the s column
+        # — computed ON that set — is its exact in-subgraph support) and
+        # reused as the NEXT level's first pass (optimization r11, the
+        # graph_ktruss final-pass trick applied across levels: support(S)
+        # never needs recomputing while S is unchanged). Saves one
+        # adjacency-intersection pass per level transition.
+        valid_supp = None
         for k, rounds in _TN_LEVELS:
             for _ in range(rounds):
-                supp = edge_triangle_support(cur)
-                cur = (
+                if valid_supp is None:
+                    supp = edge_triangle_support(cur)
+                else:
+                    supp, valid_supp = valid_supp, None
+                surv = (
                     supp.filter(F.col("s") >= k - 2)
-                    .select("p1", "p2")
                     .localCheckpoint(eager=True)
                 )
-                n_now = cur.count()
+                cur = surv.select("p1", "p2")
+                n_now = surv.count()
                 if n_now == n_prev:
+                    valid_supp = surv  # set unchanged: s still exact
                     break  # monotone peel: same count == same set
                 n_prev = n_now
             survivors[k] = cur
